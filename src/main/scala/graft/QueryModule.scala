@@ -21,7 +21,7 @@ trait QueryModule {
 
   /** Load one fixture table from the scale-factor directory. */
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 }
 
 /** Central fixture-table loader (TESTDATA.md / FIXTURES.md §B). */
@@ -30,8 +30,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
+    * a timestamp. Sessions set spark.sql.legacy.parquet.nanosAsLong=true so
+    * it arrives as a long, and we truncate ns→µs here (integer DIV — no
+    * double round-trip, epoch-nanos exceed double's 53-bit mantissa). DuckDB
+    * reads the same column as TIMESTAMP(µs) by truncation, so both engines
+    * see identical values.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+    else df
+  }
 
   /** Register every fixture as a temp view so modules can use spark.sql. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -13,7 +13,8 @@ object SparkEntry {
   /** All query modules, in build order (SURVEY.md §7.2). */
   private def modules: Seq[QueryModule] = Seq(
     operators.TextQueries,
-    operators.RelationalQueries
+    operators.RelationalQueries,
+    operators.JoinQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 C — the join family.
+  *
+  * Scale notes (100 TB posture):
+  *  - Fact⋈fact equi-joins (orders⋈customer) shuffle both sides on the key →
+  *    sort-merge join; AQE re-plans to broadcast when the build side is small.
+  *  - Dimension joins (lineitem⋈part) use an explicit broadcast() hint: the
+  *    dim table ships once per executor, no shuffle of the 100 TB fact side.
+  *  - Theta joins are BroadcastNestedLoopJoin — only valid when one side is
+  *    tiny (here: supplier, 100 rows×SF). A fact×fact theta join would be a
+  *    deliberate design error at scale.
+  *  - Interval/as-of joins anchor on an EQUI key (user_id) so Spark plans a
+  *    hash-partitioned join with the time predicate as a residual filter —
+  *    this is the formulation that survives 100×: state per key is bounded,
+  *    no cross product across keys.
+  */
+object JoinQueries extends QueryModule {
+
+  override def queries: Map[String, Q] = Map(
+    "q_join_inner" -> ((s, dir) =>
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy("o_orderkey")),
+
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    "q_join_left" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9500)
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "q_join_right" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .join(t(s, dir, "customer").filter(col("c_acctbal") > 9500),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "q_join_full" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .join(t(s, dir, "customer").filter(col("c_acctbal") > 9000),
+          col("o_custkey") === col("c_custkey"), "full")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("o_orderkey").asc_nulls_first,
+          col("c_custkey").asc_nulls_first)),
+
+    "q_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_join_cross" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    "q_join_theta" -> ((s, dir) => {
+      val s1 = t(s, dir, "supplier").select(col("s_suppkey").as("a_key"),
+        col("s_acctbal").as("a_bal"))
+      val s2 = t(s, dir, "supplier").select(col("s_suppkey").as("b_key"),
+        col("s_acctbal").as("b_bal"))
+      s1.join(s2, col("a_bal") < col("b_bal"))
+        .select(col("a_key"), col("b_key"),
+          round(col("b_bal") - col("a_bal"), 4).as("gap"))
+        .orderBy("a_key", "b_key")
+    }),
+
+    "q_join_interval" -> ((s, dir) => {
+      val e1 = t(s, dir, "events").alias("e1")
+      val e2 = t(s, dir, "events").alias("e2")
+      e1.filter(col("e1.event_type") === "click")
+        .join(e2,
+          col("e1.user_id") === col("e2.user_id")
+            && col("e2.ts") > col("e1.ts")
+            && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("e1.user_id").as("user_id"), col("e1.event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_join_asof" -> ((s, dir) => {
+      // For each purchase, the latest click by the same user at ts <= purchase
+      // ts. Equi-anchor on user_id; window rank picks the as-of row. At scale:
+      // hash-partition by user_id, sort within partition — no cross product.
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val c = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"), col("value").as("c_value"))
+      val w = Window.partitionBy("p_id")
+        .orderBy(col("c_ts").desc, col("c_id").desc)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"),
+          "inner")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("c_id").as("asof_click"),
+          round(col("c_value"), 4).as("click_value"))
+        .orderBy("p_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, ROUND(o_totalprice, 4) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 4) AS price
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9500) c
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 4) AS price
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 9500) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT o_orderkey, c_custkey, c_name, ROUND(o_totalprice, 4) AS price
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        |       ROUND(b.s_acctbal - a.s_acctbal, 4) AS gap
+        |FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "q_join_interval" ->
+      """SELECT e1.user_id, e1.event_id, COUNT(*) AS n_follow
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |WHERE e1.event_type = 'click'
+        |GROUP BY e1.user_id, e1.event_id
+        |ORDER BY e1.user_id, e1.event_id""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p_id, user_id, asof_click, click_value FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         c.event_id AS asof_click, ROUND(c.value, 4) AS click_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |             ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin
+  )
+}
