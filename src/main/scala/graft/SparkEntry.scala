@@ -14,7 +14,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.TextQueries,
     operators.RelationalQueries,
-    operators.JoinQueries
+    operators.JoinQueries,
+    operators.AggregateQueries,
+    operators.WindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

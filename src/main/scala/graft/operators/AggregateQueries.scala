@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 D — aggregation family.
+  *
+  * Determinism strategy (the survey's §2.3 ROUND rule, hardened):
+  *   - SUM/AVG over doubles are NOT order-deterministic at scale (Spark sums
+  *     in partition order; at sf0.1 the float error can cross a ROUND(...,4)
+  *     boundary). So every additive aggregate first casts each VALUE to
+  *     DECIMAL(18,4) — per-value rounding is order-free — and sums exactly.
+  *     Decimal addition is associative, so any partition order (and any
+  *     number of executors at 100 TB) yields the same digits.
+  *   - AVG = exact decimal SUM cast to double, divided by COUNT — one
+  *     deterministic float division instead of an order-dependent mean.
+  *   - Variance/stddev/corr keep double math (no exact form) but their
+  *     error is ~1e-12 relative; ROUND(...,4) absorbs it.
+  *   - grouping flags are CAST to INT on both sides (Spark emits TINYINT,
+  *     DuckDB BIGINT) and lead every ORDER BY so subtotal rows order
+  *     identically; NULLS FIRST is explicit (DuckDB defaults nulls-last).
+  *
+  * Scale notes: all grouped aggregates here are hash aggregates with
+  * map-side partial aggregation (HashAggregate partial→final around one
+  * Exchange on the group key) — the plan that survives 100 TB. COUNT
+  * DISTINCT expands to a two-phase Expand + aggregate; rollup/cube use
+  * Expand (row multiplication ×(levels)) before the same partial/final
+  * split, so no extra shuffles vs a plain groupBy.
+  */
+object AggregateQueries extends QueryModule {
+
+  /** Exact, order-independent sum: per-value DECIMAL(18,4) cast, then SUM. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("decimal(18,4)")
+
+  /** Deterministic mean: exact decimal sum → one double division → round. */
+  private def davg(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+
+  override def queries: Map[String, Q] = Map(
+    "q_agg_global" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"),
+        davg(col("l_discount")).as("avg_disc"))),
+
+    // TPC-H Q1 shape: partial agg on 32 input partitions, one Exchange on
+    // the 2-column group key (6 groups), final agg — the canonical 100 TB
+    // aggregate plan.
+    "q_agg_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .filter(col("cnt") >= 12)
+        .orderBy("o_custkey")),
+
+    "q_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("d_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Multiple distincts → Catalyst Expand (one row per distinct column) +
+    // two-phase aggregate; still a single shuffle.
+    "q_agg_multi_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_fs"),
+        count(lit(1)).as("cnt"))),
+
+    "q_agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("g_st"), col("g_pr"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Explicit GROUPING SETS via SQL (survey §2.3: "SQL GROUP BY GROUPING
+    // SETS") — exercises the SQL front-end path of the engine too.
+    "q_agg_gsets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type, user_id,
+               CAST(GROUPING(event_type) AS INT) AS g_et,
+               CAST(GROUPING(user_id) AS INT) AS g_uid,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
+        ORDER BY g_et, g_uid,
+                 event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""")
+    }),
+
+    // Exact percentile (not approx) so DuckDB quantile_cont matches.
+    "q_agg_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_qp"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
+        .orderBy("l_returnflag")),
+
+    // collect_list/collect_set are only deterministic once sorted; arrays
+    // stay small (bounded by group size) — at 100 TB this operator is only
+    // safe on bounded-cardinality groups, which is the contract here.
+    "q_agg_collect" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          array_sort(collect_list(col("c_name"))).as("names"),
+          array_sort(collect_set(col("c_mktsegment"))).as("segs"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  ROUND(MIN(l_extendedprice), 4) AS min_price,
+        |  ROUND(MAX(l_extendedprice), 4) AS max_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d_parts, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS d_parts,
+        |       COUNT(DISTINCT l_suppkey) AS d_supps,
+        |       COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_fs,
+        |       COUNT(*) AS cnt
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT event_type, user_id,
+        |  CAST(GROUPING(event_type) AS INT) AS g_et,
+        |  CAST(GROUPING(user_id) AS INT) AS g_uid,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
+        |ORDER BY g_et, g_uid,
+        |         event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        |  LIST_SORT(LIST(c_name)) AS names,
+        |  LIST_SORT(LIST(DISTINCT c_mktsegment)) AS segs,
+        |  COUNT(*) AS cnt
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+}

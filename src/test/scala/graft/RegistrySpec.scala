@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Contract checks over the whole registry: every query runs on sf0.001,
+  * returns rows, and every oracle key has a matching query. */
+class RegistrySpec extends SparkSpec {
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without a query: $missing")
+  }
+
+  test("no duplicate query ids across modules") {
+    // flatMap.toMap silently drops dups — count through the module list.
+    val all = Seq(
+      operators.TextQueries, operators.RelationalQueries,
+      operators.JoinQueries, operators.AggregateQueries,
+      operators.WindowQueries).flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query ids: $dups")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = q(name)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+}
