@@ -16,7 +16,8 @@ object SparkEntry {
     operators.RelationalQueries,
     operators.JoinQueries,
     operators.AggregateQueries,
-    operators.WindowQueries
+    operators.WindowQueries,
+    operators.FunctionQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

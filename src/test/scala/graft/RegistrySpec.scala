@@ -16,7 +16,8 @@ class RegistrySpec extends SparkSpec {
     val all = Seq(
       operators.TextQueries, operators.RelationalQueries,
       operators.JoinQueries, operators.AggregateQueries,
-      operators.WindowQueries).flatMap(_.queries.keys)
+      operators.WindowQueries, operators.FunctionQueries)
+      .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")
   }
