@@ -22,6 +22,22 @@ trait QueryModule {
   /** Load one fixture table from the scale-factor directory. */
   protected def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Portable 4-decimal round. Native ROUND(x,4) breaks on exact half-ties
+    * (Spark rounds the double's exact decimal expansion, DuckDB the x*1e4
+    * product — they can disagree when a small-denominator rational lands on
+    * k.5 after the multiply). FLOOR(x*10000 + 0.5)/10000 is the same IEEE
+    * op sequence in both engines, so ties always break identically. Use for
+    * any ratio of integers/decimals (means, token ratios, jaccard); native
+    * round stays fine for continuous data (prices, cosines, stddev). */
+  protected def pround4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * 10000 + lit(0.5)) / 10000
+  }
+
+  /** The DuckDB-side twin of [[pround4]]. */
+  protected def sqlRound4(e: String): String =
+    s"FLOOR(($e) * 10000 + 0.5) / 10000"
 }
 
 /** Central fixture-table loader (TESTDATA.md / FIXTURES.md §B). */

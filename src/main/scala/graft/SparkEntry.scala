@@ -17,7 +17,10 @@ object SparkEntry {
     operators.JoinQueries,
     operators.AggregateQueries,
     operators.WindowQueries,
-    operators.FunctionQueries
+    operators.FunctionQueries,
+    operators.DedupQueries,
+    operators.TextStatsQueries,
+    operators.SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -34,9 +34,11 @@ object AggregateQueries extends QueryModule {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("decimal(18,4)")
 
-  /** Deterministic mean: exact decimal sum → one double division → round. */
+  /** Deterministic mean: exact decimal sum → one double division →
+    * portable round (a scale-4 sum over a 2-5-smooth group count can land
+    * exactly on a half-tie; see QueryModule.pround4). */
   private def davg(c: Column): Column =
-    round(sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+    pround4(sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1)))
 
   override def queries: Map[String, Q] = Map(
     "q_agg_global" -> ((s, dir) =>
@@ -159,7 +161,7 @@ object AggregateQueries extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
         |  ROUND(MIN(l_extendedprice), 4) AS min_price,
         |  ROUND(MAX(l_extendedprice), 4) AS max_price,
-        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc
+        |  FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc
         |FROM lineitem""".stripMargin,
 
     "q_agg_group" ->
@@ -167,7 +169,7 @@ object AggregateQueries extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

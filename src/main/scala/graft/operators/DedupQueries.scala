@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 J — deduplication family over `documents` (north-star
+  * training-data-pipeline ops).
+  *
+  *   - q_dedup_exact: exact dedup on normalized text — MIN(doc_id) per
+  *     group (deterministic canonical survivor, unlike dropDuplicates
+  *     whose survivor is partition-order-dependent).
+  *   - q_ngram_jaccard: near-duplicate pairs by bigram-shingle Jaccard
+  *     with a blocking key. Jaccard = |A∩B| / (|A|+|B|−|A∩B|) on distinct
+  *     shingle sets — an integer ratio, so the > 0.1 threshold compares
+  *     identical doubles in both engines (no float-boundary risk).
+  *   - q_fingerprint: order-sensitive document fingerprint — a polynomial
+  *     rolling hash over tokens (token hash = fold over chars, doc hash =
+  *     fold over token hashes, both mod 1e9+7) expressed with HOFs so the
+  *     oracle can compute the identical hash. Same-fp group size flags
+  *     exact duplicates.
+  *
+  * Scale notes: exact dedup is one hash aggregate on the normalized key
+  * (at 100 TB: aggregate on hash64(norm_text) first, then resolve rare
+  * collisions — noted, not needed at fixture scale). The near-dup join is
+  * NEVER all-pairs: the blocking key (lang, first token) bounds candidate
+  * pairs, the same pattern as an LSH band join — the production-scale
+  * MinHash/LSH variant lives in graft.functions.MinHashLsh (ScalaTest'd;
+  * hash seeds aren't SQL-portable). Fingerprinting is embarrassingly
+  * parallel per-row codegen.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Portable polynomial rolling hash, identical in Spark and DuckDB SQL:
+    * tokhash(w) = foldl (a,c) -> (a*31 + ascii(c)) % 1e9+7 over chars,
+    * docfp = foldl (acc,h) -> (acc*131 + tokhash) % 1e9+7 over tokens. */
+  private val fpExpr =
+    """aggregate(split(text, ' '), CAST(0 AS BIGINT),
+      |  (acc, w) -> (acc * 131 + aggregate(split(w, ''), CAST(0 AS BIGINT),
+      |    (a, c) -> (a * 31 + ascii(c)) % 1000000007)) % 1000000007)"""
+      .stripMargin
+
+  override def queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(lower(trim(col("text"))).as("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          element_at(col("toks"), 1).as("ft"),
+          array_distinct(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+              .stripMargin)).as("grams"))
+      val a = g.alias("a")
+      val b = g.alias("b")
+      val inter = size(array_intersect(col("a.grams"), col("b.grams")))
+      val jac = inter.cast("double") /
+        (size(col("a.grams")) + size(col("b.grams")) - inter)
+      a.join(b, col("a.lang") === col("b.lang") && col("a.ft") === col("b.ft")
+          && col("a.doc_id") < col("b.doc_id"))
+        .filter(jac > 0.1)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          pround4(jac).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr(fpExpr).as("fp"))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
+        .orderBy("doc_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY LOWER(TRIM(text)) ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, lang, toks[1] AS ft,
+        |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |           i -> toks[i] || ' ' || toks[i + 1])) AS grams
+        |  FROM d)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  FLOOR((CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+        |    / (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams)))) * 10000 + 0.5) / 10000 AS jac
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.ft = b.ft AND a.doc_id < b.doc_id
+        |WHERE CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+        |    / (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))) > 0.1
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    LIST_REDUCE(
+        |      LIST_PREPEND(CAST(0 AS BIGINT),
+        |        LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+        |          w -> LIST_REDUCE(
+        |            LIST_PREPEND(CAST(0 AS BIGINT),
+        |              LIST_TRANSFORM(STRING_SPLIT(w, ''),
+        |                c -> CAST(ASCII(c) AS BIGINT))),
+        |            (a, c) -> (a * 31 + c) % 1000000007))),
+        |      (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}

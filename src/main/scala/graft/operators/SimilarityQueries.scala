@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 J — similarity search over the 64-dim float `embeddings`.
+  *
+  *   - q_cosine_topk: brute-force cosine top-k for one probe vector.
+  *   - q_knn_join: k-NN join for a bounded probe set (broadcast the
+  *     probes, stream the corpus).
+  *   - q_vector_mean: element-wise mean vector per label, expressed
+  *     relationally (posexplode → grouped mean) — the oracle-checkable
+  *     twin of the VectorMean Aggregator (ScalaTest'd in functions/).
+  *
+  * Cosine is written as the SAME arithmetic shape on both sides —
+  * dot/(sqrt(n1)*sqrt(n2)) with per-element CAST to DOUBLE and sequential
+  * fold — so Spark and DuckDB produce bit-identical doubles (same IEEE ops
+  * in the same order), making ROUND(...,4) and rank order safe.
+  *
+  * Scale notes: top-k for a probe SET is a broadcast nested loop (corpus
+  * streamed once, probes broadcast — no shuffle of the big side) followed
+  * by a per-probe window top-k. At 100 TB the all-pairs variant must be
+  * bucketed first — graft.functions.AnnIndex implements the LSH/IVF
+  * bucketing path (hash-seed-dependent, ScalaTest'd). The brute-force scan
+  * here IS the right baseline: one pass, codegen'd HOF math, no UDF boxing.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** dot(a,b) / (|a|*|b|) as a codegen'd HOF expression (no UDF). */
+  private def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |  * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+      .stripMargin)
+
+  /** Identical arithmetic in DuckDB (index-walk instead of zip_with). */
+  private def duckCosine(a: String, b: String): String =
+    s"""(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |  * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+      .stripMargin
+
+  override def queries: Map[String, Q] = Map(
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosine("embedding", "p").as("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+    }),
+
+    "q_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine("embedding", "p").as("cos_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("vec_id"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("probe_id", "rn")
+    }),
+
+    "q_vector_mean" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").cast("decimal(18,4)").as("v"))
+        .groupBy("label", "pos")
+        .agg(pround4(sum(col("v")).cast("double") / count(lit(1)))
+          .as("mean_v"))
+        .orderBy("label", "pos"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""SELECT vec_id, ROUND(${duckCosine("embedding", "p")}, 4) AS cos
+         |FROM embeddings
+         |CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+         |WHERE vec_id <> 0
+         |ORDER BY ${duckCosine("embedding", "p")} DESC, vec_id ASC
+         |LIMIT 20""".stripMargin,
+
+    "q_knn_join" ->
+      s"""SELECT probe_id, rn, vec_id, cos FROM (
+         |  SELECT p.probe_id, e.vec_id,
+         |    ROUND(${duckCosine("e.embedding", "p.p")}, 4) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |      ORDER BY ${duckCosine("e.embedding", "p.p")} DESC, e.vec_id ASC) AS rn
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT vec_id AS probe_id, embedding AS p
+         |              FROM embeddings WHERE vec_id < 20) p
+         |  WHERE e.vec_id <> p.probe_id)
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_vector_mean" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+        |  FLOOR((CAST(SUM(CAST(embedding[i] AS DECIMAL(18,4))) AS DOUBLE)
+        |        / COUNT(*)) * 10000 + 0.5) / 10000 AS mean_v
+        |FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin
+  )
+}

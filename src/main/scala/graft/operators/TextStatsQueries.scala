@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 J — text analysis over `documents`: corpus statistics,
+  * per-document token counting and quality scoring, and bigram top-n
+  * (the training-data-pipeline text ops of the north star).
+  *
+  * Determinism: every ratio is integer/integer (token counts) so both
+  * engines divide the exact same operands; doubles only appear at the
+  * final ROUND(...,4).
+  *
+  * Scale notes: q_text_stats / q_quality_score are per-row codegen'd
+  * expressions plus one bounded hash aggregate (5 langs). q_ngrams is the
+  * word-count pattern over bigrams: explode → partial agg → one Exchange
+  * on the bigram key → final agg; top-n is a total sort over the already
+  * aggregated (vocabulary-bounded) result, not over the corpus.
+  */
+object TextStatsQueries extends QueryModule {
+
+  /** Tiny in-vocabulary "stopword" list for the stopword-ratio metric. */
+  private val stopwords = Seq("data", "processing", "the", "and", "of")
+
+  override def queries: Map[String, Q] = Map(
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          pround4(sum(col("n_toks")).cast("double") / count(lit(1)))
+            .as("avg_toks"),
+          pround4(sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
+    "q_quality_score" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nToks = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val stopArr = array(stopwords.map(lit): _*)
+      val nStop = size(filter(toks, x => array_contains(stopArr, x)))
+      val ttr = nUniq.cast("double") / nToks
+      val stopRatio = nStop.cast("double") / nToks
+      t(s, dir, "documents")
+        .filter(nToks >= 1)
+        .select(col("doc_id"),
+          nToks.as("n_toks"),
+          nUniq.as("n_uniq"),
+          pround4(ttr).as("ttr"),
+          pround4(stopRatio).as("stop_ratio"),
+          pround4(ttr * (lit(1.0) - stopRatio)
+            * least(lit(1.0), nToks.cast("double") / 50)).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(50))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_toks,
+        |  FLOOR((CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_toks,
+        |  FLOOR((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    LEN(toks) AS n_toks,
+        |    LEN(LIST_DISTINCT(toks)) AS n_uniq,
+        |    LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+        |      ['data', 'processing', 'the', 'and', 'of'], x))) AS n_stop
+        |  FROM d WHERE LEN(toks) >= 1)
+        |SELECT doc_id, CAST(n_toks AS INT) AS n_toks, CAST(n_uniq AS INT) AS n_uniq,
+        |  FLOOR((CAST(n_uniq AS DOUBLE) / n_toks) * 10000 + 0.5) / 10000 AS ttr,
+        |  FLOOR((CAST(n_stop AS DOUBLE) / n_toks) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |  FLOOR(((CAST(n_uniq AS DOUBLE) / n_toks)
+        |    * (1.0 - CAST(n_stop AS DOUBLE) / n_toks)
+        |    * LEAST(CAST(1.0 AS DOUBLE), CAST(n_toks AS DOUBLE) / 50)) * 10000 + 0.5) / 10000 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_ngrams" ->
+      """SELECT bigram, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
+        |        WHERE LEN(STRING_SPLIT(text, ' ')) >= 2))
+        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin
+  )
+}

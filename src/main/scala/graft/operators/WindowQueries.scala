@@ -53,7 +53,7 @@ object WindowQueries extends QueryModule {
         .select(col("c_custkey"), col("c_mktsegment"),
           rank().over(wTies).as("rnk"),
           dense_rank().over(wTies).as("drnk"),
-          round(percent_rank().over(wTies), 4).as("prnk"),
+          pround4(percent_rank().over(wTies)).as("prnk"),
           ntile(4).over(wUniq).as("quartile"))
         .orderBy("c_custkey")
     }),
@@ -94,8 +94,8 @@ object WindowQueries extends QueryModule {
         .rowsBetween(-2, Window.currentRow)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          round(sum(col("value").cast("decimal(18,4)")).over(w)
-            .cast("double") / count(lit(1)).over(w), 4).as("mavg_v"))
+          pround4(sum(col("value").cast("decimal(18,4)")).over(w)
+            .cast("double") / count(lit(1)).over(w)).as("mavg_v"))
         .orderBy("event_id")
     }),
 
@@ -128,7 +128,7 @@ object WindowQueries extends QueryModule {
       """SELECT c_custkey, c_mktsegment,
         |  RANK() OVER w_ties AS rnk,
         |  DENSE_RANK() OVER w_ties AS drnk,
-        |  ROUND(PERCENT_RANK() OVER w_ties, 4) AS prnk,
+        |  FLOOR((PERCENT_RANK() OVER w_ties) * 10000 + 0.5) / 10000 AS prnk,
         |  NTILE(4) OVER (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
         |FROM customer
@@ -164,8 +164,8 @@ object WindowQueries extends QueryModule {
 
     "q_win_moving" ->
       """SELECT event_id, user_id,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-        |        / (COUNT(*) OVER w), 4) AS mavg_v
+        |  FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |        / (COUNT(*) OVER w)) * 10000 + 0.5) / 10000 AS mavg_v
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -16,7 +16,9 @@ class RegistrySpec extends SparkSpec {
     val all = Seq(
       operators.TextQueries, operators.RelationalQueries,
       operators.JoinQueries, operators.AggregateQueries,
-      operators.WindowQueries, operators.FunctionQueries)
+      operators.WindowQueries, operators.FunctionQueries,
+      operators.DedupQueries, operators.TextStatsQueries,
+      operators.SimilarityQueries)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")
