@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Random-hyperplane LSH for approximate nearest-neighbor search over an
+  * embedding column (SURVEY.md §2.3 J — the scale path for q_knn_join;
+  * brute-force cosine in SimilarityQueries is the correctness baseline).
+  *
+  * sign-LSH: bucket = bitmask of sign(v · h_i) over nPlanes fixed random
+  * hyperplanes (seeded, so bucketing is deterministic and reproducible
+  * across runs/executors). P[two vectors agree on one plane] =
+  * 1 − θ/π, so cosine-close vectors collide with high probability.
+  *
+  * At 100 TB: bucketize is a per-row codegen'd expression (hyperplanes are
+  * literals broadcast with the plan); the candidate join is key-equality
+  * on bucket — shuffle ∝ corpus size, bucket fan-out 1 (or 1+nPlanes with
+  * multiProbe, flipping one bit per probe key to trade shuffle volume for
+  * recall). Never an all-pairs cross join.
+  */
+object CosineLsh {
+
+  /** dot(vec, literal hyperplane) as a codegen'd fold. */
+  private def dotLit(vec: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(plane.toSeq), (x, y) => x.cast("double") * y),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Deterministic random hyperplanes: nPlanes × dim gaussians. */
+  def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id (0 until 2^nPlanes) for an embedding column. */
+  def bucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Bucket + one-bit-flip neighbor buckets (multi-probe): an array of
+    * 1 + nPlanes candidate keys — vectors near a hyperplane boundary are
+    * still found. */
+  def multiProbeBuckets(vec: Column, planes: Array[Array[Double]]): Column = {
+    val b = bucket(vec, planes)
+    array(b +: planes.indices.map(i => b.bitwiseXOR(lit(1 << i))): _*)
+  }
+
+  private def cosine(a: Column, b: Column): Column = {
+    def norm2(v: Column) = aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0d), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  }
+
+  /** Approximate top-k join: probes find neighbors only within their LSH
+    * bucket (probes multi-probe adjacent buckets for recall). Output:
+    * (probe_id, rn, vec_id, cos). */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
+           vecCol: String, k: Int, nPlanes: Int = 4,
+           seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val ps = planes(dim, nPlanes, seed)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      bucket(col(vecCol), ps).as("bkt"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(p, "bkt")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cosine(col("cv"), col("pv")).as("cos"))
+      // multi-probe can reach the same candidate via two bucket keys
+      .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+  }
+}

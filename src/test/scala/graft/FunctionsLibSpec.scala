@@ -1,0 +1,143 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** ScalaTest coverage for the non-oracle (hash-seed-dependent) engine
+  * functions: MinHash+LSH, SimHash, VectorMean UDAF, cosine-LSH ANN,
+  * language-ID. Near-dup suites plant known duplicates and assert they are
+  * found (the reference's received ⊇ sent assertion style). */
+class FunctionsLibSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** documents plus a planted near-dup (doc 9001 ≈ doc with min id: one
+    * token appended) and a planted exact dup (9002). */
+  private lazy val planted = {
+    val docs = table("documents").select("doc_id", "text")
+    val base = docs.orderBy("doc_id").limit(1).collect()(0)
+    val extra = Seq(
+      (9001L, base.getString(1) + " extraword"),
+      (9002L, base.getString(1))).toDF("doc_id", "text")
+    docs.unionByName(extra)
+  }
+
+  test("MinHashDedup finds planted near and exact duplicates") {
+    val pairs = MinHashDedup
+      .nearDuplicatePairs(planted, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val baseId = planted.agg(min("doc_id")).head().getLong(0)
+    assert(pairs.contains((baseId, 9002L)), s"exact dup not found in $pairs")
+    assert(pairs.contains((baseId, 9001L)), s"near dup not found in $pairs")
+  }
+
+  test("MinHashDedup.dedup drops the planted dups, keeps the original") {
+    val kept = MinHashDedup.dedup(planted, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val baseId = planted.agg(min("doc_id")).head().getLong(0)
+    assert(kept.contains(baseId))
+    assert(!kept.contains(9002L))
+  }
+
+  test("MinHash signature is deterministic and length B*R") {
+    val sig = planted.select(MinHashDedup.signature(
+      MinHashDedup.shingles(col("text"), 2), 16).as("s"))
+    val a = sig.collect().map(_.getSeq[Long](0))
+    val b = sig.collect().map(_.getSeq[Long](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    assert(a.forall(_.length == 16))
+  }
+
+  test("SimHash: identical texts distance 0; perturbed small; disjoint large") {
+    val df = Seq(
+      ("a1", "data processing pipeline with streaming state"),
+      ("a2", "data processing pipeline with streaming state"),
+      ("a3", "data processing pipeline with streaming windows"),
+      ("zz", "qqq www eee rrr ttt yyy uuu iii")
+    ).toDF("id", "text")
+      .select(col("id"), SimHash.signature(split(col("text"), " ")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a1") == m("a2"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a1"), m("a3")) < ham(m("a1"), m("zz")),
+      s"perturbed ${ham(m("a1"), m("a3"))} !< disjoint ${ham(m("a1"), m("zz"))}")
+  }
+
+  test("SimHash.bucketKeys: pairs within distance d share a block key") {
+    val sigs = table("documents")
+      .select(col("doc_id"), SimHash.signature(split(col("text"), " ")).as("sig"))
+    val d = 3
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(SimHash.bucketKeys(col("sig"), d)).as("k"))
+    val a = keyed.alias("a"); val b = keyed.alias("b")
+    val viaKeys = a.join(b, col("a.k") === col("b.k")
+        && col("a.doc_id") < col("b.doc_id"))
+      .filter(SimHash.hammingDist(col("a.sig"), col("b.sig")) <= d)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val s = sigs.alias("x"); val t2 = sigs.alias("y")
+    val exact = s.crossJoin(t2)
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(SimHash.hammingDist(col("x.sig"), col("y.sig")) <= d)
+      .count()
+    assert(viaKeys == exact, s"block-key join found $viaKeys of $exact pairs")
+  }
+
+  test("VectorMean UDAF matches the relational mean") {
+    val viaUdaf = table("embeddings")
+      .groupBy("label")
+      .agg(VectorMean.vectorMean(col("embedding")).as("mv"))
+      .collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Float](1)).toMap
+    val relational = q("q_vector_mean").collect()
+      .groupBy(_.getAs[Int]("label"))
+    relational.foreach { case (label, rows) =>
+      val mv = viaUdaf(label)
+      rows.foreach { r =>
+        val pos = r.getAs[Int]("pos")
+        val expect = r.getAs[Double]("mean_v")
+        assert(math.abs(mv(pos - 1) - expect) < 1e-3,
+          s"label=$label pos=$pos udaf=${mv(pos - 1)} rel=$expect")
+      }
+    }
+  }
+
+  test("CosineLsh: planted identical vector is always the top neighbor") {
+    val e = table("embeddings")
+    val clone = e.filter(col("vec_id") === 7)
+      .select(lit(9007L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(clone)
+    val probes = corpus.filter(col("vec_id") === 9007L)
+    val top = CosineLsh.topK(corpus, probes, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("vec_id") == 7L)
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("CosineLsh recall vs brute force is nonzero and buckets bound work") {
+    val e = table("embeddings").limit(200)
+    val probes = e.filter(col("vec_id") < 10)
+    val approx = CosineLsh.topK(e, probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    // every probe returns at most k results
+    approx.groupBy(_._1).foreach { case (_, s) => assert(s.size <= 3) }
+  }
+
+  test("LangId detects marker-heavy texts and falls back to und") {
+    val df = Seq(
+      ("en", "the cat and the dog is in the house"),
+      ("es", "el perro y la casa de que los gatos"),
+      ("fr", "le chien et les chats des maisons une est"),
+      ("de", "der hund und die katze ist ein haus"),
+      ("und", "zzz qqq www")
+    ).toDF("expect", "text")
+      .select(col("expect"), LangId.detect(col("text")).as("got"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"expected ${r.getString(0)} got ${r.getString(1)}")
+    }
+  }
+}
