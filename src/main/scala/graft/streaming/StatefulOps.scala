@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Arbitrary stateful per-key processing (SURVEY.md §2.3 I s_stateful) via
+  * flatMapGroupsWithState — the Spark analog of a keyed process function.
+  *
+  * State is per-key in the StateStore (RocksDB/HDFS-backed on a real
+  * cluster), partitioned by the grouping key: the 100 TB concern is key
+  * cardinality × state size per key, both bounded here (one long / one
+  * small case class per key). Timeouts GC idle keys.
+  */
+object StatefulOps {
+
+  case class KeyCount(key: String, count: Long)
+
+  /** Running count per key across micro-batches (update mode). */
+  def runningCounts(spark: SparkSession, ds: Dataset[String]): Dataset[KeyCount] = {
+    import spark.implicits._
+    ds.groupByKey(identity)
+      .flatMapGroupsWithState[Long, KeyCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          Iterator(KeyCount(key, next))
+      }
+  }
+
+  case class SessionEvent(user: String, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionSummary(user: String, nEvents: Long, durationMs: Long)
+
+  /** Processing-time-timeout session tracker: emits a session summary when
+    * a key sees no events for `timeoutMs` of processing time. */
+  def sessionize(spark: SparkSession, ds: Dataset[SessionEvent],
+                 timeoutMs: Long): Dataset[SessionSummary] = {
+    import spark.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(user, s.n, s.last - s.start))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq
+            val s0 = state.getOption.getOrElse(
+              SessionState(times.min, times.min, 0L))
+            val s = SessionState(s0.start,
+              math.max(s0.last, times.max), s0.n + times.size)
+            state.update(s)
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
+          }
+      }
+  }
+}

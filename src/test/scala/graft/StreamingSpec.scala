@@ -1,0 +1,227 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import graft.streaming._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming suites (SURVEY.md §2.3 I) — MemoryStream in,
+  * memory sink out, `processAllAvailable` as the bounded read-until-done
+  * (the analog of the reference's readMessagesUntilCount,
+  * go/integration/integration_test.go:122-140). Assertions follow the
+  * reference's at-least-once style where order is not guaranteed:
+  * received ⊇ sent, order-insensitive. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var sinkId = 0
+  /** Run a streaming df to a fresh memory sink until quiescent. */
+  private def runToTable(df: DataFrame, mode: String,
+                         addBatches: (() => Unit)*): DataFrame = {
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", cp).start()
+    try addBatches.foreach { add => add(); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("s_tumbling: windowed counts match, windows are 1 minute") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = runToTable(
+      StreamOps.tumblingCounts(in.toDF.toDF("ts", "k"), "ts", "k",
+        "1 minute", "10 seconds"),
+      "complete",
+      () => in.addData(
+        (ts("2024-01-01 10:00:10"), "a"), (ts("2024-01-01 10:00:50"), "a"),
+        (ts("2024-01-01 10:01:10"), "a"), (ts("2024-01-01 10:00:20"), "b")))
+    val rows = out.select(col("window.start").cast("string"), col("k"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "a", 2L),
+      ("2024-01-01 10:01:00", "a", 1L),
+      ("2024-01-01 10:00:00", "b", 1L)))
+  }
+
+  test("s_sliding: one event lands in dur/slide overlapping windows") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = runToTable(
+      StreamOps.slidingCounts(in.toDF.toDF("ts", "k"), "ts", "k",
+        "2 minutes", "1 minute", "10 seconds"),
+      "complete",
+      () => in.addData((ts("2024-01-01 10:00:30"), "a")))
+    val starts = out.select(col("window.start").cast("string"))
+      .as[String].collect().toSet
+    assert(starts == Set("2024-01-01 09:59:00", "2024-01-01 10:00:00"))
+  }
+
+  test("s_session: gap merges near events, splits far ones") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = runToTable(
+      StreamOps.sessionCounts(in.toDF.toDF("ts", "k"), "ts", "k",
+        "5 minutes", "10 seconds"),
+      "complete",
+      () => in.addData(
+        (ts("2024-01-01 10:00:00"), "u1"), (ts("2024-01-01 10:01:00"), "u1"),
+        (ts("2024-01-01 10:20:00"), "u1")))
+    val cnts = out.select("cnt").as[Long].collect().sorted.toSeq
+    assert(cnts == Seq(1L, 2L), s"expected sessions [1,2], got $cnts")
+  }
+
+  test("s_watermark: late data beyond the watermark is dropped (append)") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = runToTable(
+      StreamOps.tumblingCounts(in.toDF.toDF("ts", "k"), "ts", "k",
+        "1 minute", "10 seconds"),
+      "append",
+      () => in.addData(
+        (ts("2024-01-01 10:00:10"), "a"), (ts("2024-01-01 10:00:20"), "a")),
+      // advances watermark to 10:02:20 → closes + emits window 10:00
+      () => in.addData((ts("2024-01-01 10:02:30"), "a")),
+      // LATE: watermark already past 10:01 → must be dropped
+      () => in.addData((ts("2024-01-01 10:00:40"), "a")),
+      // closes window 10:02
+      () => in.addData((ts("2024-01-01 10:06:00"), "a")))
+    val rows = out.select(col("window.start").cast("string"), col("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 10:00:00") == 2L,
+      s"late event leaked into closed window: $rows")
+    assert(rows("2024-01-01 10:02:00") == 1L)
+  }
+
+  test("s_dedup_stream: duplicate ids within watermark emitted once") {
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = runToTable(
+      StreamOps.dedupWithinWatermark(in.toDF.toDF("ts", "id", "v"),
+        "id", "ts", "10 minutes"),
+      "append",
+      () => in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "x"),
+        (ts("2024-01-01 10:00:01"), 1L, "dup"),
+        (ts("2024-01-01 10:00:02"), 2L, "y")),
+      () => in.addData((ts("2024-01-01 10:00:03"), 2L, "dup2")))
+    val ids = out.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"dedup failed: $ids")
+  }
+
+  test("s_stateful: flatMapGroupsWithState running counts across batches") {
+    val in = MemoryStream[String]
+    val out = runToTable(
+      StatefulOps.runningCounts(spark, in.toDS).toDF,
+      "update",
+      () => in.addData("a", "b", "a"),
+      () => in.addData("a"))
+    // update-mode memory sink appends each update; latest per key wins
+    val latest = out.groupBy("key").agg(max("count").as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(latest == Map("a" -> 3L, "b" -> 1L), s"got $latest")
+  }
+
+  test("s_output_modes: complete-mode global word count converges") {
+    val in = MemoryStream[String]
+    val out = runToTable(
+      StreamOps.globalWordCount(in.toDF.toDF("text"), "text"),
+      "complete",
+      () => in.addData("hello world", "hello kafka"),
+      () => in.addData("hello"))
+    val m = out.as[(String, Long)].collect().toMap
+    assert(m == Map("hello" -> 3L, "world" -> 1L, "kafka" -> 1L))
+  }
+
+  test("s_wordcount_e2e: windowed word count equals its batch twin") {
+    val sentences = Seq(
+      (ts("2024-01-01 10:00:10"), "hello world"),
+      (ts("2024-01-01 10:00:20"), "flink kafka streaming"),
+      (ts("2024-01-01 10:01:40"), "data processing pipeline"),
+      (ts("2024-01-01 10:01:50"), "hello world"))
+    val in = MemoryStream[(Timestamp, String)]
+    val streamed = runToTable(
+      StreamOps.windowedWordCount(in.toDF.toDF("ts", "text"), "text", "ts",
+        "1 minute", "10 seconds"),
+      "complete", () => in.addData(sentences: _*))
+      .select(col("window.start").cast("string"), col("word"), col("count"))
+      .as[(String, String, Long)].collect().toSet
+    // batch twin: same transform applied to a static DataFrame
+    val batch = StreamOps.windowedWordCount(
+      sentences.toDF("ts", "text"), "text", "ts", "1 minute", "10 seconds")
+      .select(col("window.start").cast("string"), col("word"), col("count"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.contains(("2024-01-01 10:00:00", "hello", 1L)))
+    assert(streamed.contains(("2024-01-01 10:01:00", "hello", 1L)))
+  }
+
+  test("rate_source generator: deterministic 1-5 word sentences (R1/R2)") {
+    val q = StreamOps.generatorStream(spark, rowsPerBatch = 8)
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val query = q.writeStream.format("memory").queryName("gen_sink")
+      .outputMode("append").option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(60000)
+    val rows = spark.table("gen_sink").select("sentence").as[String].collect()
+    assert(rows.length >= 8)
+    rows.foreach { s =>
+      val words = s.split(" ")
+      assert(words.length >= 1 && words.length <= 5, s"bad sentence '$s'")
+      words.foreach(w => assert(StreamOps.vocabulary.contains(w), s"oov '$w'"))
+    }
+    // determinism: same value seed → same sentence
+    val again = spark.range(8)
+      .select(StreamOps.sentenceColumn(col("id")).as("s")).as[String].collect()
+    val again2 = spark.range(8)
+      .select(StreamOps.sentenceColumn(col("id")).as("s")).as[String].collect()
+    assert(again.toSeq == again2.toSeq)
+  }
+
+  test("kafka decode/encode transforms work batch-side (R3/R4)") {
+    val raw = Seq(("key-1".getBytes, "hello world".getBytes))
+      .toDF("key", "value")
+      .withColumn("timestamp", lit(ts("2024-01-01 10:00:00")))
+    val dec = KafkaPipelines.decode(raw).collect()(0)
+    assert(dec.getAs[String]("key") == "key-1")
+    assert(dec.getAs[String]("value") == "hello world")
+    val enc = KafkaPipelines.encode(
+      Seq("payload").toDF("v"), "v").collect()(0)
+    assert(new String(enc.getAs[Array[Byte]]("value")) == "payload")
+    assert(new String(enc.getAs[Array[Byte]]("key")).startsWith("key-"))
+  }
+
+  test("s_stateful sessionize: emits summary after processing-time timeout") {
+    // NOTE: with ProcessingTimeTimeout the engine self-triggers timeout
+    // batches, so processAllAvailable never quiesces — poll the sink with
+    // a deadline instead (the reference's readMessagesUntilCount pattern,
+    // go/integration/integration_test.go:122-140).
+    val in = MemoryStream[StatefulOps.SessionEvent]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = StatefulOps.sessionize(spark, in.toDS, timeoutMs = 500)
+      .toDF.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      in.addData(
+        StatefulOps.SessionEvent("u1", ts("2024-01-01 10:00:00")),
+        StatefulOps.SessionEvent("u1", ts("2024-01-01 10:00:30")))
+      val deadline = System.currentTimeMillis() + 60000
+      var u1: Option[StatefulOps.SessionSummary] = None
+      while (u1.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        u1 = spark.table(name).as[StatefulOps.SessionSummary]
+          .collect().find(_.user == "u1")
+      }
+      assert(u1.isDefined, "no session summary for u1 within deadline")
+      assert(u1.get.nEvents == 2)
+      assert(u1.get.durationMs == 30000L)
+    } finally q.stop()
+  }
+}
