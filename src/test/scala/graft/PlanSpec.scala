@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY.md §5.2 item 5): the 100 TB-relevant
+  * physical-plan properties — pushdown, pruning, broadcast, partial
+  * aggregation, codegen — hold for the declared queries. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("q_scan_prune: filter pushed to the parquet scan") {
+    val plan = executed("q_scan_prune")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("q_scan_prune: read schema pruned to referenced columns") {
+    val plan = executed("q_scan_prune")
+    val readSchema = plan.split("ReadSchema:")(1).split("\n")(0)
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_shipdate"),
+      s"unpruned read schema: $readSchema")
+  }
+
+  test("q_join_broadcast: plan uses BroadcastHashJoin") {
+    assert(executed("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_agg_group: partial + final hash aggregation around one shuffle") {
+    val plan = executed("q_agg_group")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"no partial/final aggregate split:\n$plan")
+  }
+
+  test("q_agg_group: whole-stage codegen covers the aggregate") {
+    // AQE finalizes the physical plan lazily — execute first, then inspect.
+    val df = q("q_agg_group")
+    df.collect()
+    // codegen spans render as "*(n) Operator" in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("*(2)"),
+      s"no whole-stage-codegen spans in:\n$plan")
+  }
+
+  test("q_knn_join: probes broadcast — no shuffle of the corpus side") {
+    val plan = executed("q_knn_join")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"knn join did not broadcast the probe side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "knn join degenerated to a cartesian product")
+  }
+
+  test("q_filter_eq: predicate reaches the scan as a pushed filter") {
+    val plan = executed("q_filter_eq")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"equality predicate not pushed:\n$plan")
+  }
+
+  test("session defaults: AQE on, shuffle partitions bounded") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
+  }
+}
