@@ -32,7 +32,11 @@ object DedupQueries extends QueryModule {
 
   /** Portable polynomial rolling hash, identical in Spark and DuckDB SQL:
     * tokhash(w) = foldl (a,c) -> (a*31 + ascii(c)) % 1e9+7 over chars,
-    * docfp = foldl (acc,h) -> (acc*131 + tokhash) % 1e9+7 over tokens. */
+    * docfp = foldl (acc,h) -> (acc*131 + tokhash) % 1e9+7 over tokens.
+    * (A single-pass char fold with a struct accumulator was A/B-measured
+    * slower warm than this nested form, and DuckDB's list_reduce
+    * miscomputes struct accumulators under vectorized execution — so both
+    * engines keep the nested per-token formulation.) */
   private val fpExpr =
     """aggregate(split(text, ' '), CAST(0 AS BIGINT),
       |  (acc, w) -> (acc * 131 + aggregate(split(w, ''), CAST(0 AS BIGINT),
@@ -102,6 +106,10 @@ object DedupQueries extends QueryModule {
         |    / (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))) > 0.1
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // NOTE: the oracle keeps the nested per-token fold — it computes the
+    // IDENTICAL value to Spark's streaming form, and DuckDB's list_reduce
+    // with a struct accumulator miscomputes under vectorized batch
+    // execution (9/500 rows wrong when many rows share a batch).
     "q_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

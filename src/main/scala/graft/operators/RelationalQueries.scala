@@ -102,10 +102,22 @@ object RelationalQueries extends QueryModule {
 
     "q_topk_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
+      // Two-phase top-k: the group key has only 3 values, so a single
+      // window would collapse parallelism to 3 tasks on the full table.
+      // Phase 1 takes a local top-3 per (group, salt) — any global top-3
+      // row is also top-3 in its salt bucket, so no candidate is lost —
+      // then phase 2 ranks the ≤ 3×32 survivors. Result is identical to
+      // the one-window form; at 100 TB this is the difference between 3
+      // straggler tasks and full-cluster parallelism.
+      val order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val salt = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32))
+      val wLocal = Window.partitionBy(col("l_returnflag"), salt)
+        .orderBy(order: _*)
+      val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
       t(s, dir, "lineitem")
+        .withColumn("rnl", row_number().over(wLocal))
+        .filter(col("rnl") <= 3)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
