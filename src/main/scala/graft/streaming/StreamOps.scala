@@ -102,4 +102,38 @@ object StreamOps {
       .load()
       .select(col("timestamp").as("ts"),
         sentenceColumn(col("value")).as("sentence"))
+
+  /** R5 console sink (the consumer's per-record log,
+    * go/consumer/consumer.go:79-81). */
+  def consoleSink(df: DataFrame,
+                  checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("console")
+      .option("checkpointLocation", checkpointDir)
+
+  /** R5 foreachBatch sink: arbitrary per-micro-batch side effects (the
+    * general form of processMessage — batch df + batch id). */
+  def foreachBatchSink(df: DataFrame, checkpointDir: String)(
+      f: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch(f)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Stream-static enrichment join (§2.3 C join_stream_static): the
+    * static side is re-read per micro-batch and broadcast when small —
+    * no state, no watermark needed. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(dim, keys)
+
+  /** Stream-stream inner join within a time bound (§2.3 C
+    * join_stream_stream): both sides watermarked; the range condition
+    * bounds join state to the watermark horizon on each side. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+  }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.functions.Registry
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Closes the remaining SURVEY §2.3 inventory rows: explicit-schema
+  * CSV/JSON reads (A), stream-static + stream-stream joins (C), approx
+  * aggregates with error bounds (D), and the SQL function registry (K). */
+class CoverageSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("csv_json_read: explicit schema, no inference (A)") {
+    val tmp = Files.createTempDirectory("graft-io").toString
+    val docs = table("documents").select("doc_id", "lang", "n_chars").limit(50)
+    docs.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    docs.write.mode("overwrite").json(s"$tmp/json")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val fromCsv = spark.read.schema(schema).option("header", "true")
+      .csv(s"$tmp/csv")
+    val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+    assert(fromCsv.schema == schema, "csv read must use the declared schema")
+    assert(fromJson.schema == schema)
+    assert(fromCsv.count() == 50 && fromJson.count() == 50)
+    val a = fromCsv.orderBy("doc_id").collect().map(_.toSeq)
+    val b = fromJson.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("q_agg_approx: HLL and approx percentile within error bounds (D)") {
+    val li = table("lineitem")
+    val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"HLL estimate $approx vs exact $exact drifts > 10%")
+    val exactMed = li.select(expr("percentile(l_quantity, 0.5)")).head().getDouble(0)
+    val approxMed = li.select(expr("approx_percentile(l_quantity, 0.5, 1000)"))
+      .head().getDouble(0)
+    assert(math.abs(approxMed - exactMed) <= 2.0,
+      s"approx median $approxMed vs exact $exactMed")
+  }
+
+  test("SQL function registry: cosine_sim/normalize_text/lang_id/... (K)") {
+    Registry.registerAll(spark)
+    val r = spark.sql("""SELECT
+        cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c1,
+        cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                   array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c0,
+        normalize_text('  Hello   WORLD  ') AS nt,
+        token_count('a b  c') AS tc,
+        jaccard_tokens('a b c', 'b c d') AS j,
+        lang_id('the cat and the dog is here') AS lid""").head()
+    assert(math.abs(r.getAs[Double]("c1") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c0")) < 1e-9)
+    assert(r.getAs[String]("nt") == "hello world")
+    assert(r.getAs[Int]("tc") == 3)
+    assert(math.abs(r.getAs[Double]("j") - 0.5) < 1e-9)
+    assert(r.getAs[String]("lid") == "en")
+  }
+
+  test("registered cosine_sim agrees with the HOF cosine on embeddings (K)") {
+    Registry.registerAll(spark)
+    table("embeddings").limit(50).createOrReplaceTempView("emb_cov")
+    val rows = spark.sql("""
+      SELECT ABS(
+        cosine_sim(embedding, embedding) - 1.0) AS err
+      FROM emb_cov""").collect()
+    assert(rows.forall(_.getAs[Double]("err") < 1e-9))
+  }
+
+  test("join_stream_static: enrichment against a static dim (C)") {
+    val in = MemoryStream[(Timestamp, Int)]
+    val dim = Seq((0, "AFRICA-ish"), (1, "AMERICA-ish"))
+      .toDF("r_key", "r_label")
+    val name = "cov_ss_sink"
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val joined = StreamOps.enrich(
+      in.toDF.toDF("ts", "r_key"), dim, Seq("r_key"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", cp).start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 0), (ts("2024-01-01 10:00:01"), 1),
+        (ts("2024-01-01 10:00:02"), 7)) // 7 has no dim row → dropped (inner)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).select("r_key", "r_label")
+      .as[(Int, String)].collect().toSet
+    assert(out == Set((0, "AFRICA-ish"), (1, "AMERICA-ish")))
+  }
+
+  test("join_stream_stream: watermarked time-range join (C)") {
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    val name = "cov_s2s_sink"
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF.toDF("cts", "user"), buys.toDF.toDF("bts", "user"),
+      "user", "cts", "bts", "10 seconds", "5 minutes")
+    val q = joined.select(col("cts"), col("bts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", cp).start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:00:00"), "u2"))
+      buys.addData(
+        (ts("2024-01-01 10:02:00"), "u1"),  // within 5 min of u1 click → match
+        (ts("2024-01-01 10:30:00"), "u2"))  // outside the bound → no match
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).collect()
+    assert(out.length == 1, s"expected exactly the in-range pair, got ${out.toSeq}")
+  }
+
+  test("foreachBatch sink: per-batch side effects observe every batch (A)") {
+    val in = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val seen = ArrayBuffer.empty[(Long, Set[String])]
+    val q = StreamOps.foreachBatchSink(in.toDF.toDF("w"), cp) { (df, id) =>
+      seen.synchronized { seen += ((id, df.as[String].collect().toSet)) }
+    }.start()
+    try {
+      in.addData("a", "b"); q.processAllAvailable()
+      in.addData("c"); q.processAllAvailable()
+    } finally q.stop()
+    val all = seen.flatMap(_._2).toSet
+    assert(all == Set("a", "b", "c"), s"foreachBatch missed rows: $seen")
+    assert(seen.map(_._1).distinct.size >= 2, "expected at least two batches")
+  }
+
+  test("console sink writer builds and starts (A)") {
+    val in = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = StreamOps.consoleSink(in.toDF.toDF("w"), cp).start()
+    try { in.addData("x"); q.processAllAvailable() } finally q.stop()
+  }
+}
