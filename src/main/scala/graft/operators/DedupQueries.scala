@@ -52,7 +52,11 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")),
 
     "q_ngram_jaccard" -> ((s, dir) => {
+      // fixtures are single-row-group parquet → the scan is one task; the
+      // gram-building HOFs are the expensive part, so redistribute rows
+      // BEFORE them (cheap shuffle of raw text, full-width lambda work).
       val g = t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("lang"),
@@ -76,7 +80,9 @@ object DedupQueries extends QueryModule {
 
     "q_fingerprint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // repartition before the per-char hash fold — see q_ngram_jaccard.
       t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), expr(fpExpr).as("fp"))
         .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
         .orderBy("doc_id")
