@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Distinct token n-gram shingles of a text column. */
+  /** Distinct token n-gram shingles of a text column. Documents shorter
+    * than n tokens yield an empty shingle set (guarded: Spark's
+    * sequence(1, 0) counts DOWN, which would index out of bounds). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     if (n == 1) array_distinct(toks)
-    else array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+    else when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(typedlit(Seq.empty[String]))
   }
 
   /** K-slot minhash signature over a shingle-array column. */
@@ -42,8 +46,13 @@ object MinHashDedup {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 2, bands: Int = 4, rows: Int = 4): DataFrame = {
     val k = bands * rows
+    // docs with no shingles (shorter than the shingle width) can't be
+    // near-dup candidates — and would otherwise collide into one hot
+    // all-null band bucket (and 0/0 under ANSI in the verify step).
     val sig = df.select(col(idCol).as("mh_id"),
-      signature(shingles(col(textCol), shingleN), k).as("sig"))
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("mh_id"), signature(col("sh"), k).as("sig"))
     val banded = sig.select(col("mh_id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((slice(col("sig"), b * rows + 1, rows) +: Seq(lit(b))): _*)
@@ -65,6 +74,7 @@ object MinHashDedup {
                          bands: Int = 4, rows: Int = 4): DataFrame = {
     val sh = df.select(col(idCol).as("sh_id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
     val cands = candidatePairs(df, idCol, textCol, shingleN, bands, rows)
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
     val jac = inter.cast("double") /

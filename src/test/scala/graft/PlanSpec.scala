@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       s"equality predicate not pushed:\n$plan")
   }
 
+  test("no query degenerates to a cartesian product (except q_join_cross)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q_join_cross") // the explicit small×small cross join
+      .filter { name =>
+        q(name).queryExecution.executedPlan.toString.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"unintended cartesian products: $offenders")
+  }
+
   test("session defaults: AQE on, shuffle partitions bounded") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)

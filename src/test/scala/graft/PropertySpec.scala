@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.{MinHashDedup, SimHash}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property-style invariants (SURVEY.md §5.2 item 3) over seeded random
+  * inputs — deterministic across runs (fixed seed), 50+ cases each. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val vocab = graft.streaming.StreamOps.vocabulary
+
+  private def randomSentence(): String =
+    Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("tokenizer round-trip: split(concat_ws(words)) == words") {
+    val cases = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(10))(
+      vocab(rnd.nextInt(vocab.size))))
+    val df = cases.map(ws => (ws, ws.mkString(" "))).toDF("words", "joined")
+      .select(col("words"), split(col("joined"), " ").as("resplit"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    val texts = Seq.fill(80)(randomSentence())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = MinHashDedup.dedup(df, "doc_id", "text", 0.8)
+    val twice = MinHashDedup.dedup(once, "doc_id", "text", 0.8)
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq ==
+      twice.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("cosine bounds: cos(a,b) in [-1,1] and cos(v,v) ~= 1") {
+    val vecs = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    df.createOrReplaceTempView("prop_vecs")
+    val cos =
+      """aggregate(zip_with(a.v, b.v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)
+        | / (sqrt(aggregate(a.v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |  * sqrt(aggregate(b.v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))""".stripMargin
+    val pairs = spark.sql(
+      s"SELECT a.id AS ai, b.id AS bi, $cos AS c FROM prop_vecs a JOIN prop_vecs b")
+      .collect()
+    pairs.foreach { r =>
+      val c = r.getAs[Double]("c")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos out of bounds: $c")
+      if (r.getAs[Long]("ai") == r.getAs[Long]("bi"))
+        assert(math.abs(c - 1.0) < 1e-9)
+    }
+  }
+
+  test("window-count == group-count when the window spans all data") {
+    val byWindow = table("events")
+      .groupBy(window(col("ts"), "3650 days"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("event_type", "cnt")
+      .as[(String, Long)].collect().toMap
+    val byGroup = table("events").groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(byWindow == byGroup)
+  }
+
+  test("portable round: |x - pround4(x)| <= 5e-5 and 4-decimal stable") {
+    val xs = Seq.fill(200)(rnd.nextDouble() * 2000 - 1000)
+    val df = xs.toDF("x").select(col("x"),
+      (floor(col("x") * 10000 + lit(0.5)) / 10000).as("r"))
+    df.collect().foreach { row =>
+      val x = row.getDouble(0); val r = row.getDouble(1)
+      assert(math.abs(x - r) <= 5.0001e-5, s"pround4($x) = $r drifts")
+      // re-rounding is a fixpoint
+      val r2 = math.floor(r * 10000 + 0.5) / 10000
+      assert(r2 == r)
+    }
+  }
+
+  test("simhash: identical token arrays always hash identically; distance symmetric") {
+    val texts = Seq.fill(40)(randomSentence())
+    val df = (texts ++ texts).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), col("text"),
+        SimHash.signature(split(col("text"), " ")).as("sig"))
+    val sigs = df.collect().map(r => r.getAs[String]("text") -> r.getAs[Long]("sig"))
+    sigs.groupBy(_._1).foreach { case (_, ss) =>
+      assert(ss.map(_._2).distinct.length == 1, "same text, different simhash")
+    }
+  }
+
+  test("minhash: identical shingle sets give identical signatures") {
+    val texts = Seq.fill(30)(randomSentence())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sig = MinHashDedup.signature(
+      MinHashDedup.shingles(col("text"), 2), 16)
+    val a = df.select(col("text"), sig.as("s")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val b = df.orderBy(col("doc_id").desc).select(col("text"), sig.as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "signature depends on row order")
+  }
+}
