@@ -111,11 +111,44 @@ object NativeCosine {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name), info, builder)
+
+  /** Idempotently attach [[PromoteCosineUdf]] to an existing session. */
+  def enableUdfPromotion(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(PromoteCosineUdf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PromoteCosineUdf
+}
+
+/** Optimizer rule (§4.3 custom-Catalyst tier): rewrites calls to the
+  * registered `cosine_sim` Scala UDF into the native [[CosineSim]]
+  * expression — users writing the convenient SQL UDF get the codegen'd
+  * loop automatically. Null semantics of the UDF and the expression are
+  * identical by construction, so the rewrite is observation-equivalent. */
+object PromoteCosineUdf
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case u: ScalaUDF
+          if u.udfName.contains("cosine_sim") && u.children.length == 2 &&
+            u.children.forall(_.dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) =>
+        CosineSim(u.children.head, u.children(1))
+    }
 }
 
 /** Cluster entry point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects the engine's native expressions at session build time. */
+  * injects the engine's native expressions and rewrites at session build
+  * time. For an already-built session, [[NativeCosine.register]] +
+  * [[NativeCosine.enableUdfPromotion]] do the same. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeCosine.descriptor)
+    ext.injectOptimizerRule(_ => PromoteCosineUdf)
+  }
 }

@@ -53,6 +53,20 @@ class NativeExprSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), "hot path fell back to a Scala UDF")
   }
 
+  test("PromoteCosineUdf rewrites the registered UDF to the native expression") {
+    graft.functions.Registry.registerAll(spark)
+    NativeCosine.enableUdfPromotion(spark)
+    table("embeddings").limit(20).createOrReplaceTempView("emb_native")
+    val df = spark.sql("""
+      SELECT vec_id, cosine_sim(embedding, embedding) AS c
+      FROM emb_native""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim_native"),
+      s"UDF not promoted to native expression:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "ScalaUDF survived the rewrite")
+    df.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
   test("GraftExtensions injects the function into a new session") {
     // Re-applying the extension to the current session's registry must be
     // idempotent; a cold cluster would pass the class via
