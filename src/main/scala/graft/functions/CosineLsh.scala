@@ -57,6 +57,26 @@ object CosineLsh {
       lit(0d), (acc, v) => acc + v) / (sqrt(norm2(a)) * sqrt(norm2(b)))
   }
 
+  /** Embedding-cosine near-duplicate pairs (north-star dedup family):
+    * all (a,b) with cosine >= threshold, found ONLY inside shared LSH
+    * buckets — the all-pairs comparison never materializes. One-bit-flip
+    * multi-probing keeps recall for pairs split by a hyperplane. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nPlanes: Int = 4,
+                         seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val ps = planes(dim, nPlanes, seed)
+    val keyed = df.select(col(idCol).as("nd_id"), col(vecCol).as("nd_v"),
+      explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    a.join(b, col("a.bkt") === col("b.bkt") && col("a.nd_id") < col("b.nd_id"))
+      .select(col("a.nd_id").as("a_id"), col("b.nd_id").as("b_id"),
+        cosine(col("a.nd_v"), col("b.nd_v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("a_id", "b_id").agg(max("cos").as("cos")) // dedup multi-probe hits
+  }
+
   /** Approximate top-k join: probes find neighbors only within their LSH
     * bucket (probes multi-probe adjacent buckets for recall). Output:
     * (probe_id, rn, vec_id, cos). */

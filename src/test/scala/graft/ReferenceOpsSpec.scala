@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.CosineLsh
+import graft.streaming.{EngineConfig, GracefulShutdown}
+import org.apache.spark.sql.functions._
+
+/** R6 config layering, R7 graceful shutdown, and embedding-cosine
+  * near-dup pairs. */
+class ReferenceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("R6: env > file > defaults, unknown keys from file preserved") {
+    val f = Files.createTempFile("graft-cfg", ".properties")
+    Files.writeString(f,
+      """# test config
+        |kafka.input.topic=file-topic
+        |custom.key=from-file
+        |""".stripMargin)
+    val cfg = EngineConfig.load(Some(f), env = Map(
+      "GRAFT_KAFKA_INPUT_TOPIC" -> "env-topic",
+      "GRAFT_WINDOW_DURATION" -> "5 minutes"))
+    assert(cfg.get("kafka.input.topic").contains("env-topic"), "env must win")
+    assert(cfg.get("custom.key").contains("from-file"))
+    assert(cfg.get("window.duration").contains("5 minutes"), "env beats default")
+    assert(cfg.get("watermark.delay").contains("10 seconds"), "default fallback")
+    assert(cfg.getInt("kafka.fetch.min.bytes").contains(10000))
+  }
+
+  test("R6: defaults-only when no file exists (reference runs bare)") {
+    val cfg = EngineConfig.load(
+      Some(java.nio.file.Paths.get("/nonexistent/graft.properties")),
+      env = Map.empty)
+    assert(cfg.values == EngineConfig.defaults)
+  }
+
+  test("R7: shutdown hook installs once; bounded awaitAny returns") {
+    GracefulShutdown.install(spark)
+    GracefulShutdown.install(spark) // idempotent
+    // no active queries → bounded wait returns false quickly
+    val t0 = System.currentTimeMillis()
+    val terminated = GracefulShutdown.awaitAny(spark, timeoutMs = 300)
+    assert(!terminated)
+    assert(System.currentTimeMillis() - t0 < 5000)
+    spark.streams.resetTerminated()
+  }
+
+  test("embedding-cosine near-dup: planted duplicate found, no all-pairs") {
+    val e = table("embeddings").select("vec_id", "embedding")
+    val clone = e.filter(col("vec_id") === 11)
+      .select(lit(9011L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(clone)
+    val pairs = CosineLsh.nearDuplicatePairs(
+      corpus, "vec_id", "embedding", threshold = 0.95)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "near-dup search degenerated to all-pairs")
+    val found = pairs.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(found.contains((11L, 9011L)),
+      s"planted identical vector not found among $found")
+    // random gaussian vectors are near-orthogonal: no false 0.95-dups
+    assert(found.size == 1, s"unexpected high-cosine pairs: $found")
+  }
+}
