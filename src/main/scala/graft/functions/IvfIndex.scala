@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to [[CosineLsh]] (SURVEY.md north star: "an IVF or
+  * LSH-bucketed variant").
+  *
+  * Train: Lloyd's k-means on a BOUNDED driver-side sample (IVF training is
+  * an offline step everywhere — the sample cap keeps the driver safe at
+  * any corpus size; seed-fixed for reproducibility). Index: every vector
+  * is assigned to its nearest centroid cell — ONE pass, cell id is a plain
+  * column, so the "index" is just a partitioning key (at 100 TB: write the
+  * corpus partitioned/bucketed by cell and searches touch only probed
+  * cells' files). Search: probes visit their nProbe nearest cells — the
+  * candidate join is key-equality on cell id, shuffle ∝ probed cells only,
+  * never all-pairs.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Float]): Double = {
+    var s = 0d; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Lloyd's k-means over `min(sampleN, corpus)` vectors on the driver. */
+  def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+            sampleN: Int = 1000, iters: Int = 5): Model = {
+    val sample: Array[Array[Float]] = df.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val rnd = new Random(seed)
+    val dim = sample.head.length
+    var centroids = rnd.shuffle(sample.toSeq).take(k)
+      .map(_.map(_.toDouble)).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          val d = sqDist(centroids(c), v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells stable
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    Model(centroids)
+  }
+
+  /** Negated squared L2 distance to a literal centroid (HOF fold; higher
+    * is nearer, so struct-max picks the closest cell). */
+  private def negSqDist(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(centroid.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0d), (acc, v) => acc + v) * -1d
+
+  /** Nearest-cell id for a vector column (0 until model.k). */
+  def assign(vec: Column, m: Model): Column =
+    greatest(m.centroids.zipWithIndex.map { case (c, i) =>
+      struct(negSqDist(vec, c).as("d"), lit(i).as("cell"))
+    }: _*).getField("cell")
+
+  /** The nProbe nearest cell ids for a probe vector (array column). */
+  def probeCells(vec: Column, m: Model, nProbe: Int): Column = {
+    val scored = array(m.centroids.zipWithIndex.map { case (c, i) =>
+      struct(negSqDist(vec, c).as("d"), lit(i).as("cell"))
+    }: _*)
+    // sort ascending by (d, cell) then take the LAST nProbe (largest -d =
+    // nearest), as plain cell ids
+    transform(
+      slice(array_sort(scored), -nProbe, nProbe),
+      s => s.getField("cell"))
+  }
+
+  /** Approximate top-k: probes search only their nProbe nearest cells.
+    * Output: (probe_id, rn, vec_id, cos). */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
+           vecCol: String, m: Model, k: Int, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      assign(col(vecCol), m).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      explode(probeCells(col(vecCol), m, nProbe)).as("cell"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(p, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        call_function(NativeCosine.name, col("cv"), col("pv")).as("cos"))
+      .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{IvfIndex, NativeCosine}
+import org.apache.spark.sql.functions._
+
+/** IVF approximate nearest neighbor: training determinism, cell
+  * partitioning, planted-duplicate recall, and candidate-set bounds. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val model =
+    IvfIndex.train(table("embeddings"), "embedding", k = 8)
+
+  test("training is deterministic and yields k centroids") {
+    val again = IvfIndex.train(table("embeddings"), "embedding", k = 8)
+    assert(model.k == 8)
+    assert(model.centroids.map(_.toSeq).toSeq ==
+      again.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("assignment partitions the corpus into non-empty cells") {
+    NativeCosine.register(spark)
+    val cells = table("embeddings")
+      .select(IvfIndex.assign(col("embedding"), model).as("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count")).toMap
+    assert(cells.values.sum == table("embeddings").count())
+    assert(cells.keys.forall(c => c >= 0 && c < 8))
+    assert(cells.size >= 4, s"degenerate clustering: $cells")
+  }
+
+  test("probeCells returns nProbe distinct in-range cells, nearest first set") {
+    val cells = table("embeddings").limit(20)
+      .select(IvfIndex.probeCells(col("embedding"), model, 3).as("cs"))
+      .collect().map(_.getSeq[Int](0))
+    cells.foreach { cs =>
+      assert(cs.length == 3)
+      assert(cs.distinct.length == 3)
+      assert(cs.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("planted identical vector is found as the top neighbor") {
+    NativeCosine.register(spark)
+    val e = table("embeddings").select("vec_id", "embedding")
+    val clone = e.filter(col("vec_id") === 5)
+      .select(lit(9005L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(clone)
+    val probes = corpus.filter(col("vec_id") === 9005L)
+    val top = IvfIndex.topK(corpus, probes, "vec_id", "embedding", model,
+      k = 1, nProbe = 2).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("vec_id") == 5L)
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("search touches only probed cells (candidate count bounded)") {
+    NativeCosine.register(spark)
+    val e = table("embeddings").select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+    val out = IvfIndex.topK(e, probes, "vec_id", "embedding", model,
+      k = 3, nProbe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "IVF search degenerated to all-pairs")
+    val rows = out.collect()
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+    }
+  }
+}
