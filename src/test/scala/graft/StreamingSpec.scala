@@ -195,6 +195,25 @@ class StreamingSpec extends SparkSpec {
     assert(new String(enc.getAs[Array[Byte]]("key")).startsWith("key-"))
   }
 
+  test("checkpoint recovery: file sink resumes exactly-once after restart") {
+    // The Spark analog of the reference's consumer-group offset tracking
+    // (go/consumer/consumer.go:98-106): offsets live in the checkpoint
+    // WAL, so a stopped query restarted on the same checkpoint neither
+    // drops nor duplicates rows.
+    val in = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    def start() = in.toDF.toDF("w").writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    val q1 = start()
+    try { in.addData("a", "b"); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // restart on the same checkpoint
+    try { in.addData("c"); q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.parquet(out).as[String].collect().sorted.toSeq
+    assert(rows == Seq("a", "b", "c"), s"exactly-once violated: $rows")
+  }
+
   test("s_stateful sessionize: emits summary after processing-time timeout") {
     // NOTE: with ProcessingTimeTimeout the engine self-triggers timeout
     // batches, so processAllAvailable never quiesces — poll the sink with
