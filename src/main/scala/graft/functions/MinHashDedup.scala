@@ -76,9 +76,8 @@ object MinHashDedup {
       shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val cands = candidatePairs(df, idCol, textCol, shingleN, bands, rows)
-    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-    val jac = inter.cast("double") /
-      (size(col("sa.sh")) + size(col("sb.sh")) - inter)
+    NativeJaccard.register(df.sparkSession)
+    val jac = call_function(NativeJaccard.name, col("sa.sh"), col("sb.sh"))
     cands
       .join(sh.alias("sa"), col("a_id") === col("sa.sh_id"))
       .join(sh.alias("sb"), col("b_id") === col("sb.sh_id"))

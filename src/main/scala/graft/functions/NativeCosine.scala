@@ -149,6 +149,7 @@ object PromoteCosineUdf
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeCosine.descriptor)
+    ext.injectFunction(NativeJaccard.descriptor)
     ext.injectOptimizerRule(_ => PromoteCosineUdf)
   }
 }

@@ -67,14 +67,19 @@ object DedupQueries extends QueryModule {
               .stripMargin)).as("grams"))
       val a = g.alias("a")
       val b = g.alias("b")
-      val inter = size(array_intersect(col("a.grams"), col("b.grams")))
-      val jac = inter.cast("double") /
-        (size(col("a.grams")) + size(col("b.grams")) - inter)
+      // native codegen set-jaccard: one hash-set pass per candidate pair
+      // instead of two interpreted array_intersects. Inputs are distinct
+      // arrays, so the value is the same |A∩B|/(|A|+|B|-|A∩B|) integer
+      // ratio the oracle computes.
+      graft.functions.NativeJaccard.register(s)
+      val jac = call_function(graft.functions.NativeJaccard.name,
+        col("a.grams"), col("b.grams"))
       a.join(b, col("a.lang") === col("b.lang") && col("a.ft") === col("b.ft")
           && col("a.doc_id") < col("b.doc_id"))
-        .filter(jac > 0.1)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          pround4(jac).as("jac"))
+          jac.as("jac_raw"))
+        .filter(col("jac_raw") > 0.1)
+        .select(col("a_id"), col("b_id"), pround4(col("jac_raw")).as("jac"))
         .orderBy("a_id", "b_id")
     }),
 

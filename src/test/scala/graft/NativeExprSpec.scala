@@ -67,6 +67,35 @@ class NativeExprSpec extends SparkSpec {
     df.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("native token_set_jaccard matches array_intersect formulation") {
+    graft.functions.NativeJaccard.register(spark)
+    val df = table("documents").limit(60)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = df.alias("a"); val b = df.alias("b")
+    val inter = size(array_intersect(col("a.t"), col("b.t")))
+    val rows = a.crossJoin(b)
+      .select(
+        call_function(graft.functions.NativeJaccard.name,
+          col("a.t"), col("b.t")).as("native"),
+        (inter.cast("double") /
+          (size(col("a.t")) + size(col("b.t")) - inter)).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native=${r.getDouble(0)} ref=${r.getDouble(1)}"))
+  }
+
+  test("token_set_jaccard null/edge semantics") {
+    graft.functions.NativeJaccard.register(spark)
+    val r = spark.sql(s"""SELECT
+      token_set_jaccard(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>)) AS both_empty,
+      token_set_jaccard(array('a'), CAST(array() AS ARRAY<STRING>)) AS one_empty,
+      token_set_jaccard(array('a','a','b'), array('a','b')) AS dup_input""").head()
+    assert(r.isNullAt(0), "0/0 must be null")
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0, "duplicates must collapse to sets")
+  }
+
   test("GraftExtensions injects the function into a new session") {
     // Re-applying the extension to the current session's registry must be
     // idempotent; a cold cluster would pass the class via
