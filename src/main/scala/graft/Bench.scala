@@ -13,11 +13,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warmup: the first job pays session setup (codegen compiler, parquet
+    // footers, scheduler spin-up) — run the flagship once untimed so the
+    // first measured query isn't charged ~5s of one-time cost.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Deterministic order for round-over-round comparability.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -150,6 +150,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeCosine.descriptor)
     ext.injectFunction(NativeJaccard.descriptor)
+    ext.injectFunction(NativeFingerprint.descriptor)
     ext.injectOptimizerRule(_ => PromoteCosineUdf)
   }
 }

@@ -85,10 +85,15 @@ object DedupQueries extends QueryModule {
 
     "q_fingerprint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // repartition before the per-char hash fold — see q_ngram_jaccard.
+      // native codegen kernel (graft.functions.NativeFingerprint) — same
+      // value as fpExpr / the DuckDB oracle, one static call per row.
+      // repartition before the hash fold — see q_ngram_jaccard.
+      graft.functions.NativeFingerprint.register(s)
       t(s, dir, "documents")
         .repartition(col("doc_id"))
-        .select(col("doc_id"), expr(fpExpr).as("fp"))
+        .select(col("doc_id"),
+          call_function(graft.functions.NativeFingerprint.name, col("text"))
+            .as("fp"))
         .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
         .orderBy("doc_id")
     })

@@ -96,6 +96,35 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0, "duplicates must collapse to sets")
   }
 
+  test("native rolling_fingerprint equals the HOF fold on all documents") {
+    graft.functions.NativeFingerprint.register(spark)
+    val hofFp =
+      """aggregate(split(text, ' '), CAST(0 AS BIGINT),
+        |  (acc, w) -> (acc * 131 + aggregate(split(w, ''), CAST(0 AS BIGINT),
+        |    (a, c) -> (a * 31 + ascii(c)) % 1000000007)) % 1000000007)""".stripMargin
+    val rows = table("documents").select(
+      call_function(graft.functions.NativeFingerprint.name, col("text")).as("native"),
+      expr(hofFp).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+  }
+
+  test("rolling_fingerprint edge cases match split semantics") {
+    graft.functions.NativeFingerprint.register(spark)
+    val r = spark.sql("""SELECT
+      rolling_fingerprint('') AS empty,
+      rolling_fingerprint('a  b') AS double_space,
+      rolling_fingerprint(' a') AS leading,
+      rolling_fingerprint('ab') AS plain""").head()
+    // '' → one empty token → 0
+    assert(r.getLong(0) == 0L)
+    // 'ab' → ((97*31+98) % P) folded once
+    assert(r.getLong(3) == ((0L * 131) + (97L * 31 + 98)) % 1000000007L)
+    // double space / leading space: hash empty tokens as 0 (just stable)
+    assert(r.getLong(1) != r.getLong(3) && r.getLong(2) != r.getLong(3))
+  }
+
   test("GraftExtensions injects the function into a new session") {
     // Re-applying the extension to the current session's registry must be
     // idempotent; a cold cluster would pass the class via
