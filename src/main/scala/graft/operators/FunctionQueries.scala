@@ -94,11 +94,13 @@ object FunctionQueries extends QueryModule {
       t(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dims"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        // floats can sit exactly on half-ties (odd/32) where native ROUND
+        // tie-breaking differs cross-engine — use the portable floor round
+        pround4(element_at(col("embedding"), 1).cast("double")).as("e1"),
         round(expr(
           "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
           4).as("norm2"),
-        round(array_max(col("embedding")).cast("double"), 4).as("mx"),
+        pround4(array_max(col("embedding")).cast("double")).as("mx"),
         size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
         round(expr(
           "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x)"),
@@ -193,10 +195,10 @@ object FunctionQueries extends QueryModule {
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(LEN(embedding) AS INT) AS dims,
-        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |  FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS e1,
         |  ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
-        |  ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS mx,
+        |  FLOOR(CAST(LIST_MAX(embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS mx,
         |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos,
         |  ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_e
         |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -77,13 +77,18 @@ object SimilarityQueries extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
+    // Per-value quantization uses the portable floor round, NOT a decimal
+    // CAST: floats can land exactly on 4th-decimal half-ties (any odd/32,
+    // e.g. -0.09375) and Spark/DuckDB break decimal-cast ties differently.
+    // FLOOR(x*1e4+0.5) as BIGINT is the same IEEE op sequence in both.
     "q_vector_mean" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), (col("pos") + 1).cast("int").as("pos"),
-          col("col").cast("decimal(18,4)").as("v"))
+          floor(col("col").cast("double") * 10000 + lit(0.5)).cast("long")
+            .as("v"))
         .groupBy("label", "pos")
-        .agg(pround4(sum(col("v")).cast("double") / count(lit(1)))
+        .agg(pround4(sum(col("v")).cast("double") / 10000 / count(lit(1)))
           .as("mean_v"))
         .orderBy("label", "pos"))
   )
@@ -111,8 +116,8 @@ object SimilarityQueries extends QueryModule {
 
     "q_vector_mean" ->
       """SELECT label, CAST(i AS INT) AS pos,
-        |  FLOOR((CAST(SUM(CAST(embedding[i] AS DECIMAL(18,4))) AS DOUBLE)
-        |        / COUNT(*)) * 10000 + 0.5) / 10000 AS mean_v
+        |  FLOOR(((CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 10000 / COUNT(*))) * 10000 + 0.5) / 10000 AS mean_v
         |FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin
   )
