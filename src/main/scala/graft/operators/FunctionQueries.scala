@@ -142,7 +142,40 @@ object FunctionQueries extends QueryModule {
             .as("sum_v"))
         .select(col("window.start").as("ws"), col("window.end").as("we"),
           col("event_type"), col("cnt"), col("sum_v"))
-        .orderBy("ws", "event_type"))
+        .orderBy("ws", "event_type")),
+
+    // Sliding-window batch twin (s_sliding): 2h windows sliding by 1h —
+    // every event lands in exactly 2 windows; the oracle reproduces the
+    // fan-out by unnesting the two hour-aligned window starts.
+    "q_evt_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")),
+
+    // Session-window batch twin (s_session): classic gaps-and-islands —
+    // a >30-minute silence per user starts a new session. Ordered by
+    // event_id (unique, time-correlated) so the ns-vs-µs timestamp
+    // difference between engines can never reorder rows; gaps compared at
+    // whole-second granularity (epoch seconds) for the same reason.
+    "q_evt_session" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val sessioned = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("new_sess",
+          when(col("es") - lag(col("es"), 1).over(byUser) > 1800
+            || lag(col("es"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessioned
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("es")) - min(col("es"))).as("duration_s"))
+        .orderBy("user_id", "sess_id")
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -175,7 +208,7 @@ object FunctionQueries extends QueryModule {
         |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mstart,
         |  CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
         |  STRFTIME(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30,
-        |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+        |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_math_funcs" ->
@@ -222,6 +255,33 @@ object FunctionQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
         |FROM events
         |GROUP BY DATE_TRUNC('hour', ts), event_type
-        |ORDER BY ws, event_type""".stripMargin
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "q_evt_sliding" ->
+      """SELECT ws, event_type, COUNT(*) AS cnt FROM (
+        |  SELECT event_type,
+        |    CAST(UNNEST([DATE_TRUNC('hour', ts),
+        |                 DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR]) AS TIMESTAMP) AS ws
+        |  FROM events)
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q_evt_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN es - LAG(es) OVER w > 1800
+        |           OR LAG(es) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sessioned AS (
+        |  SELECT user_id, es,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |       MAX(es) - MIN(es) AS duration_s
+        |FROM sessioned GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin
   )
 }

@@ -60,6 +60,24 @@ class FunctionSpec extends SparkSpec {
     }
   }
 
+  test("q_evt_sliding: every event counted in exactly 2 overlapping windows") {
+    val total = q("q_evt_sliding").collect().map(_.getAs[Long]("cnt")).sum
+    assert(total == 2 * table("events").count())
+  }
+
+  test("q_evt_session: sessions partition each user's events; gaps respected") {
+    val rows = q("q_evt_session").collect()
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val eventsPerUser = table("events").groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    perUser.foreach { case (u, rs) =>
+      assert(rs.map(_.getAs[Long]("n_events")).sum == eventsPerUser(u))
+      // session ids are 1..k dense
+      assert(rs.map(_.getAs[Long]("sess_id")).sorted.toSeq == (1L to rs.length))
+      rs.foreach(r => assert(r.getAs[Long]("duration_s") >= 0))
+    }
+  }
+
   test("q_evt_tumbling: window is exactly one hour; counts partition events") {
     val rows = q("q_evt_tumbling").collect()
     rows.foreach { r =>
