@@ -30,9 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object AggregateQueries extends QueryModule {
 
-  /** Exact, order-independent sum: per-value DECIMAL(18,4) cast, then SUM. */
+  /** Exact, order-independent sum: per-value DECIMAL(18,4) cast, then SUM.
+    * The FINAL output is cast to DOUBLE: the accumulation stays exact and
+    * associative (any partition order yields the same digits), and equal
+    * decimals convert to bit-identical doubles in both engines. Emitting
+    * DECIMAL itself would break the driver's exact-hash gate — its pandas
+    * bridge lowers DuckDB DECIMAL results to float64 while Spark parquet
+    * carries Decimal objects (equal values, different bytes). */
   private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,4)")).cast("decimal(18,4)")
+    sum(c.cast("decimal(18,4)")).cast("double")
 
   /** Deterministic mean: exact decimal sum → one double division →
     * portable round (a scale-4 sum over a 2-5-smooth group count can land
@@ -121,7 +127,7 @@ object AggregateQueries extends QueryModule {
                CAST(GROUPING(event_type) AS INT) AS g_et,
                CAST(GROUPING(user_id) AS INT) AS g_uid,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         FROM events
         GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
         ORDER BY g_et, g_uid,
@@ -145,12 +151,14 @@ object AggregateQueries extends QueryModule {
     // collect_list/collect_set are only deterministic once sorted; arrays
     // stay small (bounded by group size) — at 100 TB this operator is only
     // safe on bounded-cardinality groups, which is the contract here.
+    // Outputs are '|'-serialized: the driver's comparator lex-sorts rows by
+    // every column and array cells are unsortable/unhashable in pandas.
     "q_agg_collect" -> ((s, dir) =>
       t(s, dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-          array_sort(collect_list(col("c_name"))).as("names"),
-          array_sort(collect_set(col("c_mktsegment"))).as("segs"),
+          array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+          array_join(array_sort(collect_set(col("c_mktsegment"))), "|").as("segs"),
           count(lit(1)).as("cnt"))
         .orderBy("c_nationkey"))
   )
@@ -158,7 +166,7 @@ object AggregateQueries extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "q_agg_global" ->
       """SELECT COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  ROUND(MIN(l_extendedprice), 4) AS min_price,
         |  ROUND(MAX(l_extendedprice), 4) AS max_price,
         |  FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc
@@ -166,9 +174,9 @@ object AggregateQueries extends QueryModule {
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -176,7 +184,7 @@ object AggregateQueries extends QueryModule {
 
     "q_agg_having" ->
       """SELECT o_custkey, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
 
@@ -196,7 +204,7 @@ object AggregateQueries extends QueryModule {
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -206,7 +214,7 @@ object AggregateQueries extends QueryModule {
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_st, g_pr, o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -216,7 +224,7 @@ object AggregateQueries extends QueryModule {
         |  CAST(GROUPING(event_type) AS INT) AS g_et,
         |  CAST(GROUPING(user_id) AS INT) AS g_uid,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events
         |GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
         |ORDER BY g_et, g_uid,
@@ -233,8 +241,8 @@ object AggregateQueries extends QueryModule {
 
     "q_agg_collect" ->
       """SELECT c_nationkey,
-        |  LIST_SORT(LIST(c_name)) AS names,
-        |  LIST_SORT(LIST(DISTINCT c_mktsegment)) AS segs,
+        |  LIST_AGGREGATE(LIST_SORT(LIST(c_name)), 'string_agg', '|') AS names,
+        |  LIST_AGGREGATE(LIST_SORT(LIST(DISTINCT c_mktsegment)), 'string_agg', '|') AS segs,
         |  COUNT(*) AS cnt
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )

@@ -138,7 +138,9 @@ object FunctionQueries extends QueryModule {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)")
+          // exact decimal accumulation, DOUBLE on the wire (the driver's
+          // pandas bridge lowers DuckDB DECIMAL to float64)
+          sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("sum_v"))
         .select(col("window.start").as("ws"), col("window.end").as("we"),
           col("event_type"), col("cnt"), col("sum_v"))
@@ -252,7 +254,7 @@ object FunctionQueries extends QueryModule {
       """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
         |  CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
         |  event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events
         |GROUP BY DATE_TRUNC('hour', ts), event_type
         |ORDER BY ws, event_type""".stripMargin,
@@ -276,8 +278,10 @@ object FunctionQueries extends QueryModule {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
         |sessioned AS (
         |  SELECT user_id, es,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    -- DuckDB SUM(INT) yields HUGEINT (→ float64 through pandas);
+        |    -- Spark's running SUM(int) is BIGINT — align the types.
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |       MAX(es) - MIN(es) AS duration_s

@@ -33,7 +33,11 @@ object JoinQueries extends QueryModule {
       t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        // exact DECIMAL accumulation (order-independent across partitions),
+        // DOUBLE on the wire — a raw double SUM is partition-order-dependent
+        // and can cross a ROUND boundary at scale.
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double")
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")),
@@ -137,7 +141,7 @@ object JoinQueries extends QueryModule {
 
     "q_join_broadcast" ->
       """SELECT p_brand,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,

@@ -83,8 +83,10 @@ object WindowQueries extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
+          // final cast to DOUBLE: the driver's pandas bridge lowers DuckDB
+          // DECIMAL results to float64 — emit float64 on both sides.
           sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
-            .cast("decimal(18,4)").as("run_sum"),
+            .cast("double").as("run_sum"),
           count(lit(1)).over(w).as("run_cnt"))
         .orderBy("o_orderkey")
     }),
@@ -111,7 +113,7 @@ object WindowQueries extends QueryModule {
         .select(col("o_orderkey"), col("o_orderpriority"),
           count(lit(1)).over(w).as("cnt_in_range"),
           sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
-            .cast("decimal(18,4)").as("sum_in_range"))
+            .cast("double").as("sum_in_range"))
         .orderBy("o_orderkey")
     })
   )
@@ -155,7 +157,7 @@ object WindowQueries extends QueryModule {
 
     "q_win_running" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS run_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS run_sum,
         |  COUNT(*) OVER w AS run_cnt
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
@@ -174,7 +176,7 @@ object WindowQueries extends QueryModule {
     "q_win_range" ->
       """SELECT o_orderkey, o_orderpriority,
         |  COUNT(*) OVER w AS cnt_in_range,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_in_range
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_in_range
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY CAST(FLOOR(o_totalprice) AS BIGINT)

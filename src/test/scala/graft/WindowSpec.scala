@@ -43,12 +43,12 @@ class WindowSpec extends SparkSpec {
     val totals = table("orders")
       .groupBy("o_orderpriority")
       .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
-        .cast("decimal(18,4)").as("tot"))
+        .cast("double").as("tot"))
       .collect()
-      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (p, rs) =>
       val last = rs.maxBy(_.getAs[Long]("run_cnt"))
-      assert(last.getDecimal(last.fieldIndex("run_sum")) == totals(p))
+      assert(last.getDouble(last.fieldIndex("run_sum")) == totals(p))
     }
   }
 
