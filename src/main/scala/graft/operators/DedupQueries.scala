@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *     oracle can compute the identical hash. Same-fp group size flags
   *     exact duplicates.
   *
-  * Scale notes: exact dedup is one hash aggregate on the normalized key
-  * (at 100 TB: aggregate on hash64(norm_text) first, then resolve rare
-  * collisions — noted, not needed at fixture scale). The near-dup join is
+  * Scale notes: exact dedup aggregates on hash64(norm_text) first and
+  * resolves multi-member hash groups on the true text in a second,
+  * duplicate-bounded pass — the full-corpus shuffle never carries document
+  * text (see q_dedup_exact). The near-dup join is
   * NEVER all-pairs: the blocking key (lang, first token) bounds candidate
   * pairs, the same pattern as an LSH band join — the production-scale
   * MinHash/LSH variant lives in graft.functions.MinHashLsh (ScalaTest'd;
@@ -44,12 +45,36 @@ object DedupQueries extends QueryModule {
       .stripMargin
 
   override def queries: Map[String, Q] = Map(
-    "q_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(lower(trim(col("text"))).as("norm"))
+    // Hash-grouped exact dedup: the first (full-corpus) aggregate groups on
+    // xxhash64(norm) so its shuffle carries 16 bytes/row, not the document
+    // text (at 100 TB, grouping on the raw norm string makes shuffle volume
+    // ≈ corpus size). Hash groups with >1 member — actual duplicates OR
+    // 64-bit collisions — are re-resolved on the real norm text; that second
+    // pass only touches duplicate-candidate rows (tiny fraction of corpus),
+    // so exactness costs nothing at scale. Results are identical to the
+    // naive groupBy(norm): the oracle still groups on LOWER(TRIM(text)).
+    "q_dedup_exact" -> ((s, dir) => {
+      val normed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          xxhash64(lower(trim(col("text")))).as("hk"),
+          lower(trim(col("text"))).as("norm"))
+      // pass 1: per-hash counts; map-side partial agg means the Exchange
+      // moves (hk, partial cnt/min) only — no text on the wire.
+      val byHash = normed.groupBy("hk")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      val singles = byHash.filter(col("n_copies") === 1)
+        .select("doc_id", "n_copies")
+      // pass 2: multi-member hash groups re-grouped on the true norm text.
+      // The candidate-hash set is duplicate-bounded (broadcastable; were it
+      // ever not, the same join runs as a shuffle join on hk — still no
+      // full-corpus text shuffle, only duplicate rows carry text).
+      val multiHks = byHash.filter(col("n_copies") > 1).select("hk")
+      val resolved = normed.join(broadcast(multiHks), "hk")
+        .groupBy("hk", "norm")
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
-        .orderBy("doc_id")),
+      singles.unionAll(resolved).orderBy("doc_id")
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       // fixtures are single-row-group parquet → the scan is one task; the
@@ -65,8 +90,23 @@ object DedupQueries extends QueryModule {
             """transform(sequence(1, size(toks) - 1),
               |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
               .stripMargin)).as("grams"))
-      val a = g.alias("a")
-      val b = g.alias("b")
+      // Grid-salted self-join (1-bucket theta-join partitioning): the
+      // blocking key (lang, first token) is Zipfian — at 100× one hot
+      // bucket lands on one reducer and goes quadratic. Give each row a
+      // hash-derived grid coordinate and replicate it across the other
+      // axis: pair (x, y) meets in EXACTLY cell (cell(x), cell(y)), so
+      // results are identical to the unsalted join while a hot bucket's
+      // |B|² work spreads over S² shuffle partitions. S is fixed here;
+      // production sizes it from blocking-key stats (AQE's skew-join
+      // split is the runtime safety net for SMJ, but explicit salting
+      // also bounds the build side of a shuffled-hash join).
+      val S = 4
+      val a = g.withColumn("ga", pmod(xxhash64(col("doc_id")), lit(S)))
+        .withColumn("gb", explode(sequence(lit(0), lit(S - 1))))
+        .alias("a")
+      val b = g.withColumn("gb", pmod(xxhash64(col("doc_id")), lit(S)))
+        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
+        .alias("b")
       // native codegen set-jaccard: one hash-set pass per candidate pair
       // instead of two interpreted array_intersects. Inputs are distinct
       // arrays, so the value is the same |A∩B|/(|A|+|B|-|A∩B|) integer
@@ -75,6 +115,7 @@ object DedupQueries extends QueryModule {
       val jac = call_function(graft.functions.NativeJaccard.name,
         col("a.grams"), col("b.grams"))
       a.join(b, col("a.lang") === col("b.lang") && col("a.ft") === col("b.ft")
+          && col("a.ga") === col("b.ga") && col("a.gb") === col("b.gb")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           jac.as("jac_raw"))

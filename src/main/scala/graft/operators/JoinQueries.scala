@@ -113,8 +113,12 @@ object JoinQueries extends QueryModule {
 
     "q_join_asof" -> ((s, dir) => {
       // For each purchase, the latest click by the same user at ts <= purchase
-      // ts. Equi-anchor on user_id; window rank picks the as-of row. At scale:
-      // hash-partition by user_id, sort within partition — no cross product.
+      // ts AND within a 7-day horizon. Equi-anchor on user_id; window rank
+      // picks the as-of row. The horizon is the scale contract: without it,
+      // candidates = every prior click per user — unbounded history at 100×.
+      // With it, per-purchase candidates are capped by the key's 7-day click
+      // volume (same bounded-state idea as q_join_interval / a stream-stream
+      // interval join), and the range shows up as a residual join condition.
       val p = t(s, dir, "events").filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
           col("user_id"))
@@ -123,7 +127,8 @@ object JoinQueries extends QueryModule {
           col("user_id").as("c_user"), col("value").as("c_value"))
       val w = Window.partitionBy("p_id")
         .orderBy(col("c_ts").desc, col("c_id").desc)
-      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"),
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"),
           "inner")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -206,7 +211,8 @@ object JoinQueries extends QueryModule {
         |             ORDER BY c.ts DESC, c.event_id DESC) AS rn
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND c.ts > p.ts - INTERVAL 7 DAY)
         |WHERE rn = 1 ORDER BY p_id""".stripMargin
   )
 }

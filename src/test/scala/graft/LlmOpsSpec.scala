@@ -13,6 +13,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_copies")).sum == table("documents").count())
   }
 
+  test("q_dedup_exact: hash-grouped result equals naive text grouping") {
+    val naive = table("documents")
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hashed = q("q_dedup_exact").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toSeq
+    assert(hashed == naive)
+  }
+
+  test("q_ngram_jaccard: grid-salted join equals unsalted blocked join") {
+    val docs = table("documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        element_at(col("toks"), 1).as("ft"),
+        array_distinct(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin)).as("grams"))
+    val a = docs.alias("a"); val b = docs.alias("b")
+    graft.functions.NativeJaccard.register(spark)
+    val jac = call_function(graft.functions.NativeJaccard.name,
+      col("a.grams"), col("b.grams"))
+    val unsalted = a.join(b,
+        col("a.lang") === col("b.lang") && col("a.ft") === col("b.ft")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        jac.as("j"))
+      .filter(col("j") > 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = q("q_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).sorted.toSeq
+    assert(salted == unsalted)
+  }
+
   test("q_ngram_jaccard: pairs ordered, jaccard in (0.1, 1]") {
     val rows = q("q_ngram_jaccard").collect()
     assert(rows.nonEmpty, "fixtures plant near-dups; expected pairs")

@@ -58,6 +58,22 @@ class PlanSpec extends SparkSpec {
       s"equality predicate not pushed:\n$plan")
   }
 
+  test("q_dedup_exact: corpus-wide shuffle keyed by hash, not text") {
+    val plan = executed("q_dedup_exact")
+    val shuffles = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // pass 1 (all documents) exchanges on xxhash64 of the normalized text;
+    // only the duplicate-bounded resolve pass may carry the norm string.
+    assert(shuffles.exists(l => l.contains("hk#") && !l.contains("norm#")),
+      s"no hash-keyed corpus exchange in:\n$plan")
+  }
+
+  test("q_ngram_jaccard: candidate join is grid-salted (bounded fan-out)") {
+    val plan = executed("q_ngram_jaccard")
+    assert(plan.contains("ga#") && plan.contains("gb#"),
+      s"grid-salt coordinates missing from the join keys:\n$plan")
+  }
+
   test("no query degenerates to a cartesian product (except q_join_cross)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "q_join_cross") // the explicit small×small cross join
