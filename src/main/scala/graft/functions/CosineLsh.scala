@@ -23,6 +23,15 @@ import scala.util.Random
   */
 object CosineLsh {
 
+  /** Embedding dimensionality of the engine's fixture contract. ArrayType
+    * schemas don't carry a length, so callers with other corpora must pass
+    * `dim` explicitly — a driver-side `head()` probe per call (the old
+    * behavior) is a full Spark job just to learn a constant, and an
+    * engine-path driver action besides. dim MUST match the data: zip_with
+    * pads a length mismatch with NULLs, which nulls the whole dot-product
+    * fold and collapses every row into one degenerate bucket. */
+  val DefaultDim = 64
+
   /** dot(vec, literal hyperplane) as a codegen'd fold. */
   private def dotLit(vec: Column, plane: Array[Double]): Column =
     aggregate(
@@ -63,8 +72,7 @@ object CosineLsh {
     * multi-probing keeps recall for pairs split by a hyperplane. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 4,
-                         seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+                         seed: Long = 42L, dim: Int = DefaultDim): DataFrame = {
     val ps = planes(dim, nPlanes, seed)
     val keyed = df.select(col(idCol).as("nd_id"), col(vecCol).as("nd_v"),
       explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
@@ -82,8 +90,7 @@ object CosineLsh {
     * (probe_id, rn, vec_id, cos). */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
            vecCol: String, k: Int, nPlanes: Int = 4,
-           seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+           seed: Long = 42L, dim: Int = DefaultDim): DataFrame = {
     val ps = planes(dim, nPlanes, seed)
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
       bucket(col(vecCol), ps).as("bkt"))

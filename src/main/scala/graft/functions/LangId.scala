@@ -38,7 +38,10 @@ object LangId {
         lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
-    when(best.getField("s") <= 0, lit("und"))
+    // NULL text must yield "und" (matching the registered lang_id SQL UDF):
+    // without the guard every score is NULL, the <=0 branch evaluates NULL,
+    // and the result falls through to a NULL/arbitrary language.
+    when(text.isNull || best.getField("s") <= 0, lit("und"))
       .otherwise(best.getField("lang"))
   }
 }

@@ -46,15 +46,30 @@ object SimHash {
 
   /** Block keys for Hamming-radius-d candidate joins: split the 64-bit
     * signature into d+1 blocks; two signatures within distance d must
-    * agree on at least one block (pigeonhole). Returns an array of
-    * (block_idx << 56) | block_value keys to explode + equi-join on. */
+    * agree on at least one block (pigeonhole — d flipped bits cannot touch
+    * all d+1 blocks). Returns an array of (block_idx << 56) | block_value
+    * keys to explode + equi-join on.
+    *
+    * Blocks have variable widths (floor(64/n) or +1) so every signature
+    * bit is covered even when d+1 does not divide 64 — uncovered bits
+    * would silently degrade precision. Widths are <= 32 whenever n >= 2,
+    * so block values never overlap the index tag in the top byte; the
+    * n == 1 (d = 0) case has tag 0 and the key IS the signature, i.e. an
+    * exact-equality join, which is precisely Hamming radius 0. */
   def bucketKeys(sig: Column, d: Int): Column = {
+    require(d >= 0 && d < Bits, s"hamming radius must be in [0, $Bits)")
     val nBlocks = d + 1
-    val w = Bits / nBlocks
+    val base = Bits / nBlocks
+    val extra = Bits % nBlocks // first `extra` blocks take one more bit
+    val widths = (0 until nBlocks).map(i => base + (if (i < extra) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     array((0 until nBlocks).map { i =>
-      val block = call_function("shiftright", sig, lit(i * w))
-        .bitwiseAND(lit((1L << w) - 1))
-      block.bitwiseOR(call_function("shiftleft", lit(i.toLong), lit(56)))
+      val w = widths(i)
+      // (1L << 64) overflows to 1 in Java shift semantics — special-case
+      // the full-width mask instead of computing (1L << w) - 1.
+      val mask = if (w == Bits) -1L else (1L << w) - 1L
+      val block = shiftright(sig, starts(i)).bitwiseAND(lit(mask))
+      block.bitwiseOR(shiftleft(lit(i.toLong), 56))
     }: _*)
   }
 }

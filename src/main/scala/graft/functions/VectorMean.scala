@@ -23,20 +23,31 @@ object VectorMean {
     new Aggregator[Array[Float], Buf, Array[Float]] {
       override def zero: Buf = Buf(Array.empty[Double], 0L)
 
+      // NULL and empty vectors carry no signal and are excluded from the
+      // mean (n counts contributing vectors only); mismatched non-empty
+      // lengths are a data error — failing fast beats a silently-truncated
+      // mean.
       override def reduce(b: Buf, v: Array[Float]): Buf = {
-        if (v == null) return b
+        if (v == null || v.isEmpty) return b
+        if (b.sums.nonEmpty && b.sums.length != v.length)
+          throw new IllegalArgumentException(
+            s"vector_mean: ragged vector lengths ${b.sums.length} vs ${v.length}")
         val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
         var i = 0
-        while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+        while (i < v.length) { s(i) += v(i); i += 1 }
         Buf(s, b.n + 1)
       }
 
       override def merge(a: Buf, b: Buf): Buf = {
-        if (a.sums.isEmpty) return b
-        if (b.sums.isEmpty) return a
+        // counts must survive merge even when one side's sums are empty
+        if (a.sums.isEmpty) return Buf(b.sums, a.n + b.n)
+        if (b.sums.isEmpty) return Buf(a.sums, a.n + b.n)
+        if (a.sums.length != b.sums.length)
+          throw new IllegalArgumentException(
+            s"vector_mean: ragged buffer lengths ${a.sums.length} vs ${b.sums.length}")
         val s = a.sums.clone()
         var i = 0
-        while (i < s.length && i < b.sums.length) { s(i) += b.sums(i); i += 1 }
+        while (i < s.length) { s(i) += b.sums(i); i += 1 }
         Buf(s, a.n + b.n)
       }
 

@@ -82,6 +82,67 @@ class FunctionsLibSpec extends SparkSpec {
     assert(viaKeys == exact, s"block-key join found $viaKeys of $exact pairs")
   }
 
+  test("SimHash.bucketKeys: d=0 (exact) and non-dividing d keep recall") {
+    // planted clone guarantees at least one distance-0 pair; d=2 exercises
+    // the 64 % 3 != 0 variable-width block path (the old fixed-width split
+    // left the top bits of the signature uncovered, and d=0 overflowed
+    // (1L << 64) into a single degenerate bucket).
+    val sigs = planted
+      .select(col("doc_id"), SimHash.signature(split(col("text"), " ")).as("sig"))
+    for (d <- Seq(0, 2)) {
+      val keyed = sigs.select(col("doc_id"), col("sig"),
+        explode(SimHash.bucketKeys(col("sig"), d)).as("k"))
+      val a = keyed.alias("a"); val b = keyed.alias("b")
+      val viaKeys = a.join(b, col("a.k") === col("b.k")
+          && col("a.doc_id") < col("b.doc_id"))
+        .filter(SimHash.hammingDist(col("a.sig"), col("b.sig")) <= d)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val s = sigs.alias("x"); val t2 = sigs.alias("y")
+      val exact = s.crossJoin(t2)
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(SimHash.hammingDist(col("x.sig"), col("y.sig")) <= d)
+        .count()
+      assert(viaKeys == exact, s"d=$d: block-key join found $viaKeys of $exact")
+      if (d == 0) assert(exact >= 1, "planted exact dup should collide at d=0")
+    }
+  }
+
+  test("VectorMean: empty vectors excluded; counts survive partial merges") {
+    val df = Seq(
+      (1, Array(2f, 4f)), (1, Array.empty[Float]), (1, Array(4f, 8f)),
+      (2, Array.empty[Float]))
+      .toDF("label", "embedding")
+      .repartition(4) // force per-partition partial buffers + merges
+    val rows = df.groupBy("label")
+      .agg(VectorMean.vectorMean(col("embedding")).as("mv"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Float](1)).toMap
+    assert(rows(1) == Seq(3f, 6f), s"mean skewed: ${rows(1)}")
+    assert(rows(2).isEmpty, "all-empty group should yield an empty mean")
+  }
+
+  test("VectorMean: ragged vector lengths fail fast") {
+    val df = Seq((1, Array(1f, 2f)), (1, Array(1f, 2f, 3f)))
+      .toDF("label", "embedding")
+    val ex = intercept[Exception] {
+      df.groupBy("label")
+        .agg(VectorMean.vectorMean(col("embedding")).as("mv")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null)
+      && causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("ragged"))), ex.toString)
+  }
+
+  test("LangId.detect: NULL text deterministically yields und") {
+    val df = Seq((1, Option.empty[String]), (2, Some("the cat and the dog")))
+      .toDF("id", "text")
+      .select(col("id"), LangId.detect(col("text")).as("got"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(1) == "und", s"null text detected as ${m(1)}")
+    assert(m(2) == "en")
+  }
+
   test("VectorMean UDAF matches the relational mean") {
     val viaUdaf = table("embeddings")
       .groupBy("label")
