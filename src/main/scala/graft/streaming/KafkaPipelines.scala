@@ -31,19 +31,34 @@ object KafkaPipelines {
       startingOffsets: String = "earliest",
       fetchMinBytes: Long = 10_000L,     // reference MinBytes, consumer.go:103
       fetchMaxBytes: Long = 10_000_000L, // reference MaxBytes, consumer.go:104
-      minPartitions: Option[Int] = None)
+      minPartitions: Option[Int] = None,
+      // R10 fallback (go/producer/producer_test.go:86-126): when the group
+      // coordinator is unavailable, read the given partitions directly —
+      // Spark's `assign` mode needs no coordinator at all. None = subscribe.
+      assignPartitions: Option[Seq[Int]] = None)
 
-  /** R4: Kafka streaming source (raw `key/value: binary` frame). */
-  def source(spark: SparkSession, cfg: KafkaConfig): DataFrame = {
-    val r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
-      .option("subscribe", cfg.topic)
-      .option("startingOffsets", cfg.startingOffsets)
-      .option("kafka.fetch.min.bytes", cfg.fetchMinBytes.toString)
-      .option("kafka.fetch.max.bytes", cfg.fetchMaxBytes.toString)
-    cfg.minPartitions.fold(r)(n => r.option("minPartitions", n.toString))
-      .load()
+  /** Source option map for [[KafkaConfig]] — split out so the subscribe vs
+    * direct-partition-assign wiring is unit-testable without a broker or
+    * the kafka connector jar (the reference's own fallback discipline when
+    * infra is absent). */
+  def sourceOptions(cfg: KafkaConfig): Map[String, String] = {
+    val mode = cfg.assignPartitions match {
+      case Some(ps) =>
+        "assign" -> s"""{"${cfg.topic}":[${ps.mkString(",")}]}"""
+      case None => "subscribe" -> cfg.topic
+    }
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "startingOffsets" -> cfg.startingOffsets,
+      "kafka.fetch.min.bytes" -> cfg.fetchMinBytes.toString,
+      "kafka.fetch.max.bytes" -> cfg.fetchMaxBytes.toString) ++
+      cfg.minPartitions.map(n => "minPartitions" -> n.toString) + mode
   }
+
+  /** R4: Kafka streaming source (raw `key/value: binary` frame); R10
+    * direct-partition read when `assignPartitions` is set. */
+  def source(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    spark.readStream.format("kafka").options(sourceOptions(cfg)).load()
 
   /** The canonical first projection of every Kafka job: bytes → strings. */
   def decode(raw: DataFrame): DataFrame =

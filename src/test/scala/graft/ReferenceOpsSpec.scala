@@ -3,13 +3,44 @@ package graft
 import java.nio.file.Files
 
 import graft.functions.CosineLsh
-import graft.streaming.{EngineConfig, GracefulShutdown}
+import graft.sources.TableAdmin
+import graft.streaming.{EngineConfig, GracefulShutdown, KafkaPipelines}
 import org.apache.spark.sql.functions._
 
-/** R6 config layering, R7 graceful shutdown, and embedding-cosine
-  * near-dup pairs. */
+/** R6 config layering, R7 graceful shutdown, R8 table admin, R10 assign
+  * fallback, and embedding-cosine near-dup pairs. */
 class ReferenceOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("R10: assign fallback reads partitions without a group coordinator") {
+    val cfg = KafkaPipelines.KafkaConfig("broker:9092", "input-words",
+      assignPartitions = Some(Seq(0)))
+    val opts = KafkaPipelines.sourceOptions(cfg)
+    // reference fallback reads partition 0 from offset 0
+    assert(opts("assign") == """{"input-words":[0]}""")
+    assert(!opts.contains("subscribe"), "assign and subscribe are exclusive")
+    assert(opts("startingOffsets") == "earliest")
+    val multi = KafkaPipelines.sourceOptions(
+      cfg.copy(assignPartitions = Some(Seq(0, 2, 5))))
+    assert(multi("assign") == """{"input-words":[0,2,5]}""")
+    val subs = KafkaPipelines.sourceOptions(cfg.copy(assignPartitions = None))
+    assert(subs("subscribe") == "input-words" && !subs.contains("assign"))
+  }
+
+  test("R8: table admin provisions idempotently, drop keeps the data") {
+    val name = "graft_admin_region"
+    val loc = s"$sf/region.parquet"
+    TableAdmin.dropTable(spark, name) // clean slate
+    TableAdmin.ensureParquetTable(spark, name, loc)
+    TableAdmin.ensureParquetTable(spark, name, loc) // idempotent re-create
+    assert(TableAdmin.tableExists(spark, name))
+    assert(spark.table(name).count() == 5)
+    TableAdmin.dropTable(spark, name)
+    TableAdmin.dropTable(spark, name) // idempotent re-drop
+    assert(!TableAdmin.tableExists(spark, name))
+    // external table: dropping removed metadata only
+    assert(spark.read.parquet(loc).count() == 5)
+  }
 
   test("R6: env > file > defaults, unknown keys from file preserved") {
     val f = Files.createTempFile("graft-cfg", ".properties")
