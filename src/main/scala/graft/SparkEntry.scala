@@ -20,7 +20,8 @@ object SparkEntry {
     operators.FunctionQueries,
     operators.DedupQueries,
     operators.TextStatsQueries,
-    operators.SimilarityQueries
+    operators.SimilarityQueries,
+    operators.ReshapeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

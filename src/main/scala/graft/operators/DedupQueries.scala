@@ -124,6 +124,23 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // Keep-latest compaction (CDC-style dedup): one surviving row per key,
+    // the one with the highest event_id (unique + time-correlated, so the
+    // ns-vs-µs timestamp difference between engines can't flip the pick).
+    // One shuffle on user_id + per-partition sort; at 100 TB this is the
+    // standard upsert-compaction plan (skewed keys → AQE / pre-bucketing).
+    "q_dedup_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // native codegen kernel (graft.functions.NativeFingerprint) — same
@@ -162,6 +179,13 @@ object DedupQueries extends QueryModule {
         |WHERE CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
         |    / (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))) > 0.1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |       ROUND(value, 4) AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // NOTE: the oracle keeps the nested per-token fold — it computes the
     // IDENTICAL value to Spark's streaming form, and DuckDB's list_reduce

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.functions._
+
+/** Reshaping + sampling operators (§2.3 C-family extensions a complete
+  * engine needs; pivot/unpivot are the classic wide↔long transforms, and
+  * deterministic hash-sampling is a training-data-pipeline staple).
+  *
+  *   - q_pivot: wide table from (priority × status) with an EXPLICIT pivot
+  *     value list — never the two-job values-discovery scan, and bounded
+  *     column fan-out by construction (the 100 TB contract: pivot columns
+  *     must be a known small set; pivoting on an unbounded key is a design
+  *     error).
+  *   - q_unpivot: the inverse melt via Spark's native unpivot operator —
+  *     per-row expansion, no shuffle except the final ORDER BY.
+  *   - q_sample_hash: deterministic ~10% sample by md5(doc_id) prefix.
+  *     Hash-gated sampling is stable across runs, retries, and cluster
+  *     sizes (unlike TABLESAMPLE/rand()), which makes training subsets
+  *     reproducible and joinable: the same predicate always selects the
+  *     same documents. Embarrassingly parallel scan-side filter.
+  */
+object ReshapeQueries extends QueryModule {
+
+  override def queries: Map[String, Q] = Map(
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        // explicit value list: no discovery job, bounded columns
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        // pivot yields NULL for empty cells; the oracle's FILTER counts 0
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("o_orderpriority")),
+
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").as("p_retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "metric", "val")
+        .select(col("p_partkey"), col("metric"),
+          round(col("val"), 4).as("val"))
+        .orderBy("p_partkey", "metric")),
+
+    "q_sample_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        // first md5 byte <= 0x19 → 26/256 ≈ 10.2% deterministic sample
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) <= "19")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric,
+        |       ROUND(CAST(p_size AS DOUBLE), 4) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric,
+        |       ROUND(p_retailprice, 4) AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -67,7 +67,35 @@ object TextStatsQueries extends QueryModule {
             .stripMargin)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
-        .limit(50))
+        .limit(50)),
+
+    // TF-IDF top terms per language. Both aggregates are the word-count
+    // plan (partial agg → one Exchange on the term key); the corpus size
+    // joins in as a broadcast single-row cross join (no driver count()).
+    // Ranking uses the PORTABLY-ROUNDED score, so a sub-ulp ln() drift
+    // between engines cannot reorder rows; residual exact-tie rank breaks
+    // on the term. idf = ln((N+1)/(df+1)) — integer operands, one double
+    // division, one ln, one multiply: identical on both sides.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val dfc = tok.groupBy("w").agg(countDistinct("doc_id").as("dfc"))
+      val tf = tok.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
+      val ndocs = docs.agg(count(lit(1)).as("n"))
+      val wnd = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("w").asc)
+      tf.join(dfc, "w")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("score",
+          pround4(col("tf") * log((col("n") + 1.0) / (col("dfc") + 1.0))))
+        .withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("w").as("term"),
+          col("tf"), col("score"))
+        .orderBy("lang", "rn")
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -103,6 +131,25 @@ object TextStatsQueries extends QueryModule {
         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
         |  FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
         |        WHERE LEN(STRING_SPLIT(text, ' ')) >= 2))
-        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin
+        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY w),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w),
+        |scored AS (
+        |  SELECT lang, w, tf,
+        |    FLOOR((tf * LN((n.n + 1.0) / (dfc + 1.0))) * 10000 + 0.5) / 10000
+        |      AS score
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY score DESC, w ASC) AS rn
+        |  FROM scored)
+        |SELECT lang, rn, w AS term, tf, score FROM ranked
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
   )
 }
