@@ -82,6 +82,34 @@ class FunctionsLibSpec extends SparkSpec {
     assert(viaKeys == exact, s"block-key join found $viaKeys of $exact pairs")
   }
 
+  test("DedupClusters: transitive components collapse to one survivor") {
+    // chain 1-2, 2-3 (transitive: 1,2,3 one component) + island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comps = DedupClusters.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L,
+      s"chain not collapsed: $comps")
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+
+    val corpus = Seq(1L, 2L, 3L, 7L, 10L, 11L).toDF("doc_id")
+    val kept = DedupClusters.keepCanonical(corpus, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // one survivor per component + the untouched singleton 7
+    assert(kept == Seq(1L, 7L, 10L))
+  }
+
+  test("DedupClusters: end-to-end with MinHash pairs on planted dups") {
+    val pairs = MinHashDedup
+      .nearDuplicatePairs(planted, "doc_id", "text", threshold = 0.5)
+    val kept = DedupClusters.keepCanonical(planted, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val baseId = planted.agg(min("doc_id")).head().getLong(0)
+    // base doc survives; its exact clone (9002) and near-dup (9001) do not
+    assert(kept.contains(baseId))
+    assert(!kept.contains(9002L), "exact clone must be deduplicated")
+    assert(!kept.contains(9001L), "near-dup must be deduplicated")
+  }
+
   test("SimHash.bucketKeys: d=0 (exact) and non-dividing d keep recall") {
     // planted clone guarantees at least one distance-0 pair; d=2 exercises
     // the 64 % 3 != 0 variable-width block path (the old fixed-width split
