@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful per-key processing (SURVEY.md §2.3 I s_stateful) via
   * flatMapGroupsWithState — the Spark analog of a keyed process function.
@@ -27,6 +27,39 @@ object StatefulOps {
           state.update(next)
           Iterator(KeyCount(key, next))
       }
+  }
+
+  /** [[runningCounts]] re-expressed on Spark 4's transformWithState — the
+    * successor API to flatMapGroupsWithState: named state variables with
+    * per-state TTL, timers decoupled from output mode, and state schema
+    * evolution. Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider); the bundled rocksdbjni serves
+    * local mode. Same 100 TB posture as the fMGWS form: state is per-key,
+    * one long per key, partitioned by the grouping key. */
+  class RunningCountProcessor
+      extends StatefulProcessor[String, String, KeyCount] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: TimerValues): Iterator[KeyCount] = {
+      val next = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(next)
+      Iterator(KeyCount(key, next))
+    }
+  }
+
+  /** Running count per key via transformWithState (update mode). */
+  def runningCountsTws(spark: SparkSession,
+                       ds: Dataset[String]): Dataset[KeyCount] = {
+    import spark.implicits._
+    ds.groupByKey(identity)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class SessionEvent(user: String, ts: java.sql.Timestamp)

@@ -126,6 +126,31 @@ class StreamingSpec extends SparkSpec {
     assert(latest == Map("a" -> 3L, "b" -> 1L), s"got $latest")
   }
 
+  test("s_stateful: transformWithState running counts (RocksDB store)") {
+    // transformWithState requires the RocksDB state store provider —
+    // scope the conf to this test and restore the session default after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val out = runToTable(
+        StatefulOps.runningCountsTws(spark, in.toDS).toDF,
+        "update",
+        () => in.addData("a", "b", "a"),
+        () => in.addData("a"))
+      val latest = out.groupBy("key").agg(max("count").as("c"))
+        .as[(String, Long)].collect().toMap
+      assert(latest == Map("a" -> 3L, "b" -> 1L), s"got $latest")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_output_modes: complete-mode global word count converges") {
     val in = MemoryStream[String]
     val out = runToTable(
