@@ -90,6 +90,11 @@ object DedupQueries extends QueryModule {
             """transform(sequence(1, size(toks) - 1),
               |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
               .stripMargin)).as("grams"))
+        // both self-join sides consume the gram relation; materialize it
+        // once instead of running the shingle HOFs twice over the corpus
+        // (the production analog at 100 TB: write the derived relation to
+        // storage — either way the expensive projection runs once).
+        .localCheckpoint()
       // Grid-salted self-join (1-bucket theta-join partitioning): the
       // blocking key (lang, first token) is Zipfian — at 100× one hot
       // bucket lands on one reducer and goes quadratic. Give each row a
