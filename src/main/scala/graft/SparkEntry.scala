@@ -21,7 +21,8 @@ object SparkEntry {
     operators.DedupQueries,
     operators.TextStatsQueries,
     operators.SimilarityQueries,
-    operators.ReshapeQueries
+    operators.ReshapeQueries,
+    operators.SubqueryQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -148,6 +148,25 @@ object AggregateQueries extends QueryModule {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
         .orderBy("l_returnflag")),
 
+    // Exact quartiles over QUANTIZED values (price → integer cents): with
+    // integer operands and quarter-exact interpolation fractions (p ∈
+    // {.25,.5,.75} × integer n-1), the lerp is exact in double regardless
+    // of either engine's op order — no half-tie can ever form. This is the
+    // portable pattern for exact percentiles over continuous data; for
+    // 100 TB use approx_percentile (t-digest sketch, tested in
+    // CoverageSpec) — exact percentile is a full sort per group.
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+          pround4(expr("percentile(cents, 0.25D)")).as("p25"),
+          pround4(expr("percentile(cents, 0.5D)")).as("p50"),
+          pround4(expr("percentile(cents, 0.75D)")).as("p75"))
+        .orderBy("l_returnflag")),
+
     // collect_list/collect_set are only deterministic once sorted; arrays
     // stay small (bounded by group size) — at 100 TB this operator is only
     // safe on bounded-cardinality groups, which is the contract here.
@@ -237,6 +256,13 @@ object AggregateQueries extends QueryModule {
         |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
         |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
         |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  FLOOR(QUANTILE_CONT(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.25) * 10000 + 0.5) / 10000 AS p25,
+        |  FLOOR(QUANTILE_CONT(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.50) * 10000 + 0.5) / 10000 AS p50,
+        |  FLOOR(QUANTILE_CONT(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.75) * 10000 + 0.5) / 10000 AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_collect" ->

@@ -55,7 +55,24 @@ object ReshapeQueries extends QueryModule {
         .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
           1, 2) <= "19")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Stratified fixed-size sample: up to N docs per language, chosen by
+    // md5(key) order — deterministic (same subset every run / cluster
+    // size) yet uniform within each stratum. One Exchange on the stratum
+    // key + per-partition top-N; at 100 TB guard against a mega-stratum
+    // with the salted two-phase top-k (q_topk_group's plan).
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -78,6 +95,13 @@ object ReshapeQueries extends QueryModule {
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
   )
 }

@@ -77,6 +77,28 @@ object SimilarityQueries extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
+    // Embedding-cosine near-duplicate pairs — the vector-space member of
+    // the dedup family (exact / MinHash / SimHash / n-gram Jaccard live in
+    // DedupQueries). All-pairs over the BOUNDED probe corpus (embeddings is
+    // a fixed 500-row table at every SF): one broadcast nested-loop join,
+    // corpus streamed once, codegen'd CosineSim. At 100 TB all-pairs is
+    // quadratic and forbidden — the scale path is the LSH-bucketed
+    // candidate join (functions/CosineLsh.nearDuplicatePairs, ScalaTest'd)
+    // with this exact cosine as the verify step. The 0.4 threshold
+    // compares RAW doubles that are bit-identical cross-engine (same fold
+    // order), so the predicate cannot flake.
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos_raw", cosine(s, "ea", "eb"))
+        .filter(col("cos_raw") > 0.4)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos_raw"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-value quantization uses the portable floor round, NOT a decimal
     // CAST: floats can land exactly on 4th-decimal half-ties (any odd/32,
     // e.g. -0.09375) and Spark/DuckDB break decimal-cast ties differently.
@@ -113,6 +135,13 @@ object SimilarityQueries extends QueryModule {
          |              FROM embeddings WHERE vec_id < 20) p
          |  WHERE e.vec_id <> p.probe_id)
          |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} > 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_vector_mean" ->
       """SELECT label, CAST(i AS INT) AS pos,

@@ -69,6 +69,44 @@ object TextStatsQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(50)),
 
+    // True generator coverage (§2.3 K): posexplode with ordinality — one
+    // row per (doc, position, token). Per-row expansion inside codegen, no
+    // shuffle except the output ORDER BY; bounded here to a doc_id slice
+    // so the oracle diff stays small at every SF.
+    "q_explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // Token counting, whitespace + BPE-ish: whitespace tokens, alnum-run
+    // regex tokens, and a subword estimate (ceil(len/4) per token — the
+    // ~4-chars-per-BPE-token heuristic). All integer arithmetic until the
+    // final portable-rounded average; per-row codegen'd HOFs + one bounded
+    // hash aggregate (5 langs) — embarrassingly parallel at any scale.
+    "q_token_count" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(toks).as("nws"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("nal"),
+          expr(
+            """aggregate(transform(split(text, ' '),
+              |  t -> cast(ceil(length(t) / 4.0) as bigint)),
+              |  0L, (acc, x) -> acc + x)""".stripMargin).as("sub"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nws").as("ws_toks"),
+          sum("nal").as("alnum_toks"),
+          sum("sub").as("subword_est"),
+          pround4(sum("sub").cast("double") / count(lit(1)))
+            .as("avg_subwords"))
+        .orderBy("lang")
+    }),
+
     // TF-IDF top terms per language. Both aggregates are the word-count
     // plan (partial agg → one Exchange on the term key); the corpus size
     // joins in as a broadcast single-row cross join (no driver count()).
@@ -132,6 +170,27 @@ object TextStatsQueries extends QueryModule {
         |  FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
         |        WHERE LEN(STRING_SPLIT(text, ' ')) >= 2))
         |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT doc_id, CAST(i AS INT) AS pos, tok FROM (
+        |  SELECT doc_id, GENERATE_SUBSCRIPTS(toks, 1) AS i,
+        |         UNNEST(toks) AS tok
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 30))
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_token_count" ->
+      """WITH d AS (
+        |  SELECT lang, text, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(toks)) AS BIGINT) AS ws_toks,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+'))) AS BIGINT) AS alnum_toks,
+        |  CAST(SUM(CAST(LIST_SUM(LIST_TRANSFORM(toks,
+        |    t -> CAST(CEIL(LEN(t) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT) AS subword_est,
+        |  FLOOR((CAST(SUM(CAST(LIST_SUM(LIST_TRANSFORM(toks,
+        |    t -> CAST(CEIL(LEN(t) / 4.0) AS BIGINT))) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_subwords
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (

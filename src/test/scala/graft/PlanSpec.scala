@@ -74,6 +74,28 @@ class PlanSpec extends SparkSpec {
       s"grid-salt coordinates missing from the join keys:\n$plan")
   }
 
+  test("q_scalar_subquery: the aggregate joins in as a broadcast, not a shuffle") {
+    val plan = executed("q_scalar_subquery")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"scalar aggregate not broadcast:\n$plan")
+  }
+
+  test("q_embed_neardup: pair generation broadcasts one side") {
+    val plan = executed("q_embed_neardup")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair join did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "near-dup pair join degenerated to a cartesian product")
+  }
+
+  test("q_correlated_agg: decorrelated to ONE exchange on the correlation key") {
+    val plan = executed("q_correlated_agg")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("o_custkey"),
+      s"expected a single o_custkey exchange, got:\n$plan")
+  }
+
   test("no query degenerates to a cartesian product (except q_join_cross)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "q_join_cross") // the explicit small×small cross join

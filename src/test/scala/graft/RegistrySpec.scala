@@ -18,7 +18,8 @@ class RegistrySpec extends SparkSpec {
       operators.JoinQueries, operators.AggregateQueries,
       operators.WindowQueries, operators.FunctionQueries,
       operators.DedupQueries, operators.TextStatsQueries,
-      operators.SimilarityQueries, operators.ReshapeQueries)
+      operators.SimilarityQueries, operators.ReshapeQueries,
+      operators.SubqueryQueries)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")
