@@ -53,28 +53,7 @@ object DedupQueries extends QueryModule {
     // pass only touches duplicate-candidate rows (tiny fraction of corpus),
     // so exactness costs nothing at scale. Results are identical to the
     // naive groupBy(norm): the oracle still groups on LOWER(TRIM(text)).
-    "q_dedup_exact" -> ((s, dir) => {
-      val normed = t(s, dir, "documents")
-        .select(col("doc_id"),
-          xxhash64(lower(trim(col("text")))).as("hk"),
-          lower(trim(col("text"))).as("norm"))
-      // pass 1: per-hash counts; map-side partial agg means the Exchange
-      // moves (hk, partial cnt/min) only — no text on the wire.
-      val byHash = normed.groupBy("hk")
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      val singles = byHash.filter(col("n_copies") === 1)
-        .select("doc_id", "n_copies")
-      // pass 2: multi-member hash groups re-grouped on the true norm text.
-      // The candidate-hash set is duplicate-bounded (broadcastable; were it
-      // ever not, the same join runs as a shuffle join on hk — still no
-      // full-corpus text shuffle, only duplicate rows carry text).
-      val multiHks = byHash.filter(col("n_copies") > 1).select("hk")
-      val resolved = normed.join(broadcast(multiHks), "hk")
-        .groupBy("hk", "norm")
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select("doc_id", "n_copies")
-      singles.unionAll(resolved).orderBy("doc_id")
-    }),
+    "q_dedup_exact" -> ((s, dir) => dedupExact(s, dir)),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       // fixtures are single-row-group parquet → the scan is one task; the
@@ -161,6 +140,48 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     })
   )
+
+  /** Hash-grouped exact dedup: the first (full-corpus) aggregate groups on
+    * xxhash64(norm) so its shuffle carries 16 bytes/row, not the document
+    * text (at 100 TB, grouping on the raw norm string makes shuffle volume
+    * ≈ corpus size). Hash groups with >1 member — actual duplicates OR
+    * 64-bit collisions — are re-resolved on the real norm text; that second
+    * pass only touches duplicate-candidate rows (tiny fraction of corpus),
+    * so exactness costs nothing at scale. Results are identical to the
+    * naive groupBy(norm): the oracle still groups on LOWER(TRIM(text)).
+    *
+    * `materialize` localCheckpoints the per-hash counts: both the singles
+    * filter and the multi-hash probe consume that relation, and column
+    * pruning gives the two branches different aggregates (no
+    * ReusedExchange), so without a barrier the scan+aggregate runs twice.
+    * PlanSpec asserts the shuffle shape on the materialize=false twin
+    * (the checkpoint hides the pass-1 Exchange behind an ExistingRDD scan).
+    */
+  private[graft] def dedupExact(s: org.apache.spark.sql.SparkSession,
+      dir: String, materialize: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val normed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        xxhash64(lower(trim(col("text")))).as("hk"),
+        lower(trim(col("text"))).as("norm"))
+    // pass 1: per-hash counts; map-side partial agg means the Exchange
+    // moves (hk, partial cnt/min) only — no text on the wire.
+    val byHashRaw = normed.groupBy("hk")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    val byHash = if (materialize) byHashRaw.localCheckpoint() else byHashRaw
+    val singles = byHash.filter(col("n_copies") === 1)
+      .select("doc_id", "n_copies")
+    // pass 2: multi-member hash groups re-grouped on the true norm text.
+    // The candidate-hash set is duplicate-bounded (broadcastable; were it
+    // ever not, the same join runs as a shuffle join on hk — still no
+    // full-corpus text shuffle, only duplicate rows carry text).
+    val multiHks = byHash.filter(col("n_copies") > 1).select("hk")
+    val resolved = normed.join(broadcast(multiHks), "hk")
+      .groupBy("hk", "norm")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+    singles.unionAll(resolved).orderBy("doc_id")
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->

@@ -89,13 +89,21 @@ object SimilarityQueries extends QueryModule {
     // order), so the predicate cannot flake.
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      // the fixture parquet is one row-group → one scan task; spread the
+      // STREAM side so the nested-loop pair generation parallelizes (at
+      // 100 TB the stream side arrives partitioned — this reproduces that
+      // shape locally). The broadcast side stays whole on every task.
+      val a = e.repartition(col("vec_id"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("cos_raw", cosine(s, "ea", "eb"))
-        .filter(col("cos_raw") > 0.4)
-        .select(col("id_a"), col("id_b"),
-          round(col("cos_raw"), 4).as("cos"))
+      val cos = cosine(s, "ea", "eb")
+      // both predicates live IN the join condition, cheap one first: a
+      // pushed-down filter lands AHEAD of the join's own condition, making
+      // every ordered pair pay the cosine before the id short-circuit —
+      // conjunct order here halves the cosine evaluations. The projection
+      // re-evaluates cosine only for the surviving pairs.
+      a.join(broadcast(b), col("id_a") < col("id_b") && cos > 0.4)
+        .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),
 

@@ -59,7 +59,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_dedup_exact: corpus-wide shuffle keyed by hash, not text") {
-    val plan = executed("q_dedup_exact")
+    // materialize=false: the production query localCheckpoints pass 1
+    // (hiding its Exchange behind an ExistingRDD scan); the twin keeps the
+    // full lineage visible so the shuffle shape stays assertable.
+    val plan = operators.DedupQueries.dedupExact(spark, sf, materialize = false)
+      .queryExecution.executedPlan.toString
     val shuffles = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     // pass 1 (all documents) exchanges on xxhash64 of the normalized text;
