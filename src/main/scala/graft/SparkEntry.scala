@@ -22,7 +22,8 @@ object SparkEntry {
     operators.TextStatsQueries,
     operators.SimilarityQueries,
     operators.ReshapeQueries,
-    operators.SubqueryQueries
+    operators.SubqueryQueries,
+    operators.TextPipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

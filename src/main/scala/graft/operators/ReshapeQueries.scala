@@ -57,6 +57,30 @@ object ReshapeQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // Deterministic source mixing: per-source keep weights (1, 1/2, 1/4,
+    // 1/8 by source index mod 4 — a stand-in for a curated mix config),
+    // gated by an independent md5 draw per document (salted "mix" so this
+    // sample is uncorrelated with q_sample_hash's). The mixed subset is
+    // reproducible across runs/cluster sizes and the keep decision is a
+    // scan-side codegen'd filter — no shuffle until the audit aggregate.
+    "q_source_mix" -> ((s, dir) => {
+      val grp = substring(col("source"), 4, 10).cast("int") % 4
+      val h = substring(
+        md5(concat(lit("mix"), col("doc_id").cast("string")).cast("binary")),
+        1, 2)
+      val kept = grp === 0 ||
+        (grp === 1 && h < "80") ||
+        (grp === 2 && h < "40") ||
+        (grp === 3 && h < "20")
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(kept, lit(1))).as("n_kept"))
+        .withColumn("kept_ratio",
+          pround4(col("n_kept").cast("double") / col("n_total")))
+        .orderBy("source")
+    }),
+
     // Stratified fixed-size sample: up to N docs per language, chosen by
     // md5(key) order — deterministic (same subset every run / cluster
     // size) yet uniform within each stratum. One Exchange on the stratum
@@ -96,6 +120,21 @@ object ReshapeQueries extends QueryModule {
       """SELECT doc_id, lang, source FROM documents
         |WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH w AS (SELECT source, doc_id,
+        |    CAST(SUBSTRING(source, 4) AS INT) % 4 AS grp,
+        |    SUBSTRING(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |  FROM documents),
+        |agg AS (SELECT source, COUNT(*) AS n_total,
+        |    COUNT(*) FILTER (WHERE grp = 0 OR (grp = 1 AND h < '80')
+        |      OR (grp = 2 AND h < '40') OR (grp = 3 AND h < '20'))
+        |      AS n_kept
+        |  FROM w GROUP BY source)
+        |SELECT source, n_total, n_kept,
+        |  FLOOR((CAST(n_kept AS DOUBLE) / n_total) * 10000 + 0.5) / 10000
+        |    AS kept_ratio
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, rn, doc_id FROM (

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.LangId
+import org.apache.spark.sql.functions._
+
+/** Training-data text-pipeline operators over `documents` (north-star §2.3
+  * J extensions): fixed-stride chunking, term-list redaction, and an
+  * oracle-gated language-ID confusion matrix.
+  *
+  *   - q_chunk_docs: 32-token chunks at stride 24 (overlapping, the usual
+  *     LM pretraining shape). Pure per-row expansion: split → sequence of
+  *     chunk starts → explode → slice. No shuffle except the output ORDER
+  *     BY; at 100 TB this is an embarrassingly parallel map with output
+  *     ~1.3× input — the plan a chunker must have.
+  *   - q_redact: masks a term list via one compiled regex alternation per
+  *     row plus an exact token-membership count (the audit trail). Per-row
+  *     codegen, no shuffle. (The fixture corpus has no digits, so the
+  *     pattern redacts a term list rather than number-shaped PII; the
+  *     plumbing — replace + count + keep-original-length metadata — is the
+  *     same.)
+  *   - q_lang_id: LangId.detect (marker-profile argmax, deterministic
+  *     alphabetical tie-break) joined against the labeled `lang` column as
+  *     a confusion matrix — the whole heuristic is oracle-replicated in
+  *     SQL, so the driver gate checks the classifier itself, not just row
+  *     counts. Per-row scoring + one bounded hash aggregate (5×5 cells).
+  */
+object TextPipelineQueries extends QueryModule {
+
+  private val chunkLen = 32
+  private val stride = 24
+
+  /** Terms the redaction pass masks (stand-in for a PII term list). */
+  private val redactTerms = Seq("customer", "value", "key")
+
+  override def queries: Map[String, Q] = Map(
+    "q_chunk_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("start",
+          explode(sequence(lit(1), size(col("toks")), lit(stride))))
+      val chunk = slice(col("toks"), col("start"), lit(chunkLen))
+      d.select(col("doc_id"),
+          ((col("start") - 1) / stride).cast("int").as("chunk_id"),
+          size(chunk).as("n_toks"),
+          array_join(chunk, " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "q_redact" -> ((s, dir) => {
+      val pat = redactTerms.mkString("\\b(", "|", ")\\b")
+      val termArr = array(redactTerms.map(lit): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "),
+            x => array_contains(termArr, x))).as("n_red"),
+          regexp_replace(col("text"), pat, "[X]").as("red"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), LangId.detect(col("text")).as("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "detected"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, LEN(toks) AS n,
+        |        UNNEST(RANGE(1, LEN(toks) + 1, 24)) AS start FROM d)
+        |SELECT doc_id, CAST((start - 1) / 24 AS INT) AS chunk_id,
+        |  CAST(LEN(toks[start : LEAST(start + 31, n)]) AS INT) AS n_toks,
+        |  ARRAY_TO_STRING(toks[start : LEAST(start + 31, n)], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |    x -> x IN ('customer', 'value', 'key'))) AS INT) AS n_red,
+        |  REGEXP_REPLACE(text, '\b(customer|value|key)\b', '[X]', 'g')
+        |    AS red
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH d AS (SELECT lang,
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT lang,
+        |  LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+        |    ['der','die','und','das','ist','ein','nicht','mit'], t))) AS s_de,
+        |  LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+        |    ['the','and','of','is','in','to','it','that'], t))) AS s_en,
+        |  LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+        |    ['el','la','de','que','y','los','en','un'], t))) AS s_es,
+        |  LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+        |    ['le','la','et','les','des','un','une','est'], t))) AS s_fr
+        |  FROM d),
+        |det AS (SELECT lang, CASE
+        |    WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS detected FROM s)
+        |SELECT lang, detected, COUNT(*) AS n FROM det
+        |GROUP BY lang, detected ORDER BY lang, detected""".stripMargin
+  )
+}

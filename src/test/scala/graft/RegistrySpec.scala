@@ -19,7 +19,7 @@ class RegistrySpec extends SparkSpec {
       operators.WindowQueries, operators.FunctionQueries,
       operators.DedupQueries, operators.TextStatsQueries,
       operators.SimilarityQueries, operators.ReshapeQueries,
-      operators.SubqueryQueries)
+      operators.SubqueryQueries, operators.TextPipelineQueries)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")
