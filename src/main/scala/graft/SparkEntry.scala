@@ -23,7 +23,8 @@ object SparkEntry {
     operators.SimilarityQueries,
     operators.ReshapeQueries,
     operators.SubqueryQueries,
-    operators.TextPipelineQueries
+    operators.TextPipelineQueries,
+    operators.PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the remaining
+  * training-data-pipeline stages: multi-rule quality filtering,
+  * eval-set decontamination, sequence packing, and vocabulary/OOV
+  * filtering.
+  *
+  * Determinism: every predicate is an integer×integer comparison
+  * (`n_oov * 10 > n * 3` instead of a float-ratio threshold), so both
+  * engines compare the exact same operands; doubles only appear at the
+  * final portable ROUND.
+  *
+  *   - q_quality_filter: C4-style cascaded keep rules (min length, type-
+  *     token ratio, stopword ratio) with a per-rule drop audit — the
+  *     first failing rule claims the doc, so drop counts are disjoint and
+  *     sum with n_kept back to n_docs. Per-row codegen + one bounded agg
+  *     (5 langs); embarrassingly parallel at any scale.
+  *   - q_decontaminate: 5-gram collision between train docs (doc_id >=
+  *     10) and the eval set (doc_id < 10). Both sides explode to
+  *     per-doc DISTINCT grams and meet in a key-equality join on the
+  *     gram — the word-count shuffle plan (never a doc×doc product);
+  *     at 100 TB hash the gram to a 64-bit key so the Exchange carries
+  *     16 B/row, and broadcast the eval side (eval sets are tiny).
+  *   - q_pack_sequences: streaming sequence packing — running token
+  *     cumsum per source (ordered by the unique doc_id), bin =
+  *     floor((cum-1)/256); docs straddling a boundary overflow into
+  *     their starting bin (pack-then-split semantics). One window scan
+  *     per source partition + one bounded agg; a skewed mega-source is
+  *     the only 100× hazard (then: pre-split sources by hash salt).
+  *   - q_vocab_oov: per-doc out-of-vocabulary rate against the corpus
+  *     top-20 vocabulary. Vocabulary = bounded word-count agg (31
+  *     distinct words here; cap keeps it bounded at any corpus size)
+  *     joined back as a broadcast; keep decision is integer-exact.
+  */
+object PipelineQueries extends QueryModule {
+
+  private val stopwords = Seq("data", "processing", "the", "and", "of")
+
+  override def queries: Map[String, Q] = Map(
+    "q_quality_filter" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      val base = t(s, dir, "documents").select(col("lang"),
+        size(toks).as("n"),
+        size(array_distinct(toks)).as("nu"),
+        size(filter(toks, x => array_contains(stopArr, x))).as("ns"))
+      val lenOk = col("n") >= 15
+      val ttrOk = col("nu") * 10 >= col("n") * 3
+      val stopOk = col("ns") * 8 <= col("n")
+      base.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(!lenOk, lit(1))).as("drop_len"),
+          count(when(lenOk && !ttrOk, lit(1))).as("drop_ttr"),
+          count(when(lenOk && ttrOk && !stopOk, lit(1))).as("drop_stop"),
+          count(when(lenOk && ttrOk && stopOk, lit(1))).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 4),
+            |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin))
+          .as("g"))
+        .distinct()
+      val ev = grams.filter(col("doc_id") < 10).select("g").distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_grams"))
+        .orderBy("doc_id")
+    }),
+
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", floor((col("cum") - 1) / 256).cast("bigint"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("bin_toks"))
+        .orderBy("source", "bin")
+    }),
+
+    "q_vocab_oov" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(20)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+        .select(col("doc_id"), col("n"), col("n_oov"),
+          pround4(col("n_oov").cast("double") / col("n")).as("oov_ratio"),
+          when(col("n_oov") * 10 <= col("n") * 3, lit(1)).otherwise(lit(0))
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_quality_filter" ->
+      """WITH m AS (SELECT lang, STRING_SPLIT(text, ' ') AS toks
+        |           FROM documents),
+        |f AS (SELECT lang,
+        |    LEN(toks) >= 15 AS len_ok,
+        |    LEN(LIST_DISTINCT(toks)) * 10 >= LEN(toks) * 3 AS ttr_ok,
+        |    LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+        |      ['data','processing','the','and','of'], x))) * 8
+        |      <= LEN(toks) AS stop_ok
+        |  FROM m)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE NOT len_ok) AS drop_len,
+        |  COUNT(*) FILTER (WHERE len_ok AND NOT ttr_ok) AS drop_ttr,
+        |  COUNT(*) FILTER (WHERE len_ok AND ttr_ok AND NOT stop_ok)
+        |    AS drop_stop,
+        |  COUNT(*) FILTER (WHERE len_ok AND ttr_ok AND stop_ok) AS n_kept
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |              FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+        |grams AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+        |    RANGE(1, LEN(t) - 3), i -> ARRAY_TO_STRING(t[i : i + 4], ' ')))
+        |    AS g FROM toks),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+        |SELECT doc_id, COUNT(*) AS n_hit_grams
+        |FROM grams JOIN ev USING (g) WHERE doc_id >= 10
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+        |c AS (SELECT source, doc_id, n,
+        |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source, CAST(FLOOR((cum - 1) / 256.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_toks
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |             FROM documents),
+        |vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok
+        |  GROUP BY w ORDER BY c DESC, w ASC LIMIT 20)),
+        |oov AS (SELECT doc_id, COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)) AS n_oov
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n, n_oov,
+        |  FLOOR((CAST(n_oov AS DOUBLE) / n) * 10000 + 0.5) / 10000
+        |    AS oov_ratio,
+        |  CAST(CASE WHEN n_oov * 10 <= n * 3 THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM oov ORDER BY doc_id""".stripMargin
+  )
+}

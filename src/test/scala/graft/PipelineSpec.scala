@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the corpus-curation family: quality filtering,
+  * decontamination, sequence packing, OOV filtering. */
+class PipelineSpec extends SparkSpec {
+
+  test("q_quality_filter: drop buckets are disjoint and sum to n_docs") {
+    val rows = q("q_quality_filter").collect()
+    rows.foreach { r =>
+      val total = r.getAs[Long]("drop_len") + r.getAs[Long]("drop_ttr") +
+        r.getAs[Long]("drop_stop") + r.getAs[Long]("n_kept")
+      assert(total == r.getAs[Long]("n_docs"),
+        s"${r.getAs[String]("lang")}: buckets don't partition the corpus")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == table("documents").count())
+  }
+
+  test("q_decontaminate: every reported doc shares a 5-gram with the eval set") {
+    val docs = table("documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val ev = docs.filter(_._1 < 10).values.flatMap(grams).toSet
+    val expected = docs.filter(_._1 >= 10)
+      .map { case (id, t) => id -> grams(t).count(ev.contains) }
+      .filter(_._2 > 0)
+    val got = q("q_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_grams").toInt)
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q_pack_sequences: bins are contiguous per source, token counts add up") {
+    val rows = q("q_pack_sequences").collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins.head == 0 && bins == (bins.head to bins.last).toSeq,
+        s"$src: bins not contiguous: ${bins.toSeq}")
+    }
+    val totalToks = rows.map(_.getAs[Long]("bin_toks")).sum
+    val expect = table("documents")
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(totalToks == expect)
+  }
+
+  test("q_vocab_oov: ratios consistent, keep matches the integer rule") {
+    q("q_vocab_oov").collect().foreach { r =>
+      val n = r.getAs[Long]("n"); val oov = r.getAs[Long]("n_oov")
+      assert(oov <= n)
+      assert(r.getAs[Int]("keep") == (if (oov * 10 <= n * 3) 1 else 0))
+    }
+  }
+}

@@ -19,7 +19,8 @@ class RegistrySpec extends SparkSpec {
       operators.WindowQueries, operators.FunctionQueries,
       operators.DedupQueries, operators.TextStatsQueries,
       operators.SimilarityQueries, operators.ReshapeQueries,
-      operators.SubqueryQueries, operators.TextPipelineQueries)
+      operators.SubqueryQueries, operators.TextPipelineQueries,
+      operators.PipelineQueries)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")
