@@ -108,6 +108,54 @@ object DedupQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // MinHash + banded LSH as a DRIVER-GATED query (the library's
+    // xxhash64-based MinHashDedup stays the production path; this twin uses
+    // md5 so the oracle can replicate every hash bit-for-bit). 8 one-row
+    // bands: slot j's minhash = min over shingles of md5("j:"+shingle);
+    // candidates = pairs agreeing in ANY slot — a key-equality join on
+    // (j, minhash), shuffle ∝ 8×corpus of narrow rows, never all-pairs.
+    // Candidates are then verified with exact bigram Jaccard (integer-
+    // exact threshold), so LSH recall misses only affect which TRUE pairs
+    // can appear — and both engines compute the identical candidate set,
+    // so the oracle matches exactly rather than probabilistically.
+    "q_minhash_lsh" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin)).as("g"))
+        .distinct()
+        .localCheckpoint() // three consumers (slots, shared a/b sides)
+      val slots = sh
+        .select(col("doc_id"), col("g"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .select(col("doc_id"), col("j"),
+          md5(concat(col("j").cast("string"), lit(":"), col("g"))
+            .cast("binary")).as("mh"))
+        .groupBy("doc_id", "j").agg(min(col("mh")).as("mh"))
+      val cand = slots.as("a").join(slots.as("b"),
+          col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = cand
+        .join(sh.as("x"), col("x.doc_id") === col("id_a"))
+        .join(sh.as("y"),
+          col("y.doc_id") === col("id_b") && col("y.g") === col("x.g"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      shared
+        .join(sizes.as("na"), col("na.doc_id") === col("id_a"))
+        .join(sizes.as("nb"), col("nb.doc_id") === col("id_b"))
+        .filter(col("inter") * 2 > col("na.n") + col("nb.n") - col("inter"))
+        .select(col("id_a"), col("id_b"),
+          pround4(col("inter").cast("double")
+            / (col("na.n") + col("nb.n") - col("inter"))).as("jac"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Keep-latest compaction (CDC-style dedup): one surviving row per key,
     // the one with the highest event_id (unique + time-correlated, so the
     // ns-vs-µs timestamp difference between engines can't flip the pick).
@@ -187,6 +235,32 @@ object DedupQueries extends QueryModule {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY LOWER(TRIM(text)) ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+        |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
+        |    AS g FROM toks),
+        |slots AS (SELECT doc_id, j,
+        |    MIN(md5(CAST(j AS VARCHAR) || ':' || g)) AS mh
+        |  FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j)
+        |  GROUP BY doc_id, j),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM slots a JOIN slots b
+        |    ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+        |  JOIN sh y ON y.doc_id = c.id_b AND y.g = x.g
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT s.id_a, s.id_b,
+        |  FLOOR((CAST(inter AS DOUBLE) / (na.n + nb.n - inter)) * 10000
+        |    + 0.5) / 10000 AS jac
+        |FROM shared s JOIN sizes na ON na.doc_id = s.id_a
+        |JOIN sizes nb ON nb.doc_id = s.id_b
+        |WHERE inter * 2 > (na.n + nb.n - inter)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (
