@@ -110,49 +110,75 @@ object DedupQueries extends QueryModule {
 
     // MinHash + banded LSH as a DRIVER-GATED query (the library's
     // xxhash64-based MinHashDedup stays the production path; this twin uses
-    // md5 so the oracle can replicate every hash bit-for-bit). 8 one-row
-    // bands: slot j's minhash = min over shingles of md5("j:"+shingle);
-    // candidates = pairs agreeing in ANY slot — a key-equality join on
-    // (j, minhash), shuffle ∝ 8×corpus of narrow rows, never all-pairs.
-    // Candidates are then verified with exact bigram Jaccard (integer-
-    // exact threshold), so LSH recall misses only affect which TRUE pairs
-    // can appear — and both engines compute the identical candidate set,
-    // so the oracle matches exactly rather than probabilistically.
+    // md5 so the oracle can replicate every hash bit-for-bit). B=4 bands ×
+    // R=4 rows: slot k's minhash = min over shingles of an affine variant
+    // of the shingle's md5-derived 32-bit integer;
+    // a band key concatenates its 4 slots, candidates = pairs agreeing on
+    // ANY whole band — the S-curve P(cand) = 1-(1-j^4)^4 keeps true
+    // near-dups (j=0.9 → .99) while crushing the false-positive flood a
+    // band size of 1 produces on a shared-vocabulary corpus (j≈0.05 →
+    // 3e-5; single-hash bands made EVERY ~5%-similar pair a candidate —
+    // a 4M-pair verify join at sf0.1). The band join is key-equality,
+    // shuffle ∝ B×corpus of narrow rows, never all-pairs. Candidates are
+    // then verified with exact bigram Jaccard (integer-exact threshold),
+    // so LSH recall only affects which TRUE pairs can appear — and both
+    // engines compute the identical candidate set, so the oracle matches
+    // exactly rather than probabilistically.
     "q_minhash_lsh" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      // per-doc DISTINCT gram ARRAYS (not an exploded relation): the
+      // LSH stage explodes them transiently for hashing, and the verify
+      // stage consumes the arrays whole via the native set-jaccard
+      // kernel — no gram-level join, no sizes relation.
+      val docGrams = t(s, dir, "documents")
         .repartition(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), array_distinct(expr(
           """transform(sequence(1, size(t) - 1),
-            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin)).as("g"))
-        .distinct()
-        .localCheckpoint() // three consumers (slots, shared a/b sides)
-      val slots = sh
-        .select(col("doc_id"), col("g"),
-          explode(sequence(lit(0), lit(7))).as("j"))
-        .select(col("doc_id"), col("j"),
-          md5(concat(col("j").cast("string"), lit(":"), col("g"))
-            .cast("binary")).as("mh"))
-        .groupBy("doc_id", "j").agg(min(col("mh")).as("mh"))
-      val cand = slots.as("a").join(slots.as("b"),
-          col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
+          .as("grams"))
+        .localCheckpoint() // consumers: LSH hashing + both verify sides
+      // one md5 per gram; the 16 slot hashes derive arithmetically
+      // ((2k+1)·h + 104729k mod 1e9+7 — products stay < 2^38, no
+      // overflow). All 16 mins run as parallel aggregate buffers over
+      // the unexploded gram relation: no 16× row blowup, map-side
+      // partial combine shrinks the one Exchange to 16 longs per doc.
+      val hashed = docGrams
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint").as("h"))
+      val minCols = (0 to 15).map(k =>
+        min((col("h") * (2 * k + 1) + lit(104729L * k)) % 1000000007)
+          .as(s"m$k"))
+      val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bands = mins.select(col("doc_id"), explode(array(
+          (0 to 3).map(b => struct(lit(b).as("band"),
+            concat_ws("|",
+              (0 to 3).map(r => col(s"m${4 * b + r}")): _*).as("bk"))): _*))
+          .as("s"))
+        .select(col("doc_id"), col("s.band").as("band"), col("s.bk").as("bk"))
+        .localCheckpoint() // both self-join sides; 4 narrow rows per doc
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = cand
-        .join(sh.as("x"), col("x.doc_id") === col("id_a"))
-        .join(sh.as("y"),
-          col("y.doc_id") === col("id_b") && col("y.g") === col("x.g"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      shared
-        .join(sizes.as("na"), col("na.doc_id") === col("id_a"))
-        .join(sizes.as("nb"), col("nb.doc_id") === col("id_b"))
-        .filter(col("inter") * 2 > col("na.n") + col("nb.n") - col("inter"))
-        .select(col("id_a"), col("id_b"),
-          pround4(col("inter").cast("double")
-            / (col("na.n") + col("nb.n") - col("inter"))).as("jac"))
+      // exact-Jaccard verification: candidates broadcast against the
+      // gram-array relation twice, one native hash-set pass per pair —
+      // same integer ratio the oracle's gram-level join computes, minus
+      // its three shuffles. A pair exactly AT jac = 0.5 is excluded by
+      // both (inter/union vs 0.5 compares exactly: the quotient is
+      // > 1/(2·union) away from 0.5 whenever 2·inter ≠ union).
+      graft.functions.NativeJaccard.register(s)
+      val jac = call_function(graft.functions.NativeJaccard.name,
+        col("x.grams"), col("y.grams"))
+      broadcast(cand)
+        .join(docGrams.as("x"), col("x.doc_id") === col("id_a"))
+        .join(docGrams.as("y"), col("y.doc_id") === col("id_b"))
+        .select(col("id_a"), col("id_b"), jac.as("jac_raw"))
+        .filter(col("jac_raw") > 0.5)
+        .select(col("id_a"), col("id_b"), pround4(col("jac_raw")).as("jac"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -242,13 +268,35 @@ object DedupQueries extends QueryModule {
         |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
         |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
         |    AS g FROM toks),
-        |slots AS (SELECT doc_id, j,
-        |    MIN(md5(CAST(j AS VARCHAR) || ':' || g)) AS mh
-        |  FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j)
-        |  GROUP BY doc_id, j),
+        |hashed AS (SELECT doc_id,
+        |    CAST('0x' || SUBSTRING(md5(g), 1, 8) AS BIGINT) AS h FROM sh),
+        |mins AS (SELECT doc_id,
+        |    MIN((h * 1 + 0) % 1000000007) AS m0,
+        |    MIN((h * 3 + 104729) % 1000000007) AS m1,
+        |    MIN((h * 5 + 209458) % 1000000007) AS m2,
+        |    MIN((h * 7 + 314187) % 1000000007) AS m3,
+        |    MIN((h * 9 + 418916) % 1000000007) AS m4,
+        |    MIN((h * 11 + 523645) % 1000000007) AS m5,
+        |    MIN((h * 13 + 628374) % 1000000007) AS m6,
+        |    MIN((h * 15 + 733103) % 1000000007) AS m7,
+        |    MIN((h * 17 + 837832) % 1000000007) AS m8,
+        |    MIN((h * 19 + 942561) % 1000000007) AS m9,
+        |    MIN((h * 21 + 1047290) % 1000000007) AS m10,
+        |    MIN((h * 23 + 1152019) % 1000000007) AS m11,
+        |    MIN((h * 25 + 1256748) % 1000000007) AS m12,
+        |    MIN((h * 27 + 1361477) % 1000000007) AS m13,
+        |    MIN((h * 29 + 1466206) % 1000000007) AS m14,
+        |    MIN((h * 31 + 1570935) % 1000000007) AS m15
+        |  FROM hashed GROUP BY doc_id),
+        |bands AS (SELECT doc_id, UNNEST([0, 1, 2, 3]) AS band, UNNEST([
+        |    CAST(m0 AS VARCHAR) || '|' || m1 || '|' || m2 || '|' || m3,
+        |    CAST(m4 AS VARCHAR) || '|' || m5 || '|' || m6 || '|' || m7,
+        |    CAST(m8 AS VARCHAR) || '|' || m9 || '|' || m10 || '|' || m11,
+        |    CAST(m12 AS VARCHAR) || '|' || m13 || '|' || m14 || '|' || m15
+        |  ]) AS bk FROM mins),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM slots a JOIN slots b
-        |    ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
         |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
