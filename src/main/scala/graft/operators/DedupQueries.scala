@@ -124,63 +124,19 @@ object DedupQueries extends QueryModule {
     // so LSH recall only affects which TRUE pairs can appear — and both
     // engines compute the identical candidate set, so the oracle matches
     // exactly rather than probabilistically.
-    "q_minhash_lsh" -> ((s, dir) => {
-      // per-doc DISTINCT gram ARRAYS (not an exploded relation): the
-      // LSH stage explodes them transiently for hashing, and the verify
-      // stage consumes the arrays whole via the native set-jaccard
-      // kernel — no gram-level join, no sizes relation.
-      val docGrams = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          """transform(sequence(1, size(t) - 1),
-            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
-          .as("grams"))
-        .localCheckpoint() // consumers: LSH hashing + both verify sides
-      // one md5 per gram; the 16 slot hashes derive arithmetically
-      // ((2k+1)·h + 104729k mod 1e9+7 — products stay < 2^38, no
-      // overflow). All 16 mins run as parallel aggregate buffers over
-      // the unexploded gram relation: no 16× row blowup, map-side
-      // partial combine shrinks the one Exchange to 16 longs per doc.
-      val hashed = docGrams
-        .select(col("doc_id"), explode(col("grams")).as("g"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
-            .cast("bigint").as("h"))
-      val minCols = (0 to 15).map(k =>
-        min((col("h") * (2 * k + 1) + lit(104729L * k)) % 1000000007)
-          .as(s"m$k"))
-      val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      val bands = mins.select(col("doc_id"), explode(array(
-          (0 to 3).map(b => struct(lit(b).as("band"),
-            concat_ws("|",
-              (0 to 3).map(r => col(s"m${4 * b + r}")): _*).as("bk"))): _*))
-          .as("s"))
-        .select(col("doc_id"), col("s.band").as("band"), col("s.bk").as("bk"))
-        .localCheckpoint() // both self-join sides; 4 narrow rows per doc
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      // exact-Jaccard verification: candidates broadcast against the
-      // gram-array relation twice, one native hash-set pass per pair —
-      // same integer ratio the oracle's gram-level join computes, minus
-      // its three shuffles. A pair exactly AT jac = 0.5 is excluded by
-      // both (inter/union vs 0.5 compares exactly: the quotient is
-      // > 1/(2·union) away from 0.5 whenever 2·inter ≠ union).
-      graft.functions.NativeJaccard.register(s)
-      val jac = call_function(graft.functions.NativeJaccard.name,
-        col("x.grams"), col("y.grams"))
-      broadcast(cand)
-        .join(docGrams.as("x"), col("x.doc_id") === col("id_a"))
-        .join(docGrams.as("y"), col("y.doc_id") === col("id_b"))
-        .select(col("id_a"), col("id_b"), jac.as("jac_raw"))
-        .filter(col("jac_raw") > 0.5)
-        .select(col("id_a"), col("id_b"), pround4(col("jac_raw")).as("jac"))
-        .orderBy("id_a", "id_b")
-    }),
+    "q_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // Connected-components clustering of the verified LSH pairs:
+    // pair detection alone under-deletes (A≈B, B≈C with A̸≈C must
+    // still collapse to ONE survivor); this is the last stage of a
+    // production dedup pipeline, here driver-gated end-to-end:
+    // candidates → exact verify → transitive closure. The oracle
+    // computes the same components with a recursive CTE; labels are
+    // component minima on both sides, so rows match exactly.
+    "q_dedup_cluster" -> ((s, dir) =>
+      graft.functions.DedupClusters
+        .connectedComponents(minhashPairs(s, dir), "id_a", "id_b")
+        .orderBy("id")),
 
     // Keep-latest compaction (CDC-style dedup): one surviving row per key,
     // the one with the highest event_id (unique + time-correlated, so the
@@ -257,13 +213,71 @@ object DedupQueries extends QueryModule {
     singles.unionAll(resolved).orderBy("doc_id")
   }
 
-  override def oracleSql: Map[String, String] = Map(
-    "q_dedup_exact" ->
-      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY LOWER(TRIM(text)) ORDER BY doc_id""".stripMargin,
+  /** Verified MinHash-LSH near-dup pairs (id_a, id_b, jac) — the body
+    * of q_minhash_lsh, reused by q_dedup_cluster as its edge list. */
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+      // per-doc DISTINCT gram ARRAYS (not an exploded relation): the
+      // LSH stage explodes them transiently for hashing, and the verify
+      // stage consumes the arrays whole via the native set-jaccard
+      // kernel — no gram-level join, no sizes relation.
+      val docGrams = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
+          .as("grams"))
+        .localCheckpoint() // consumers: LSH hashing + both verify sides
+      // one md5 per gram; the 16 slot hashes derive arithmetically
+      // ((2k+1)·h + 104729k mod 1e9+7 — products stay < 2^38, no
+      // overflow). All 16 mins run as parallel aggregate buffers over
+      // the unexploded gram relation: no 16× row blowup, map-side
+      // partial combine shrinks the one Exchange to 16 longs per doc.
+      val hashed = docGrams
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint").as("h"))
+      val minCols = (0 to 15).map(k =>
+        min((col("h") * (2 * k + 1) + lit(104729L * k)) % 1000000007)
+          .as(s"m$k"))
+      val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bands = mins.select(col("doc_id"), explode(array(
+          (0 to 3).map(b => struct(lit(b).as("band"),
+            concat_ws("|",
+              (0 to 3).map(r => col(s"m${4 * b + r}")): _*).as("bk"))): _*))
+          .as("s"))
+        .select(col("doc_id"), col("s.band").as("band"), col("s.bk").as("bk"))
+        .localCheckpoint() // both self-join sides; 4 narrow rows per doc
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      // exact-Jaccard verification: candidates broadcast against the
+      // gram-array relation twice, one native hash-set pass per pair —
+      // same integer ratio the oracle's gram-level join computes, minus
+      // its three shuffles. A pair exactly AT jac = 0.5 is excluded by
+      // both (inter/union vs 0.5 compares exactly: the quotient is
+      // > 1/(2·union) away from 0.5 whenever 2·inter ≠ union).
+      graft.functions.NativeJaccard.register(s)
+      val jac = call_function(graft.functions.NativeJaccard.name,
+        col("x.grams"), col("y.grams"))
+      broadcast(cand)
+        .join(docGrams.as("x"), col("x.doc_id") === col("id_a"))
+        .join(docGrams.as("y"), col("y.doc_id") === col("id_b"))
+        .select(col("id_a"), col("id_b"), jac.as("jac_raw"))
+        .filter(col("jac_raw") > 0.5)
+        .select(col("id_a"), col("id_b"), pround4(col("jac_raw")).as("jac"))
+        .orderBy("id_a", "id_b")
+  }
 
-    "q_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+  /** Shared oracle CTE chain for the MinHash-LSH family; ends at
+    * `pairs(id_a, id_b, jac)` — the verified near-dup pair list. */
+  private val minhashCtes: String =
+    """toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
         |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
         |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
@@ -301,14 +315,38 @@ object DedupQueries extends QueryModule {
         |shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
         |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
         |  JOIN sh y ON y.doc_id = c.id_b AND y.g = x.g
-        |  GROUP BY c.id_a, c.id_b)
-        |SELECT s.id_a, s.id_b,
-        |  FLOOR((CAST(inter AS DOUBLE) / (na.n + nb.n - inter)) * 10000
-        |    + 0.5) / 10000 AS jac
-        |FROM shared s JOIN sizes na ON na.doc_id = s.id_a
-        |JOIN sizes nb ON nb.doc_id = s.id_b
-        |WHERE inter * 2 > (na.n + nb.n - inter)
-        |ORDER BY id_a, id_b""".stripMargin,
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (SELECT s.id_a, s.id_b,
+        |    FLOOR((CAST(inter AS DOUBLE) / (na.n + nb.n - inter)) * 10000
+        |      + 0.5) / 10000 AS jac
+        |  FROM shared s JOIN sizes na ON na.doc_id = s.id_a
+        |  JOIN sizes nb ON nb.doc_id = s.id_b
+        |  WHERE inter * 2 > (na.n + nb.n - inter))""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY LOWER(TRIM(text)) ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_lsh" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, jac FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same pipeline, closed transitively: DuckDB computes the components
+    // with a recursive CTE (reach = reflexive-transitive closure of the
+    // undirected pair graph; label = MIN over reachable ids), matching
+    // the iterative min-label propagation of DedupClusters exactly.
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS id, MIN(b) AS cluster FROM reach
+         |GROUP BY a ORDER BY id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (

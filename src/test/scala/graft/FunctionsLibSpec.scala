@@ -110,6 +110,25 @@ class FunctionsLibSpec extends SparkSpec {
     assert(!kept.contains(9001L), "near-dup must be deduplicated")
   }
 
+  test("q_dedup_cluster equals a union-find over q_minhash_lsh pairs") {
+    val pairs = q("q_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = component minimum (path-compress to fixpoint)
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = q("q_dedup_cluster").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == expected)
+  }
+
   test("SimHash.bucketKeys: d=0 (exact) and non-dividing d keep recall") {
     // planted clone guarantees at least one distance-0 pair; d=2 exercises
     // the 64 % 3 != 0 variable-width block path (the old fixed-width split
