@@ -276,7 +276,7 @@ object DedupQueries extends QueryModule {
 
   /** Shared oracle CTE chain for the MinHash-LSH family; ends at
     * `pairs(id_a, id_b, jac)` — the verified near-dup pair list. */
-  private val minhashCtes: String =
+  private[operators] val minhashCtes: String =
     """toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
         |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(

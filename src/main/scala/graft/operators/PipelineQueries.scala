@@ -60,22 +60,11 @@ object PipelineQueries extends QueryModule {
         .orderBy("lang")
     }),
 
-    "q_decontaminate" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t) - 4),
-            |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin))
-          .as("g"))
-        .distinct()
-      val ev = grams.filter(col("doc_id") < 10).select("g").distinct()
-      grams.filter(col("doc_id") >= 10)
-        .join(broadcast(ev), "g")
+    "q_decontaminate" -> ((s, dir) =>
+      contaminated(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hit_grams"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "q_pack_sequences" -> ((s, dir) => {
       val w = Window.partitionBy("source").orderBy("doc_id")
@@ -83,6 +72,42 @@ object PipelineQueries extends QueryModule {
       t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", floor((col("cum") - 1) / 256).cast("bigint"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("bin_toks"))
+        .orderBy("source", "bin")
+    }),
+
+    // The capstone: the full curation pipeline composed END-TO-END and
+    // still driver-gated — quality rules → drop non-canonical near-dup
+    // cluster members (MinHash LSH → verify → connected components) →
+    // drop eval-contaminated docs → pack survivors into 256-token bins.
+    // Every stage is the same relation its standalone query uses; the
+    // oracle composes the same CTEs (incl. the recursive closure). The
+    // anti-joins are broadcasts of tiny drop lists; nothing in the
+    // composition adds a corpus-wide shuffle beyond the stages' own.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val labels = graft.functions.DedupClusters
+        .connectedComponents(DedupQueries.minhashPairs(s, dir),
+          "id_a", "id_b")
+      val dupDrop = labels.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      val contam = contaminated(s, dir).select("doc_id").distinct()
+      val tk = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      val keepq = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tk).as("n"),
+          size(array_distinct(tk)).as("nu"),
+          size(filter(tk, x => array_contains(stopArr, x))).as("ns"))
+        .filter(col("n") >= 15 && col("nu") * 10 >= col("n") * 3 &&
+          col("ns") * 8 <= col("n"))
+      val curated = keepq
+        .join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
+        .join(broadcast(contam), Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      curated
         .withColumn("cum", sum(col("n")).over(w))
         .withColumn("bin", floor((col("cum") - 1) / 256).cast("bigint"))
         .groupBy("source", "bin")
@@ -107,6 +132,25 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     })
   )
+
+  /** (doc_id, g) hits: one row per (train doc ≥ 10, 5-gram shared with
+    * the eval set < 10). Per-doc distinct happens inside the row
+    * (array_distinct before the explode): the same relation a
+    * corpus-wide .distinct() yields, with no Exchange at all — only the
+    * tiny eval-side cross-doc dedup shuffles.
+    */
+  private def contaminated(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
+        .as("g"))
+    val ev = grams.filter(col("doc_id") < 10).select("g").distinct()
+    grams.filter(col("doc_id") >= 10).join(broadcast(ev), "g")
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_quality_filter" ->
@@ -147,6 +191,41 @@ object PipelineQueries extends QueryModule {
         |SELECT source, CAST(FLOOR((cum - 1) / 256.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_toks
         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_curation_pipeline" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |labels AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+         |dup_drop AS (SELECT id FROM labels WHERE id <> cluster),
+         |toks5 AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+         |grams5 AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+         |    RANGE(1, LEN(t) - 3), i -> ARRAY_TO_STRING(t[i : i + 4], ' ')))
+         |    AS g5 FROM toks5),
+         |ev AS (SELECT DISTINCT g5 FROM grams5 WHERE doc_id < 10),
+         |contam AS (SELECT DISTINCT grams5.doc_id FROM grams5
+         |  JOIN ev USING (g5) WHERE grams5.doc_id >= 10),
+         |q AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS qt
+         |  FROM documents),
+         |keepq AS (SELECT doc_id, source, LEN(qt) AS n FROM q
+         |  WHERE LEN(qt) >= 15
+         |    AND LEN(LIST_DISTINCT(qt)) * 10 >= LEN(qt) * 3
+         |    AND LEN(LIST_FILTER(qt, x -> LIST_CONTAINS(
+         |      ['data','processing','the','and','of'], x))) * 8 <= LEN(qt)),
+         |curated AS (SELECT k.doc_id, k.source, k.n FROM keepq k
+         |  WHERE k.doc_id NOT IN (SELECT id FROM dup_drop)
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |c AS (SELECT source, doc_id, n,
+         |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+         |                 ROWS UNBOUNDED PRECEDING) AS cum FROM curated)
+         |SELECT source, CAST(FLOOR((cum - 1) / 256.0) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_toks
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_vocab_oov" ->
       """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w

@@ -46,6 +46,26 @@ class PipelineSpec extends SparkSpec {
     assert(totalToks == expect)
   }
 
+  test("q_curation_pipeline: bins hold exactly the quality-kept survivors") {
+    val stop = Set("data", "processing", "the", "and", "of")
+    val docs = table("documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val qualityKept = docs.filter { case (_, tk) =>
+      tk.length >= 15 && tk.distinct.length * 10 >= tk.length * 3 &&
+        tk.count(stop.contains) * 8 <= tk.length
+    }.map(_._1).toSet
+    val dupDrop = q("q_dedup_cluster").collect()
+      .filter(r => r.getAs[Long]("id") != r.getAs[Long]("cluster"))
+      .map(_.getAs[Long]("id")).toSet
+    val contam = q("q_decontaminate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val curated = qualityKept -- dupDrop -- contam
+    val rows = q("q_curation_pipeline").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == curated.size)
+    val tokSum = docs.filter(d => curated.contains(d._1)).map(_._2.length).sum
+    assert(rows.map(_.getAs[Long]("bin_toks")).sum == tokSum)
+  }
+
   test("q_vocab_oov: ratios consistent, keep matches the integer rule") {
     q("q_vocab_oov").collect().foreach { r =>
       val n = r.getAs[Long]("n"); val oov = r.getAs[Long]("n_oov")
