@@ -138,6 +138,59 @@ object DedupQueries extends QueryModule {
         .connectedComponents(minhashPairs(s, dir), "id_a", "id_b")
         .orderBy("id")),
 
+    // SimHash near-dup pairs, DRIVER-GATED (md5-derived integer hashes —
+    // same portability trick as q_minhash_lsh; the xxhash64 SimHash
+    // library path in graft.functions.SimHash stays the production
+    // variant). 32-bit signature: bit b = sign of Σ over distinct bigrams
+    // of (±1 by bit b of the gram hash), built as 32 parallel SUM buffers
+    // over the unexploded gram relation — map-side combine shrinks the one
+    // Exchange to 32 longs per doc. Candidates: 4 × 8-bit signature
+    // blocks — pigeonhole guarantees every pair within hamming ≤ 3 shares
+    // an intact block, so recall is EXACT (unlike MinHash's probabilistic
+    // S-curve); the verify is one xor+popcount per candidate. Block width
+    // trades candidate volume vs recall radius: 8-bit blocks fit these
+    // SFs; at 100 TB widen blocks (or add bands) so expected
+    // block-collision volume |corpus|²/2^w stays linear in the corpus.
+    "q_simhash_dedup" -> ((s, dir) => {
+      val docGrams = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
+          .as("grams"))
+      val hashed = docGrams
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint").as("h"))
+      val bitSums = (0 to 31).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$b"))
+      val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sig = (0 to 31).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sigs = sums.select(col("doc_id"), sig.as("sig"))
+      val blocks = sigs.select(col("doc_id"), col("sig"), explode(array(
+          (0 to 3).map(band => struct(lit(band).as("band"),
+            shiftright(col("sig"), 8 * band).bitwiseAND(255).as("blk"))): _*))
+          .as("s"))
+        .select(col("doc_id"), col("sig"), col("s.band").as("band"),
+          col("s.blk").as("blk"))
+        .localCheckpoint() // both self-join sides; 4 narrow rows per doc
+      val dist = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          dist.cast("int").as("dist"))
+        .distinct()
+        .filter(col("dist") <= 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Keep-latest compaction (CDC-style dedup): one surviving row per key,
     // the one with the highest event_id (unique + time-correlated, so the
     // ns-vs-µs timestamp difference between engines can't flip the pick).
@@ -323,6 +376,16 @@ object DedupQueries extends QueryModule {
         |  JOIN sizes nb ON nb.doc_id = s.id_b
         |  WHERE inter * 2 > (na.n + nb.n - inter))""".stripMargin
 
+  /** 32 per-bit sign sums and the signature reassembly for the SimHash
+    * oracle — generated, not hand-written, to keep the two engines'
+    * formulas in lockstep. */
+  private val simhashBitSums: String = (0 to 31).map(b =>
+    s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    .mkString(",\n")
+  private val simhashSigExpr: String = (0 to 31).map(b =>
+    s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)")
+    .grouped(4).map(_.mkString(" + ")).mkString("\n      + ")
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -347,6 +410,30 @@ object DedupQueries extends QueryModule {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS id, MIN(b) AS cluster FROM reach
          |GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_simhash_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+         |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+         |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
+         |    AS g FROM toks),
+         |hashed AS (SELECT doc_id,
+         |    CAST('0x' || SUBSTRING(md5(g), 1, 8) AS BIGINT) AS h FROM sh),
+         |sums AS (SELECT doc_id,
+         |$simhashBitSums
+         |  FROM hashed GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $simhashSigExpr AS sig FROM sums),
+         |blocks AS (SELECT doc_id, sig, UNNEST([0, 1, 2, 3]) AS band,
+         |    UNNEST([(sig >> 0) & 255, (sig >> 8) & 255,
+         |            (sig >> 16) & 255, (sig >> 24) & 255]) AS blk
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a,
+         |    b.doc_id AS id_b, b.sig AS sig_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.band = b.band AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS dist
+         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (

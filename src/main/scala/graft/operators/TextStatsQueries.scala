@@ -57,6 +57,52 @@ object TextStatsQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style intra-document repetition signals: per doc, the
+    // fraction of bigram occurrences held by the single most frequent
+    // bigram (top_frac) and by any repeated bigram (dup_frac), plus an
+    // integer-exact keep rule (top_c·12 ≤ n_g AND dup_g·4 ≤ n_g — both
+    // sides integers, so no float-boundary risk). Scale: explode → count
+    // keyed by (doc_id, gram) → per-doc aggregate; both Exchanges are
+    // per-doc keys (cardinality bounded by doc length — no corpus-wide
+    // hot key possible), with map-side partial combine.
+    "q_repetition" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin)).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_g"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_g"))
+        .select(col("doc_id"), col("top_c"), col("n_g"),
+          pround4(col("top_c").cast("double") / col("n_g")).as("top_frac"),
+          pround4(col("dup_g").cast("double") / col("n_g")).as("dup_frac"),
+          when(col("top_c") * 12 <= col("n_g") &&
+            col("dup_g") * 4 <= col("n_g"), 1).otherwise(0)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source token-length histogram (corpus shape diagnostics before
+    // packing/mixing): 32-token buckets and each bucket's share of its
+    // source. Scale: one bounded hash aggregate (sources × buckets), then
+    // the window runs over the already-aggregated tiny relation.
+    "q_length_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("nt"))
+        .groupBy(col("source"),
+          floor(col("nt") / 32).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          pround4(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy("source"))))
+        .orderBy("source", "bucket")
+    }),
+
     "q_ngrams" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(split(col("text"), " ").as("toks"))
@@ -137,6 +183,35 @@ object TextStatsQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |grams AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(
+        |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' '))) AS g
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+        |sig AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_g,
+        |    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(top_c AS BIGINT) AS top_c,
+        |  CAST(n_g AS BIGINT) AS n_g,
+        |  FLOOR((CAST(top_c AS DOUBLE) / n_g) * 10000 + 0.5) / 10000 AS top_frac,
+        |  FLOOR((CAST(dup_g AS DOUBLE) / n_g) * 10000 + 0.5) / 10000 AS dup_frac,
+        |  CAST(CASE WHEN top_c * 12 <= n_g AND dup_g * 4 <= n_g
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_length_hist" ->
+      """WITH n AS (SELECT source, LEN(STRING_SPLIT(text, ' ')) AS nt
+        |    FROM documents),
+        |b AS (SELECT source, CAST(FLOOR(nt / 32.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_docs FROM n GROUP BY source, bucket)
+        |SELECT source, bucket, n_docs,
+        |  FLOOR((CAST(n_docs AS DOUBLE) /
+        |    SUM(n_docs) OVER (PARTITION BY source)) * 10000 + 0.5) / 10000
+        |    AS share
+        |FROM b ORDER BY source, bucket""".stripMargin,
+
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_toks,

@@ -50,6 +50,65 @@ class LlmOpsSpec extends SparkSpec {
     assert(salted == unsalted)
   }
 
+  test("q_simhash_dedup: equals brute-force hamming<=3 over local signatures") {
+    // 4 × 8-bit blocks give EXACT recall at radius 3 (pigeonhole), so the
+    // banded join must reproduce the full O(n²) pair list, not a subset.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sig(text: String): Option[Long] = {
+      val t = text.split(" ")
+      if (t.length < 3) None
+      else {
+        val grams = t.sliding(2).map(_.mkString(" ")).toArray.distinct
+        val sums = new Array[Long](32)
+        grams.foreach { g =>
+          val d = md.digest(g.getBytes("UTF-8"))
+          val h = java.lang.Long.parseLong(
+            d.take(4).map("%02x".format(_)).mkString, 16)
+          (0 until 32).foreach { b =>
+            sums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          }
+        }
+        Some((0 until 32).map(b => if (sums(b) > 0) 1L << b else 0L).sum)
+      }
+    }
+    val sigs = table("documents").select("doc_id", "text").collect()
+      .flatMap(r => sig(r.getAs[String]("text"))
+        .map(r.getAs[Long]("doc_id") -> _)).sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if d <= 3
+    } yield (sigs(i)._1, sigs(j)._1, d)).toSeq.sorted
+    val got = q("q_simhash_dedup").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("dist"))).toSeq.sorted
+    assert(got == brute)
+  }
+
+  test("q_repetition: ratios consistent, keep matches the integer rule") {
+    val rows = q("q_repetition").collect()
+    assert(rows.length == table("documents")
+      .filter(size(split(col("text"), " ")) >= 2).count())
+    rows.foreach { r =>
+      val top = r.getAs[Long]("top_c"); val n = r.getAs[Long]("n_g")
+      assert(top >= 1 && top <= n)
+      assert(r.getAs[Double]("top_frac") ==
+        math.floor(top.toDouble / n * 10000 + 0.5) / 10000)
+      val keep = r.getAs[Int]("keep")
+      val dupOk = r.getAs[Double]("dup_frac") <= 0.25 + 1e-9
+      assert(keep == 0 || (top * 12 <= n && dupOk))
+    }
+  }
+
+  test("q_length_hist: shares sum to ~1 per source, counts cover corpus") {
+    val rows = q("q_length_hist").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      table("documents").count())
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 0.01, s"share sum $s")
+    }
+  }
+
   test("q_ngram_jaccard: pairs ordered, jaccard in (0.1, 1]") {
     val rows = q("q_ngram_jaccard").collect()
     assert(rows.nonEmpty, "fixtures plant near-dups; expected pairs")
