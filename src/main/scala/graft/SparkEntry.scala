@@ -24,7 +24,8 @@ object SparkEntry {
     operators.ReshapeQueries,
     operators.SubqueryQueries,
     operators.TextPipelineQueries,
-    operators.PipelineQueries
+    operators.PipelineQueries,
+    operators.TpchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

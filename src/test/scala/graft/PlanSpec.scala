@@ -52,6 +52,29 @@ class PlanSpec extends SparkSpec {
       "knn join degenerated to a cartesian product")
   }
 
+  test("q_tpch_q3: dims broadcast, top-k is TakeOrderedAndProject") {
+    val df = q("q_tpch_q3")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer side not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit-10 materialized a global sort:\n$plan")
+  }
+
+  test("q_tpch_q5: the only shuffle joins are on the fact keys") {
+    val df = q("q_tpch_q5")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // region/nation/supplier chain must collapse into broadcasts; only
+    // orders⋈customer and lineitem⋈orders may shuffle.
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(shuffleJoins <= 2, s"dim join shuffled ($shuffleJoins):\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"dim chain not broadcast:\n$plan")
+  }
+
   test("q_filter_eq: predicate reaches the scan as a pushed filter") {
     val plan = executed("q_filter_eq")
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(c_mktsegment,BUILDING)"),
