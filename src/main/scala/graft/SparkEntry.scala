@@ -25,7 +25,8 @@ object SparkEntry {
     operators.SubqueryQueries,
     operators.TextPipelineQueries,
     operators.PipelineQueries,
-    operators.TpchQueries
+    operators.TpchQueries,
+    operators.TimeSeriesQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

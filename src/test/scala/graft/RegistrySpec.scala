@@ -20,7 +20,8 @@ class RegistrySpec extends SparkSpec {
       operators.DedupQueries, operators.TextStatsQueries,
       operators.SimilarityQueries, operators.ReshapeQueries,
       operators.SubqueryQueries, operators.TextPipelineQueries,
-      operators.PipelineQueries, operators.TpchQueries)
+      operators.PipelineQueries, operators.TpchQueries,
+      operators.TimeSeriesQueries)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")

@@ -72,4 +72,30 @@ class ScaleSpec extends SparkSpec {
   test("AQE skew-join handling is enabled for the session") {
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB a selective dim predicate should reach the fact scan as a
+    // runtime bloom filter (row-level semi-join reduction before the
+    // shuffle). The size thresholds that gate injection are tuned for
+    // clusters, so pin them down to fixture scale for the assertion.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val ord = table("orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val j = table("lineitem").select("l_orderkey", "l_quantity")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
