@@ -3,21 +3,26 @@ package graft.operators
 import graft.QueryModule
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.3 L — time-series regularization over `events`: resample
-  * an irregular event stream onto a fixed hourly grid and forward-fill
-  * observation gaps (the standard feature-engineering step before any
-  * sequence model, and the batch twin of a streaming gap-fill).
+/** SURVEY.md §2.3 L — time-series and behavioral analytics over `events`:
+  * grid resampling with forward fill, ordered funnels, retention cohorts
+  * (the standard sequence-feature / product-analytics operators).
   *
   * Determinism: the per-bucket mean uses the exact-decimal dsum→double→
-  * portable-round pattern; the forward fill then only carries already-
-  * rounded values, so both engines fill identical doubles.
+  * portable-round pattern; funnel steps compare raw µs timestamps plus
+  * exact INTERVAL arithmetic; week indices are integer arithmetic on
+  * floored epoch seconds (DuckDB's EPOCH cast rounds where Spark floors,
+  * so the oracle says FLOOR(EPOCH(ts)) explicitly).
   *
-  * Scale notes: the grid is |users| × |hours| by construction — a
-  * deliberate densification, so output size is the operator's contract,
-  * not a blowup. The span aggregate is a 1-row broadcast; the grid⋈bucket
-  * join shuffles both sides on the SAME (user_id, hour) key; the fill is
-  * one window scan partitioned by user_id, and the grid is uniform per
-  * user, so no skewed partition can exist.
+  * Scale notes: q_resample_ffill's grid is |users| × |hours| by
+  * construction — a deliberate densification, so output size is the
+  * operator's contract, not a blowup; the span aggregate is a 1-row
+  * broadcast, the grid⋈bucket join shuffles both sides on the SAME
+  * (user_id, hour) key, and the fill is one window scan whose per-user
+  * partitions are uniform, so no skew can exist. q_funnel is a chain of
+  * per-user aggregates and joins all keyed on user_id — one partitioning
+  * reused end-to-end; each stage's output only shrinks (monotone funnel),
+  * so later joins broadcast under AQE. q_retention shuffles on user_id
+  * then on the bounded (cohort, offset) pair.
   */
 object TimeSeriesQueries extends QueryModule {
 
@@ -44,6 +49,41 @@ object TimeSeriesQueries extends QueryModule {
           last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
           when(col("v").isNull, 0).otherwise(1).cast("int").as("observed"))
         .orderBy("user_id", "h")
+    }),
+
+    // Ordered 3-step funnel with a 6-hour step window: first view →
+    // first qualifying click → first qualifying purchase, per user.
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sixH = expr("INTERVAL 6 HOURS")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("ts1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("ts1") && col("ts") <= col("ts1") + sixH)
+        .groupBy("user_id").agg(min(col("ts")).as("ts2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("ts2") && col("ts") <= col("ts2") + sixH)
+        .groupBy("user_id").agg(min(col("ts")).as("ts3"))
+      t1.agg(count(lit(1)).as("step1_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("step2_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("step3_purchase")))
+    }),
+
+    // Retention cohorts on 3-day buckets of purchase activity: cohort =
+    // a user's first purchase bucket; one row per (cohort, offset).
+    "q_retention" -> ((s, dir) => {
+      val wk = floor((unix_timestamp(col("ts")) - lit(1704067200L)) / 259200)
+        .cast("bigint")
+      val w = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), wk.as("wk"))
+      val f = w.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      w.join(f, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort", "offset_wk")
     })
   )
 
@@ -65,6 +105,32 @@ object TimeSeriesQueries extends QueryModule {
         |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
         |    ROWS UNBOUNDED PRECEDING) AS v_fill,
         |  CAST(CASE WHEN v IS NULL THEN 0 ELSE 1 END AS INT) AS observed
-        |FROM j ORDER BY user_id, h""".stripMargin
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |    JOIN t1 ON e.user_id = t1.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        |      AND e.ts <= t1.ts1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |    JOIN t2 ON e.user_id = t2.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        |      AND e.ts <= t2.ts2 + INTERVAL 6 HOUR GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM t1) AS step1_view,
+        |       (SELECT COUNT(*) FROM t2) AS step2_click,
+        |       (SELECT COUNT(*) FROM t3) AS step3_purchase""".stripMargin,
+
+    "q_retention" ->
+      """WITH w AS (SELECT user_id,
+        |    CAST(FLOOR((FLOOR(EPOCH(ts)) - 1704067200) / 259200) AS BIGINT)
+        |      AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id)
+        |SELECT f.cohort, w.wk - f.cohort AS offset_wk,
+        |  COUNT(DISTINCT w.user_id) AS n_active
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY cohort, offset_wk ORDER BY cohort, offset_wk""".stripMargin
   )
 }

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 /** Semantic checks for the time-series regularization operators. */
 class TimeSeriesSpec extends SparkSpec {
 
+  test("q_funnel: step counts are monotone non-increasing") {
+    val r = q("q_funnel").head()
+    val (s1, s2, s3) = (r.getAs[Long]("step1_view"),
+      r.getAs[Long]("step2_click"), r.getAs[Long]("step3_purchase"))
+    assert(s1 >= s2 && s2 >= s3, s"funnel not monotone: $s1 $s2 $s3")
+    assert(s1 > 0)
+  }
+
+  test("q_retention: offset-0 activity equals cohort size") {
+    val rows = q("q_retention").collect()
+    assert(rows.nonEmpty)
+    // every user is active in their own cohort bucket by definition, so
+    // per cohort the offset-0 row must count the whole cohort — i.e. it
+    // must be the max across that cohort's offsets.
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (c, rs) =>
+      val at0 = rs.find(_.getAs[Long]("offset_wk") == 0L)
+      assert(at0.isDefined, s"cohort $c missing offset 0")
+      val n0 = at0.get.getAs[Long]("n_active")
+      assert(rs.forall(_.getAs[Long]("n_active") <= n0),
+        s"cohort $c has an offset larger than its own size")
+    }
+  }
+
   test("q_resample_ffill: grid is dense, fill carries last observation") {
     val rows = q("q_resample_ffill").collect()
     val ev = table("events")
