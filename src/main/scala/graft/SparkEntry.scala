@@ -26,7 +26,8 @@ object SparkEntry {
     operators.TextPipelineQueries,
     operators.PipelineQueries,
     operators.TpchQueries,
-    operators.TimeSeriesQueries
+    operators.TimeSeriesQueries,
+    operators.ProfileQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

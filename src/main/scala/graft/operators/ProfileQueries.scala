@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.3 L — data profiling: per-column null counts, exact
+  * distinct counts, and type-appropriate min/max in ONE pass over the
+  * table (the standard ingestion-validation step before any pipeline).
+  *
+  * [[Profiler.profile]] is the generic engine API (works on any
+  * DataFrame); q_profile_orders is its oracle-gated instance.
+  *
+  * Determinism: numeric min/max are rounded doubles; timestamps are
+  * floored epoch seconds; strings compare bytewise identically in both
+  * engines. Distinct counts are exact here so the oracle can replicate
+  * them — at 100 TB swap in approx_count_distinct (HLL sketch, tested in
+  * CoverageSpec) since the exact form costs an Expand ×|columns|.
+  *
+  * Scale notes: all metrics for all columns aggregate in a single scan
+  * (one wide partial→final aggregate; the multi-distinct adds one Expand,
+  * ×|columns| rows in the map stage only). The per-column stack-up
+  * happens AFTER aggregation on a 1-row relation — no second scan, no
+  * driver loop over data (only over the schema, which is metadata).
+  */
+object Profiler {
+
+  /** One row per column: (col_name, null_cnt, n_distinct, min_num,
+    * max_num, min_str, max_str) — numeric/timestamp extremes in the
+    * `_num` pair (timestamps as floored epoch seconds), string extremes
+    * in the `_str` pair. */
+  def profile(df: DataFrame): DataFrame = {
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val (minN: Column, maxN: Column, minS: Column, maxS: Column) =
+        f.dataType match {
+          case _: NumericType =>
+            (round(min(c).cast("double"), 4), round(max(c).cast("double"), 4),
+              nullS, nullS)
+          // parquet isAdjustedToUTC=false arrives as TimestampNTZType in
+          // Spark 4 — a sibling of TimestampType, not a subtype; the cast
+          // to session-tz timestamp (UTC here) preserves the value.
+          case _: TimestampType | _: TimestampNTZType =>
+            (min(unix_timestamp(c.cast("timestamp"))).cast("double"),
+              max(unix_timestamp(c.cast("timestamp"))).cast("double"),
+              nullS, nullS)
+          case _: StringType => (nullD, nullD, min(c), max(c))
+          case _ => (nullD, nullD, nullS, nullS)
+        }
+      struct(lit(f.name).as("col_name"),
+        (count(lit(1)) - count(c)).as("null_cnt"),
+        countDistinct(c).as("n_distinct"),
+        minN.as("min_num"), maxN.as("max_num"),
+        minS.as("min_str"), maxS.as("max_str"))
+    }
+    df.agg(cols.head.as("c0"), cols.tail.zipWithIndex
+        .map { case (c, i) => c.as(s"c${i + 1}") }: _*)
+      .select(explode(array((0 until cols.length).map(i => col(s"c$i")): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+}
+
+object ProfileQueries extends QueryModule {
+
+  override def queries: Map[String, Q] = Map(
+    "q_profile_orders" -> ((s, dir) => Profiler.profile(t(s, dir, "orders")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    // The oracle spells each column's metrics out; N scans is fine for
+    // DuckDB at oracle scale (Spark does it in one).
+    "q_profile_orders" ->
+      """SELECT * FROM (
+        |SELECT 'o_orderkey' AS col_name,
+        |  COUNT(*) - COUNT(o_orderkey) AS null_cnt,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) AS min_num,
+        |  ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+        |  COUNT(DISTINCT o_custkey),
+        |  ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4),
+        |  ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4), NULL, NULL FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus), NULL, NULL,
+        |  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+        |  COUNT(DISTINCT o_totalprice),
+        |  ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4),
+        |  ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4), NULL, NULL FROM orders
+        |UNION ALL SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+        |  COUNT(DISTINCT o_orderdate),
+        |  CAST(FLOOR(EPOCH(MIN(o_orderdate))) AS DOUBLE),
+        |  CAST(FLOOR(EPOCH(MAX(o_orderdate))) AS DOUBLE), NULL, NULL
+        |FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority), NULL, NULL,
+        |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+        |) ORDER BY col_name""".stripMargin
+  )
+}

@@ -21,7 +21,7 @@ class RegistrySpec extends SparkSpec {
       operators.SimilarityQueries, operators.ReshapeQueries,
       operators.SubqueryQueries, operators.TextPipelineQueries,
       operators.PipelineQueries, operators.TpchQueries,
-      operators.TimeSeriesQueries)
+      operators.TimeSeriesQueries, operators.ProfileQueries)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 /** Semantic checks for the time-series regularization operators. */
 class TimeSeriesSpec extends SparkSpec {
 
+  test("Profiler.profile: per-column stats on a frame with nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("a")),
+      (2L, None, Some("c")),
+      (3L, Some(7.5), None),
+      (4L, Some(2.5), Some("b"))).toDF("id", "x", "s")
+    val p = graft.operators.Profiler.profile(df).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(p("id").getAs[Long]("null_cnt") == 0)
+    assert(p("id").getAs[Long]("n_distinct") == 4)
+    assert(p("id").getAs[Double]("min_num") == 1.0)
+    assert(p("x").getAs[Long]("null_cnt") == 1)
+    assert(p("x").getAs[Long]("n_distinct") == 2)
+    assert(p("x").getAs[Double]("max_num") == 7.5)
+    assert(p("s").getAs[Long]("null_cnt") == 1)
+    assert(p("s").getAs[String]("min_str") == "a")
+    assert(p("s").getAs[String]("max_str") == "c")
+  }
+
   test("q_funnel: step counts are monotone non-increasing") {
     val r = q("q_funnel").head()
     val (s1, s2, s3) = (r.getAs[Long]("step1_view"),
