@@ -165,12 +165,16 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"),
           conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
             .cast("bigint").as("h"))
+      // ones-count form of the sign sum: bit b set iff strictly more ones
+      // than zeros, i.e. 2·Σbit > n — same signature as the oracle's ±1
+      // sum (s_b > 0 ⟺ 2·ones_b > n, ties both land 0), but the hot
+      // per-gram loop is a bare shift+and instead of a branch.
       val bitSums = (0 to 31).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$b"))
+        sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+
+        count(lit(1)).as("n")
       val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val sig = (0 to 31).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sigs = sums.select(col("doc_id"), sig.as("sig"))
       val blocks = sigs.select(col("doc_id"), col("sig"), explode(array(
