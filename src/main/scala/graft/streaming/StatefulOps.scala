@@ -62,6 +62,44 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class HourPoint(user: String, hour: Long, value: Double)
+  case class FillState(lastHour: Long, lastValue: Double)
+  case class FilledPoint(user: String, hour: Long, value: Double,
+                         observed: Boolean)
+
+  /** Streaming twin of the batch q_resample_ffill operator: per user,
+    * emit every observed hourly point and forward-fill the gap hours
+    * since the previous observation with its value. State is one
+    * (hour, value) pair per key; fills for a gap are emitted when the
+    * observation closing the gap arrives. Input must reach each key in
+    * hour order (upstream watermark + per-batch sort; the spec feeds it
+    * so), as with any forward fill — a late point can't rewrite history
+    * in append mode.
+    */
+  def gapFill(spark: SparkSession,
+              ds: Dataset[HourPoint]): Dataset[FilledPoint] = {
+    import spark.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[FillState, FilledPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val sorted = rows.toSeq.sortBy(_.hour)
+          val out = Seq.newBuilder[FilledPoint]
+          var st = state.getOption
+          sorted.foreach { p =>
+            st.foreach { s =>
+              ((s.lastHour + 1) until p.hour).foreach { h =>
+                out += FilledPoint(user, h, s.lastValue, observed = false)
+              }
+            }
+            out += FilledPoint(user, p.hour, p.value, observed = true)
+            st = Some(FillState(p.hour, p.value))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class SessionEvent(user: String, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionSummary(user: String, nEvents: Long, durationMs: Long)

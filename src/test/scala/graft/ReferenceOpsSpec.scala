@@ -27,6 +27,24 @@ class ReferenceOpsSpec extends SparkSpec {
     assert(subs("subscribe") == "input-words" && !subs.contains("assign"))
   }
 
+  test("OptimizeWrite.sized targets output file count from plan stats") {
+    val li = table("lineitem")
+    // huge target → everything fits one file; tiny target → many files
+    assert(graft.sources.OptimizeWrite.sized(li, 10L << 30)
+      .rdd.getNumPartitions == 1)
+    val est = li.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = graft.sources.OptimizeWrite
+      .sized(li, (est / 4).max(1).toLong)
+    assert(small.rdd.getNumPartitions >= 2)
+    // the written layout matches the re-shaped partitioning
+    val dir = Files.createTempDirectory("graft-ow").toString
+    graft.sources.OptimizeWrite.sized(li, 10L << 30)
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 data file, found $files")
+  }
+
   test("R8: table admin provisions idempotently, drop keeps the data") {
     val name = "graft_admin_region"
     val loc = s"$sf/region.parquet"

@@ -126,6 +126,26 @@ class StreamingSpec extends SparkSpec {
     assert(latest == Map("a" -> 3L, "b" -> 1L), s"got $latest")
   }
 
+  test("s_stateful gapFill: forward-fills hour gaps across batches") {
+    import StatefulOps.{FilledPoint, HourPoint}
+    val in = MemoryStream[HourPoint]
+    val out = runToTable(
+      StatefulOps.gapFill(spark, in.toDS).toDF,
+      "append",
+      () => in.addData(HourPoint("a", 1, 1.5), HourPoint("a", 2, 2.5),
+        HourPoint("b", 3, 3.0)),
+      () => in.addData(HourPoint("a", 5, 5.5), HourPoint("b", 6, 6.0)))
+    val got = out.as[FilledPoint].collect()
+      .map(p => (p.user, p.hour) -> (p.value, p.observed)).toMap
+    val expect = Map(
+      ("a", 1L) -> (1.5, true), ("a", 2L) -> (2.5, true),
+      ("a", 3L) -> (2.5, false), ("a", 4L) -> (2.5, false),
+      ("a", 5L) -> (5.5, true),
+      ("b", 3L) -> (3.0, true), ("b", 4L) -> (3.0, false),
+      ("b", 5L) -> (3.0, false), ("b", 6L) -> (6.0, true))
+    assert(got == expect, s"got $got")
+  }
+
   test("s_stateful: transformWithState running counts (RocksDB store)") {
     // transformWithState requires the RocksDB state store provider —
     // scope the conf to this test and restore the session default after.
