@@ -103,6 +103,41 @@ object TextStatsQueries extends QueryModule {
         .orderBy("source", "bucket")
     }),
 
+    // Word-pair co-occurrence PMI (the embedding-era corpus statistic):
+    // top-20 most associated within-document word pairs with support ≥ 5.
+    // Scale: pairs are generated INSIDE each row from the distinct-token
+    // array (bounded by doc length² — no self-join, no doc_id shuffle);
+    // the only Exchanges are the pair-count aggregate and the bounded
+    // unigram count, which broadcasts back in. PMI's log runs on an
+    // identical double ratio in both engines (integer counts) and the
+    // top-k carries a full (w1, w2) tiebreak.
+    "q_cooccur_pmi" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("t"))
+      val w = toks.select(explode(col("t")).as("w"))
+      val cw = w.groupBy("w").agg(count(lit(1)).as("c"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val pairs = toks.select(explode(expr(
+        """flatten(transform(t, (x, i) ->
+          |  filter(transform(t, (y, j) ->
+          |    IF(j > i, struct(least(x, y) AS w1, greatest(x, y) AS w2),
+          |       CAST(NULL AS STRUCT<w1: STRING, w2: STRING>))),
+          |    p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+      pairs.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .join(broadcast(cw.select(col("w").as("w1"), col("c").as("ca"))), "w1")
+        .join(broadcast(cw.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+        .crossJoin(broadcast(nd))
+        .select(col("w1"), col("w2"), col("c12"),
+          pround4(log(col("c12").cast("double") * col("nd")
+            / (col("ca") * col("cb")))).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "q_ngrams" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(split(col("text"), " ").as("toks"))
@@ -183,6 +218,23 @@ object TextStatsQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_cooccur_pmi" ->
+      """WITH toks AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' '))
+        |    AS t FROM documents),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |w AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+        |cw AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        |pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w),
+        |cp AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2)
+        |SELECT w1, w2, c12,
+        |  FLOOR(LN(CAST(c12 AS DOUBLE) * nd / (ca.c * cb.c)) * 10000 + 0.5)
+        |    / 10000 AS pmi
+        |FROM cp, n
+        |JOIN cw ca ON ca.w = cp.w1 JOIN cw cb ON cb.w = cp.w2
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
         |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
