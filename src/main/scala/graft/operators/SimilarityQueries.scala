@@ -59,6 +59,21 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos"))
     }),
 
+    // Per-vector L2 norms + dims (embedding-table hygiene: catch
+    // un-normalized or ragged vectors before any cosine math). Per-row
+    // codegen'd fold, embarrassingly parallel; the fold order matches
+    // DuckDB's LIST_SUM on these operands so doubles agree exactly.
+    "q_vector_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          pround4(sqrt(expr(
+            """aggregate(embedding, 0D,
+              |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+              .stripMargin))).as("l2"))
+        .orderBy("vec_id")),
+
     "q_knn_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
@@ -124,6 +139,12 @@ object SimilarityQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_vector_norm" ->
+      """SELECT vec_id, label, CAST(LEN(embedding) AS INT) AS dim,
+        |  FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5)
+        |    / 10000 AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_cosine_topk" ->
       s"""SELECT vec_id, ROUND(${duckCosine("embedding", "p")}, 4) AS cos
          |FROM embeddings
