@@ -115,8 +115,45 @@ object TpchQueries extends QueryModule {
           round(col("c_acctbal"), 4).as("acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
-    })
+    }),
+
+    "q_nation_summary" -> ((s, dir) => nationSummary(s, dir))
   )
+
+  // Relational capstone: per-nation business summary — customer count,
+  // exact-decimal revenue, returned-revenue share, and the top customer
+  // by revenue (deterministic argmax: exact decimal ordering + custkey
+  // tiebreak). Scale: nation broadcasts; the fact chain shuffles on its
+  // natural keys; the window runs over the customer-grained aggregate
+  // (not lineitem-grained), then collapses to 25 rows.
+  private def nationSummary(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val drev = revenue.cast("decimal(18,4)")
+    val cr = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(sum(drev).as("rev"),
+        sum(when(col("l_returnflag") === "R", drev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("rev_r"))
+    cr.withColumn("rn", row_number().over(
+        Window.partitionBy("n_name")
+          .orderBy(col("rev").desc, col("c_custkey"))))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("rev")).cast("double").as("revenue"),
+        pround4(sum(col("rev_r")).cast("double")
+          / sum(col("rev")).cast("double")).as("ret_share"),
+        max(when(col("rn") === 1, col("c_custkey"))).cast("bigint")
+          .as("top_cust"))
+      .orderBy("n_name")
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_tpch_q3" ->
@@ -158,6 +195,27 @@ object TpchQueries extends QueryModule {
         |  AND o_orderdate < TIMESTAMP '1999-07-01'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_nation_summary" ->
+      """WITH cr AS (
+        |  SELECT n_name, c_custkey,
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS rev,
+        |    SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS rev_r
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY n_name, c_custkey),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+        |    ORDER BY rev DESC, c_custkey) AS rn FROM cr)
+        |SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |  FLOOR((CAST(SUM(rev_r) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS ret_share,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN c_custkey END) AS BIGINT) AS top_cust
+        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
