@@ -34,6 +34,41 @@ object TextPipelineQueries extends QueryModule {
   private val redactTerms = Seq("customer", "value", "key")
 
   override def queries: Map[String, Q] = Map(
+    // One BPE merge iteration (the tokenizer-training primitive): count
+    // ADJACENT token pairs corpus-wide (occurrences, not per-doc
+    // distinct), pick the most frequent (count desc, then lexicographic
+    // "w1 w2" — fully deterministic), and apply the merge to every
+    // document. Application is a space-delimited regex replace: global
+    // left-to-right non-overlapping in both engines, which is exactly
+    // BPE's merge rule ("a a a" → "a_a a"). Scale: pair counting is the
+    // word-count plan; best-pair is a 1-row TakeOrdered broadcast; the
+    // merge itself is per-row regex, embarrassingly parallel. A full BPE
+    // trainer is this step iterated with the merged corpus fed back in.
+    "q_bpe_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs
+        .repartition(col("doc_id"))
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
+            .stripMargin)).as("p"))
+      val best = pairs.groupBy("p").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .select(col("p").as("pair"), col("c").as("pair_count"))
+      val merged = trim(regexp_replace(
+        concat(lit(" "), col("text"), lit(" ")),
+        concat(lit(" "), col("pair"), lit(" ")),
+        concat(lit(" "), regexp_replace(col("pair"), " ", "_"), lit(" "))))
+      docs.crossJoin(broadcast(best))
+        .select(col("doc_id"), col("pair"), col("pair_count"),
+          merged.as("merged"),
+          (size(split(col("text"), " ")) - size(split(merged, " ")))
+            .cast("bigint").as("n_merges"))
+        .orderBy("doc_id")
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -66,6 +101,23 @@ object TextPipelineQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_bpe_merge" ->
+      """WITH toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t
+        |    FROM documents),
+        |pairs AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p FROM toks WHERE LEN(t) >= 2),
+        |cnt AS (SELECT p, COUNT(*) AS c FROM pairs GROUP BY p),
+        |best AS (SELECT p, c FROM cnt ORDER BY c DESC, p LIMIT 1)
+        |SELECT doc_id, best.p AS pair, best.c AS pair_count,
+        |  TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |    ' ' || best.p || ' ', ' ' || REPLACE(best.p, ' ', '_') || ' ',
+        |    'g')) AS merged,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) -
+        |    LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |      ' ' || best.p || ' ', ' ' || REPLACE(best.p, ' ', '_') || ' ',
+        |      'g')), ' ')) AS BIGINT) AS n_merges
+        |FROM toks, best ORDER BY doc_id""".stripMargin,
+
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
         |           FROM documents),

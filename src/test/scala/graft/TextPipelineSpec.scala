@@ -69,4 +69,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(q("q_source_mix").collect().map(_.toSeq.toList).toList
       == rows.map(_.toSeq.toList).toList)
   }
+
+  test("q_bpe_merge: merges consume pair occurrences, token counts shrink") {
+    val rows = q("q_bpe_merge").collect()
+    assert(rows.length == table("documents").count())
+    val pair = rows.head.getAs[String]("pair")
+    val pairCount = rows.head.getAs[Long]("pair_count")
+    val mergedTok = pair.replace(' ', '_')
+    // every corpus occurrence merges at most once (exactly once when no
+    // occurrences overlap); the merged token appears iff merges happened
+    assert(rows.map(_.getAs[Long]("n_merges")).sum <= pairCount)
+    assert(rows.map(_.getAs[Long]("n_merges")).sum > 0)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_merges")
+      val m = r.getAs[String]("merged")
+      assert(n >= 0)
+      assert(m.split(" ").count(_ == mergedTok) == n)
+    }
+  }
 }
