@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.functions.MinHashDedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-dup candidates: the cross-batch version of
+  * MinHashDedup.candidatePairs. A per-batch self-join only sees pairs
+  * that arrive in the SAME micro-batch; here each band bucket keeps its
+  * member ids in keyed state, so a new document pairs against every
+  * earlier member regardless of arrival batch — the property a streaming
+  * dedup pipeline actually needs.
+  *
+  * Scale notes: state is partitioned by band-bucket hash (uniform by
+  * construction); each bucket holds ≤ maxBucket ids (beyond that, new
+  * members still pair against the retained ids but are not themselves
+  * retained — bounded memory traded for tail recall, the standard
+  * streaming-LSH compromise). The banding math runs as ordinary
+  * codegen'd column expressions BEFORE the stateful shuffle; the same
+  * pair surfacing via two bands is emitted twice — downstream verify
+  * dedups, exactly as in the batch path.
+  */
+object StreamingLsh {
+
+  case class BandDoc(bucket: Long, docId: Long)
+  case class CandidatePair(idA: Long, idB: Long)
+
+  /** docs must have columns (doc_id: Long, text: String); may be a
+    * streaming DataFrame. */
+  def candidates(spark: SparkSession, docs: DataFrame,
+                 shingleN: Int = 2, bands: Int = 4, rows: Int = 4,
+                 maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import spark.implicits._
+    val k = bands * rows
+    val sig = docs.select(col("doc_id"),
+        MinHashDedup.shingles(col("text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), MinHashDedup.signature(col("sh"), k).as("sig"))
+    // bucket = hash(band slots, band index) — band index mixed into the
+    // hash keeps different bands' buckets disjoint keyspaces.
+    val banded = sig.select(
+        explode(array((0 until bands).map { b =>
+          xxhash64((slice(col("sig"), b * rows + 1, rows) +: Seq(lit(b))): _*)
+        }: _*)).as("bucket"),
+        col("doc_id").as("docId"))
+      .as[BandDoc]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Long], CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          val retained = state.getOption.getOrElse(Nil)
+          val incoming = it.map(_.docId).toList.distinct
+            .filterNot(retained.contains)
+          val out = List.newBuilder[CandidatePair]
+          var seen = retained
+          incoming.foreach { id =>
+            seen.foreach { p =>
+              out += CandidatePair(math.min(id, p), math.max(id, p))
+            }
+            seen = id :: seen
+          }
+          state.update(seen.take(maxBucket))
+          out.result().iterator
+      }
+  }
+}

@@ -126,6 +126,24 @@ class StreamingSpec extends SparkSpec {
     assert(latest == Map("a" -> 3L, "b" -> 1L), s"got $latest")
   }
 
+  test("s_lsh: near-dup candidates pair ACROSS micro-batches") {
+    val in = MemoryStream[(Long, String)]
+    val out = runToTable(
+      streaming.StreamingLsh.candidates(spark,
+        in.toDF.toDF("doc_id", "text")).toDF,
+      "append",
+      () => in.addData((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six")),
+      // doc 3 is identical to doc 1 but arrives one batch later — a
+      // per-batch self-join would never see this pair
+      () => in.addData((3L, "alpha beta gamma delta epsilon zeta")))
+    val pairs = out.select("idA", "idB").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"cross-batch pair missed: $pairs")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)),
+      s"unrelated docs became candidates: $pairs")
+  }
+
   test("s_stateful gapFill: forward-fills hour gaps across batches") {
     import StatefulOps.{FilledPoint, HourPoint}
     val in = MemoryStream[HourPoint]
