@@ -13,9 +13,9 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * dedup pipeline actually needs.
   *
   * Scale notes: state is partitioned by band-bucket hash (uniform by
-  * construction); each bucket holds ≤ maxBucket ids (beyond that, new
-  * members still pair against the retained ids but are not themselves
-  * retained — bounded memory traded for tail recall, the standard
+  * construction); each bucket holds ≤ maxBucket ids — overflow keeps the
+  * NEWEST members and evicts the oldest (recency-biased recall: bounded
+  * memory traded for pairs against the distant past, the standard
   * streaming-LSH compromise). The banding math runs as ordinary
   * codegen'd column expressions BEFORE the stateful shuffle; the same
   * pair surfacing via two bands is emitted twice — downstream verify
