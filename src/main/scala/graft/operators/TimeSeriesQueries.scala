@@ -71,6 +71,27 @@ object TimeSeriesQueries extends QueryModule {
         .crossJoin(t3.agg(count(lit(1)).as("step3_purchase")))
     }),
 
+    // Path mining: top-20 event-type trigrams across user journeys
+    // (behavior n-grams — the sequence-analytics counterpart of
+    // q_ngrams). One window scan per user ordered by (ts, event_id)
+    // (unique tiebreak), then the word-count plan over path strings;
+    // top-k carries the path as tiebreaker.
+    "q_path_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // Retention cohorts on 3-day buckets of purchase activity: cohort =
     // a user's first purchase bucket; one row per (cohort, offset).
     "q_retention" -> ((s, dir) => {
@@ -121,6 +142,17 @@ object TimeSeriesQueries extends QueryModule {
         |SELECT (SELECT COUNT(*) FROM t1) AS step1_view,
         |       (SELECT COUNT(*) FROM t2) AS step2_click,
         |       (SELECT COUNT(*) FROM t3) AS step3_purchase""".stripMargin,
+
+    "q_path_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM s
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |SELECT path, COUNT(*) AS n FROM p GROUP BY path
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_retention" ->
       """WITH w AS (SELECT user_id,
