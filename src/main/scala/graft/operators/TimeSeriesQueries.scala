@@ -92,6 +92,25 @@ object TimeSeriesQueries extends QueryModule {
         .limit(20)
     }),
 
+    // First-order Markov transition matrix over event types: P(next |
+    // current) per user journey — integer pair counts over a bounded
+    // (5×5) state space, probabilities as integer ratios under the
+    // portable round. Same lead-window scan as q_path_trigrams.
+    "q_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wf = Window.partitionBy("from_type")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          pround4(col("n").cast("double") / sum(col("n")).over(wf)))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Retention cohorts on 3-day buckets of purchase activity: cohort =
     // a user's first purchase bucket; one row per (cohort, offset).
     "q_retention" -> ((s, dir) => {
@@ -153,6 +172,19 @@ object TimeSeriesQueries extends QueryModule {
         |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
         |SELECT path, COUNT(*) AS n FROM p GROUP BY path
         |ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  FLOOR((CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY from_type)) * 10000 + 0.5) / 10000
+        |    AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "q_retention" ->
       """WITH w AS (SELECT user_id,
