@@ -248,4 +248,34 @@ class FunctionsLibSpec extends SparkSpec {
         s"expected ${r.getString(0)} got ${r.getString(1)}")
     }
   }
+
+  test("VectorQuantizer: int8 codes reconstruct within half a step") {
+    import spark.implicits._
+    import graft.functions.VectorQuantizer
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f, -5.0f)),
+      (2L, Seq(1.0f, 20.0f, 5.0f)),
+      (3L, Seq(0.5f, 15.0f, 0.0f))).toDF("id", "emb")
+    val bounds = VectorQuantizer.fit(df, "emb")
+    val q = VectorQuantizer.quantize(df, "emb", bounds)
+    q.select(explode(col("codes"))).collect().foreach { r =>
+      val c = r.getInt(0); assert(c >= 0 && c <= 255)
+    }
+    val errBound = bounds.select(VectorQuantizer.maxError(bounds))
+      .head().getDouble(0)
+    VectorQuantizer.dequantize(q, "codes", bounds)
+      .select(col("emb"), col("approx")).collect().foreach { r =>
+        r.getSeq[Float](0).zip(r.getSeq[Double](1)).foreach {
+          case (o, a) => assert(math.abs(o - a) <= errBound + 1e-9,
+            s"$o reconstructed as $a, bound $errBound")
+        }
+      }
+    // fixture embeddings roundtrip: every vector quantizes, count holds
+    val emb = table("embeddings")
+    val b2 = VectorQuantizer.fit(emb, "embedding")
+    val q2 = VectorQuantizer.quantize(emb, "embedding", b2)
+    assert(q2.count() == emb.count())
+    assert(q2.select(explode(col("codes"))).agg(max("col")).head().getInt(0)
+      <= 255)
+  }
 }
