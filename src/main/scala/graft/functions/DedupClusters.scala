@@ -33,9 +33,14 @@ object DedupClusters {
     * @param pairs columns (aCol, bCol) — one row per detected pair
     * @return (id, cluster) where cluster = min node id in the component
     */
+  /** @param hopsPerRound label-propagation joins per checkpoint round:
+    *   1 = classic; 2 = two-hop (halves the checkpoint/action overhead
+    *   per covered hop — helps when rounds are overhead-bound, i.e.
+    *   small graphs; same fixpoint either way) */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          hopsPerRound: Int = 1): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -47,11 +52,14 @@ object DedupClusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("cluster"))
-      labels = labels.unionAll(viaNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
+      var next = labels
+      for (_ <- 1 to hopsPerRound) {
+        val viaNeighbors = edges.join(next, edges("dst") === next("id"))
+          .select(edges("src").as("id"), col("cluster"))
+        next = next.unionAll(viaNeighbors)
+          .groupBy("id").agg(min("cluster").as("cluster"))
+      }
+      labels = next.localCheckpoint(true)
       val s = labels.agg(sum("cluster")).head().getLong(0)
       converged = s == prevSum
       prevSum = s
