@@ -27,7 +27,8 @@ object SparkEntry {
     operators.PipelineQueries,
     operators.TpchQueries,
     operators.TimeSeriesQueries,
-    operators.ProfileQueries
+    operators.ProfileQueries,
+    operators.AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
