@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   *     hot key divides by 8 while results stay bit-identical to the plain
   *     join the oracle runs. At 100 TB you'd gate the salting on observed
   *     key skew (AQE skew-join handles moderate cases for free).
+  *   - q_agg_corr / q_source_hhi aggregate to bounded outputs in one pass;
+  *     HHI is Σ n_i²/N² over exact integers — a single double division per
+  *     row, bit-identical cross-engine before the round.
+  *   - q_type_overlap dedups (type, user) first — the pair self-join runs
+  *     on the deduped relation, and the 5×5 output is bounded by the type
+  *     alphabet, not the stream.
+  *   - q_char_trigrams generates grams INSIDE the row (transform over
+  *     sequence) — the word-count plan; post-shuffle state is bounded by
+  *     the trigram alphabet.
   *   - q_editdist_pairs blocks on (lang, 24-char prefix) so candidate
   *     fan-out is per-bucket quadratic only within tiny buckets (max 2 at
   *     the fixtures); levenshtein is O(len²) per PAIR, so the blocking key
@@ -64,9 +73,16 @@ object AnalyticsQueries extends QueryModule {
     // per-doc mean log2 p(token). The LM side of quality filtering (docs
     // of improbable tokens score low). Vocab and corpus total broadcast.
     "q_unigram_logprob" -> ((s, dir) => {
-      val tok = tokens(s, dir)
-      val dw = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
-      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c_w"))
+      // Materialize the (doc, word, count) relation once: the model side
+      // (vocab, corpus total) and the scoring side both consume it, and
+      // without a barrier each would re-scan + re-explode the corpus
+      // (3 FileScans in the unmaterialized plan). dw is the compressed
+      // twin of the token stream — strictly smaller than what one scan
+      // reads, so the checkpoint is cheaper than the scans it replaces.
+      val dw = tokens(s, dir)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
+        .localCheckpoint()
+      val vocab = dw.groupBy("w").agg(sum(col("c_dw")).as("c_w"))
       val tot = vocab.agg(sum(col("c_w")).as("c_tot"))
       dw.join(broadcast(vocab), Seq("w"))
         .crossJoin(broadcast(tot))
@@ -116,6 +132,81 @@ object AnalyticsQueries extends QueryModule {
           pround4(sum(col("value").cast("decimal(18,4)")).cast("double"))
             .as("total_value"))
         .orderBy("first_day")
+    }),
+
+    // Correlation aggregates: Pearson corr + sample covariance of event
+    // value vs hour-of-day, per type. corr/covar are the remaining
+    // statistical aggregates §2.3 D didn't cover (stddev/variance are in
+    // q_agg_stats); continuous outputs under the portable round.
+    "q_agg_corr" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          hour(col("ts")).cast("double").as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          pround4(corr(col("value"), col("h"))).as("corr_vh"),
+          pround4(covar_samp(col("value"), col("h"))).as("covar_vh"))
+        .orderBy("event_type")
+    }),
+
+    // Audience-overlap matrix: Jaccard similarity of the distinct-user
+    // sets of every event-type pair — the set-similarity operator applied
+    // to behavioral segments (bounded 5×5 output). One user_id shuffle
+    // for the distinct; the pair join runs on the deduped relation.
+    "q_type_overlap" -> ((s, dir) => {
+      // One distinct shuffle, three consumers (sizes + both self-join
+      // sides) — materialize it once instead of re-scanning events 3×.
+      val su = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint()
+      val sizes = su.groupBy("event_type")
+        .agg(count(lit(1)).as("sz"))
+      val inter = su.as("a").join(su.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("sz", "sz_a")), Seq("type_a"))
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("sz", "sz_b")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          pround4(col("n_both").cast("double")
+            / (col("sz_a") + col("sz_b") - col("n_both"))).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Corpus-mix concentration: per-source language Herfindahl index
+    // (HHI = Σ share²). Computed as Σ n_i² / N² over exact integers —
+    // ONE double division per row, so both engines produce bit-identical
+    // doubles before the round (no accumulation-order drift at all).
+    "q_source_hhi" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          sum(col("n")).as("n_docs"),
+          pround4(sum(col("n") * col("n")).cast("double")
+            / (sum(col("n")) * sum(col("n")))).as("hhi"))
+        .orderBy("source")
+    }),
+
+    // Character-trigram mining: corpus top-20 char 3-grams — the
+    // character-level counterpart of q_ngrams (language/script profiling
+    // signal). Trigrams are generated INSIDE the row (transform over
+    // sequence), then the word-count plan; post-shuffle state is bounded
+    // by the trigram alphabet.
+    "q_char_trigrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, length(text) - 2),
+            |  i -> substring(text, i, 3))""".stripMargin)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g"))
+        .limit(20)
     }),
 
     // Edit-distance near-dup verification: block on (lang, 24-char prefix),
@@ -183,6 +274,47 @@ object AnalyticsQueries extends QueryModule {
         |    * 10000 + 0.5) / 10000 AS total_value
         |FROM events e JOIN dim ON e.user_id = dim.user_id
         |GROUP BY dim.first_day ORDER BY dim.first_day""".stripMargin,
+
+    "q_agg_corr" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  FLOOR(CORR(value, CAST(HOUR(ts) AS DOUBLE)) * 10000 + 0.5)
+        |    / 10000 AS corr_vh,
+        |  FLOOR(COVAR_SAMP(value, CAST(HOUR(ts) AS DOUBLE)) * 10000 + 0.5)
+        |    / 10000 AS covar_vh
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_type_overlap" ->
+      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sizes AS (SELECT event_type, COUNT(*) AS sz FROM su
+        |    GROUP BY event_type),
+        |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM su a JOIN su b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, n_both,
+        |  FLOOR((CAST(n_both AS DOUBLE) / (sa.sz + sb.sz - n_both))
+        |    * 10000 + 0.5) / 10000 AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_source_hhi" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents
+        |    GROUP BY source, lang)
+        |SELECT source, COUNT(*) AS n_langs,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  FLOOR((CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)))
+        |    * 10000 + 0.5) / 10000 AS hhi
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_char_trigrams" ->
+      """WITH g AS (SELECT UNNEST(LIST_TRANSFORM(
+        |    RANGE(1, LENGTH(text) - 1), i -> SUBSTRING(text, i, 3))) AS g
+        |  FROM documents WHERE LENGTH(text) >= 3)
+        |SELECT g, COUNT(*) AS n FROM g GROUP BY g
+        |ORDER BY n DESC, g LIMIT 20""".stripMargin,
 
     "q_editdist_pairs" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -103,6 +103,50 @@ class AnalyticsSpec extends SparkSpec {
       == brute.toSet)
   }
 
+  test("q_agg_corr: corr bounded in [-1,1]; counts cover the stream") {
+    val rows = q("q_agg_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_vh")
+      assert(c >= -1.0 && c <= 1.0, s"corr $c out of bounds")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == table("events").count())
+  }
+
+  test("q_type_overlap: jaccard in (0,1], intersection bounded by sets") {
+    val rows = q("q_type_overlap").collect()
+    assert(rows.nonEmpty)
+    val sizes = table("events").select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b, "pair not canonical")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("n_both") <= math.min(sizes(a), sizes(b)))
+    }
+  }
+
+  test("q_source_hhi: HHI within [1/n_langs, 1]") {
+    val rows = q("q_source_hhi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hhi")
+      val k = r.getAs[Long]("n_langs").toDouble
+      assert(h >= 1.0 / k - 1e-4 && h <= 1.0 + 1e-9,
+        s"source ${r.get(0)}: hhi=$h with $k langs")
+    }
+  }
+
+  test("q_char_trigrams: 3-char grams, counts descending") {
+    val rows = q("q_char_trigrams").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[String]("g").length == 3))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+  }
+
   /** Classic Wagner–Fischer, reference for the test only. */
   private def lev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
