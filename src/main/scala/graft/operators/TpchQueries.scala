@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   *     extra equi-key, not a join explosion.
   *   - q_tpch_q10: one lineitem-side shuffle on orderkey, customer join on
   *     custkey, nation broadcast; top-20 again TakeOrderedAndProject.
+  *   - q_tpch_q1: the canonical scan-heavy aggregate — no join at all, 8
+  *     aggregates over one filtered scan collapsing to 6 groups. Partial
+  *     aggregation does ~all the work map-side; the Exchange carries 6
+  *     rows × 8 buffers per partition regardless of corpus size.
+  *   - q_tpch_q6: filter-and-sum to ONE row; every predicate reaches the
+  *     parquet scan (shipdate/discount/quantity are all scan columns), so
+  *     at 100 TB this is I/O-bound on pruned row groups, nothing else.
+  *   - q_tpch_q18: the HAVING subquery is computed ONCE as a groupBy and
+  *     joined back on orderkey (not re-scanned per row as the literal SQL
+  *     suggests); qty sums are exact BIGINT. The orderkey aggregate and
+  *     the orders join share a key, so AQE can co-partition them.
+  *   - q_tpch_q19: the part-side conjuncts implied by the OR branches
+  *     (brand ∈ {1,2,3}, size ≤ 15) are hoisted to the part scan by hand —
+  *     Catalyst doesn't factor OR-common predicates out, and at 100 TB
+  *     that pre-filter is the difference between joining 3 brands' parts
+  *     and joining the whole part table.
   */
 object TpchQueries extends QueryModule {
 
@@ -117,7 +133,90 @@ object TpchQueries extends QueryModule {
         .limit(20)
     }),
 
-    "q_nation_summary" -> ((s, dir) => nationSummary(s, dir))
+    "q_nation_summary" -> ((s, dir) => nationSummary(s, dir)),
+
+    // TPC-H Q1 (pricing summary report): the scan-dominated aggregate.
+    // l_quantity is integral in the fixtures (asserted in TpchSpec) so its
+    // sums ride exact BIGINT; price sums use dsum; the three averages are
+    // ratio-of-exact-sums under the portable round. sum_charge CANNOT use
+    // dsum: the triple product e·(1-d)·(1+t) lands near .00005 half-ties
+    // often enough (~400/58k fixture rows) to expose that Spark's
+    // double→decimal cast rounds the shortest-repr decimal HALF_UP while
+    // DuckDB rints the scaled binary double — so the per-row 4-decimal
+    // fix is done with the pround4 op sequence (floor(x·10⁴+0.5), exact
+    // in both engines), summed as BIGINT, divided once at the end.
+    "q_tpch_q1" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = disc * (lit(1) + col("l_tax"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          (sum(floor(charge * 10000 + lit(0.5)).cast("bigint"))
+            .cast("double") / 10000).as("sum_charge"),
+          pround4(sum(col("l_quantity").cast("bigint")).cast("double")
+            / count(lit(1))).as("avg_qty"),
+          pround4(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1))).as("avg_price"),
+          pround4(sum(col("l_discount").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 (forecasting revenue change): pure filter-and-sum; the
+    // global agg on a possibly-empty relation yields one NULL row in both
+    // engines.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"))),
+
+    // TPC-H Q18 (large-volume customers): orders whose total quantity
+    // crosses a threshold, reported with their customer. The HAVING
+    // relation is one orderkey-grained aggregate reused by the join — not
+    // the correlated re-scan the canonical SQL text implies.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 4).as("totalprice"),
+          col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 (discounted revenue, OR'd brand/size/quantity branches).
+    // The part-only implications of the OR (brand ∈ {…}, size bound) are
+    // hoisted onto the part scan — see the module scale notes.
+    "q_tpch_q19" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size") >= 1 && col("p_size") <= 15)
+        .select("p_partkey", "p_brand", "p_size")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(revenue).as("revenue"))
+    })
   )
 
   // Relational capstone: per-nation business summary — customer count,
@@ -216,6 +315,55 @@ object TpchQueries extends QueryModule {
         |  FLOOR((CAST(SUM(rev_r) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE))
         |    * 10000 + 0.5) / 10000 AS ret_share,
         |  CAST(MAX(CASE WHEN rn = 1 THEN c_custkey END) AS BIGINT) AS top_cust
-        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin
+        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_charge,
+        |  FLOOR((CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+        |    * 10000 + 0.5) / 10000 AS avg_qty,
+        |  FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        |    * 10000 + 0.5) / 10000 AS avg_price,
+        |  FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+        |    * 10000 + 0.5) / 10000 AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  ROUND(o_totalprice, 4) AS totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 }
