@@ -124,6 +124,50 @@ object TimeSeriesQueries extends QueryModule {
         .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset_wk"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort", "offset_wk")
+    }),
+
+    // Cumulative user growth: per-day first-seen counts and the running
+    // total of distinct users ever seen. The running sum's window has NO
+    // partition key — fine, because it runs over the DAY-grained relation
+    // (bounded by the calendar, not the corpus; the user-grained min is
+    // where the data-sized shuffle happens, keyed on user_id).
+    "q_user_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    }),
+
+    // EWMA-smoothed daily event counts (10-day lookback, decay 1/2): the
+    // trend-detection smoother. Weights 2^-k are EXACT dyadic doubles and
+    // n·2^-k sums stay exact below 2^53, so the smoothed mean is
+    // bit-identical cross-engine before the portable round. The weighted
+    // window is a self-join with fan-out ≤ 10 over the (type × day)
+    // aggregate — bounded by the calendar, never by the event volume.
+    "q_ewma" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("dday"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("di",
+          datediff(col("dday"), lit("2024-01-01").cast("date")))
+      val a = d.select(col("event_type"), col("dday"), col("n"),
+        col("di"))
+      val b = d.select(col("event_type").as("b_type"),
+        col("n").as("b_n"), col("di").as("b_di"))
+      a.join(b, col("event_type") === col("b_type") &&
+          col("b_di") >= col("di") - 9 && col("b_di") <= col("di"))
+        .groupBy(col("event_type"),
+          date_format(col("dday"), "yyyy-MM-dd").as("day"), col("n"))
+        .agg(pround4(
+          sum(col("b_n") * pow(lit(0.5), col("di") - col("b_di")))
+            / sum(pow(lit(0.5), col("di") - col("b_di")))).as("ewma"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -195,6 +239,29 @@ object TimeSeriesQueries extends QueryModule {
         |SELECT f.cohort, w.wk - f.cohort AS offset_wk,
         |  COUNT(DISTINCT w.user_id) AS n_active
         |FROM w JOIN f USING (user_id)
-        |GROUP BY cohort, offset_wk ORDER BY cohort, offset_wk""".stripMargin
+        |GROUP BY cohort, offset_wk ORDER BY cohort, offset_wk""".stripMargin,
+
+    "q_user_growth" ->
+      """WITH fs AS (SELECT user_id, MIN(STRFTIME(ts, '%Y-%m-%d')) AS day
+        |    FROM events GROUP BY user_id),
+        |d AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    "q_ewma" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(DATE_TRUNC('day', ts) AS DATE) AS dday, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, dday),
+        |i AS (SELECT event_type, dday, n,
+        |    DATEDIFF('day', DATE '2024-01-01', dday) AS di FROM d)
+        |SELECT a.event_type, STRFTIME(a.dday, '%Y-%m-%d') AS day, a.n,
+        |  FLOOR((SUM(b.n * POWER(0.5, a.di - b.di))
+        |    / SUM(POWER(0.5, a.di - b.di))) * 10000 + 0.5) / 10000 AS ewma
+        |FROM i a JOIN i b ON a.event_type = b.event_type
+        |  AND b.di >= a.di - 9 AND b.di <= a.di
+        |GROUP BY a.event_type, a.dday, a.n
+        |ORDER BY a.event_type, day""".stripMargin
   )
 }

@@ -115,6 +115,23 @@ object WindowQueries extends QueryModule {
           sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
             .cast("double").as("sum_in_range"))
         .orderBy("o_orderkey")
+    }),
+
+    // cume_dist over a deliberately tie-ful key (coarsened balance — the
+    // function is tie-deterministic: peers share one value) and nth_value
+    // over the FULL partition frame (the default running frame would make
+    // early rows NULL; both engines get the explicit unbounded frame).
+    "q_win_dist" -> ((s, dir) => {
+      val wTies = Window.partitionBy("s_nationkey")
+        .orderBy(round(col("s_acctbal"), -2))
+      val wFull = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("int").as("nat"),
+          pround4(cume_dist().over(wTies)).as("cdist"),
+          nth_value(col("s_name"), 3).over(wFull).as("third_poorest"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -181,6 +198,16 @@ object WindowQueries extends QueryModule {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY CAST(FLOOR(o_totalprice) AS BIGINT)
         |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS INTEGER) AS nat,
+        |  FLOOR((CUME_DIST() OVER (PARTITION BY s_nationkey
+        |    ORDER BY ROUND(s_acctbal, -2))) * 10000 + 0.5) / 10000 AS cdist,
+        |  NTH_VALUE(s_name, 3) OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal ASC, s_suppkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_poorest
+        |FROM supplier ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -73,4 +73,30 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_user_growth: new_users sum to the distinct-user count; cum monotone") {
+    val rows = q("q_user_growth").collect()
+    val users = table("events").select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == users)
+    assert(rows.last.getAs[Long]("cum_users") == users)
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.sameElements(cums.sorted))
+  }
+
+  test("q_ewma: smoother is bounded by the window's min/max count") {
+    val rows = q("q_ewma").collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getAs[String]("day"))
+      val ns = byDay.map(_.getAs[Long]("n").toDouble)
+      byDay.zipWithIndex.foreach { case (r, i) =>
+        val win = ns.slice(math.max(0, i - 9), i + 1)
+        val e = r.getAs[Double]("ewma")
+        assert(e >= win.min - 1e-4 && e <= win.max + 1e-4)
+      }
+    }
+    // day 0 EWMA equals that day's count exactly
+    rows.filter(_.getAs[String]("day") == "2024-01-01").foreach { r =>
+      assert(r.getAs[Double]("ewma") == r.getAs[Long]("n").toDouble)
+    }
+  }
 }

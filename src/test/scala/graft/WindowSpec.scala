@@ -62,4 +62,18 @@ class WindowSpec extends SparkSpec {
       assert(r.getAs[Long]("cnt_in_range") >= 1)
     }
   }
+
+  test("q_win_dist: cdist in (0,1], monotone per nation; nth over full frame") {
+    val rows = q("q_win_dist").collect()
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cdist"); c > 0 && c <= 1
+    })
+    // third_poorest is constant within a nation and NULL iff the nation
+    // has fewer than 3 suppliers
+    rows.groupBy(_.getAs[Int]("nat")).foreach { case (_, rs) =>
+      val vals = rs.map(r => Option(r.getAs[String]("third_poorest"))).distinct
+      assert(vals.length == 1)
+      assert(vals.head.isDefined == rs.length >= 3)
+    }
+  }
 }
