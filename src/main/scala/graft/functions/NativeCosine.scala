@@ -151,6 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NativeCosine.descriptor)
     ext.injectFunction(NativeJaccard.descriptor)
     ext.injectFunction(NativeFingerprint.descriptor)
+    ext.injectFunction(NativeJaro.descriptor)
     ext.injectOptimizerRule(_ => PromoteCosineUdf)
   }
 }

@@ -224,6 +224,27 @@ object AnalyticsQueries extends QueryModule {
           levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
         .filter(col("dist") <= 20)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Fuzzy entity resolution over part names: block on the head noun
+    // (last token — bounded buckets, adjective typos don't split blocks),
+    // verify with the native codegen Jaro-Winkler kernel (JaroImpl is
+    // bit-exact vs the oracle's jaro_winkler_similarity — A/B'd over 3000
+    // random pairs in JaroSpec). Threshold compares the ROUNDED score so
+    // a boundary ulp can never flip membership. Same shape as
+    // q_editdist_pairs: the blocking key is the scale lever, the verify
+    // is per-pair O(len²)-ish and embarrassingly parallel.
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      graft.functions.NativeJaro.register(s)
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+      names.as("a").join(names.as("b"),
+          col("a.noun") === col("b.noun") &&
+            col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          pround4(expr("jaro_winkler(a.p_name, b.p_name)")).as("jw"))
+        .filter(col("jw") >= 0.7)
+        .orderBy("name_a", "name_b")
     })
   )
 
@@ -324,6 +345,17 @@ object AnalyticsQueries extends QueryModule {
         |  AND SUBSTRING(a.text, 1, 24) = SUBSTRING(b.text, 1, 24)
         |  AND a.doc_id < b.doc_id
         |WHERE LEVENSHTEIN(a.text, b.text) <= 20
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |k AS (SELECT p_name, STRING_SPLIT(p_name, ' ')[-1] AS noun
+        |  FROM names),
+        |p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    FLOOR(JARO_WINKLER_SIMILARITY(a.p_name, b.p_name)
+        |      * 10000 + 0.5) / 10000 AS jw
+        |  FROM k a JOIN k b ON a.noun = b.noun AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, jw FROM p WHERE jw >= 0.7
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }
