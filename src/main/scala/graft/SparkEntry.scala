@@ -28,7 +28,8 @@ object SparkEntry {
     operators.TpchQueries,
     operators.TimeSeriesQueries,
     operators.ProfileQueries,
-    operators.AnalyticsQueries
+    operators.AnalyticsQueries,
+    operators.GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

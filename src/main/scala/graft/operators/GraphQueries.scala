@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 L — graph analytics over the behavioral transition
+  * graph (nodes = event types, edges = consecutive-event transitions per
+  * user, the same edge relation q_markov_transitions normalizes).
+  *
+  * q_pagerank is the iterative-computation pattern done Spark-first: the
+  * corpus-sized work (edge extraction) happens ONCE and is checkpointed;
+  * each damped power iteration is then a join + aggregate over the
+  * node/edge-grained relations (bounded by the type alphabet, not the
+  * stream). Unrolled 3 iterations — enough to demonstrate convergence
+  * behavior while keeping the oracle a finite CTE chain.
+  *
+  * Determinism: per-edge contributions are doubles with a pinned op order
+  * (pr·n/out, left-assoc), then scaled to integers via the portable
+  * floor(x·10¹⁴+0.5) before the order-sensitive SUM — the sum runs over
+  * exact BIGINTs, so partition order can't move an ulp. The oracle's
+  * decimal literals are CAST to DOUBLE (DuckDB would otherwise do
+  * decimal, not IEEE, division).
+  *
+  * Scale notes: edge extraction is one window scan partitioned by
+  * user_id (the q_evt_session shape); everything after is alphabet-
+  * bounded. At 100 TB with a USER-grained graph instead, the same loop
+  * holds but each iteration's join shuffles on node id — that's GraphX/
+  * Pregel territory; the checkpoint-per-iteration discipline here (see
+  * DedupClusters) is the part that transfers.
+  */
+object GraphQueries extends QueryModule {
+
+  /** (src, dst, n, outn): transition counts + out-degree mass. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val wseq = Window.partitionBy("user_id").orderBy("event_id")
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(wseq).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val outd = e.groupBy("src").agg(sum(col("n")).as("outn"))
+    e.join(outd, "src")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // 3 damped (d=0.85) power iterations of PageRank on the transition
+    // graph. Edge weights n/outn are exact-integer ratios evaluated in a
+    // pinned double op order; iteration sums ride scaled BIGINTs.
+    "q_pagerank" -> ((s, dir) => {
+      val ew = edges(s, dir).localCheckpoint() // reused by all 3 iterations
+      val nodes = t(s, dir, "events")
+        .select(col("event_type").as("node")).distinct()
+      val cnt = nodes.agg(count(lit(1)).as("n_nodes"))
+      var pr = nodes.crossJoin(broadcast(cnt))
+        .select(col("node"),
+          (lit(1.0) / col("n_nodes")).as("pr"), col("n_nodes"))
+      for (i <- 1 to 3) {
+        // fresh column names per iteration: the same ew Dataset joins pr
+        // three times, and Spark's ambiguous-self-join detection needs
+        // each round's attributes to be distinct
+        val ewi = ew.select(col("src").as(s"src$i"), col("dst").as(s"dst$i"),
+          col("n").as(s"n$i"), col("outn").as(s"outn$i"))
+        val contrib = pr.join(ewi, pr("node") === ewi(s"src$i"))
+          .select(col(s"dst$i").as("cnode"),
+            floor(col("pr") * col(s"n$i") / col(s"outn$i") * lit(1e14)
+              + lit(0.5)).cast("bigint").as("ts"))
+          .groupBy("cnode").agg(sum(col("ts")).as("ssum"))
+        pr = pr.join(contrib, pr("node") === contrib("cnode"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("n_nodes") + lit(0.85) *
+              (coalesce(col("ssum"), lit(0L)).cast("double") / lit(1e14)))
+              .as("pr"),
+            col("n_nodes"))
+      }
+      pr.select(col("node"), pround4(col("pr")).as("pr")).orderBy("node")
+    }),
+
+    // Degree/weight profile of the transition graph — the sanity view of
+    // any graph pipeline (fan-out, fan-in, self-loop share per node).
+    "q_graph_degree" -> ((s, dir) => {
+      val ew = edges(s, dir)
+      val out = ew.groupBy(col("src").as("node")).agg(
+        countDistinct(col("dst")).as("out_deg"),
+        sum(col("n")).as("out_n"),
+        sum(when(col("src") === col("dst"), col("n")).otherwise(lit(0L)))
+          .as("self_n"))
+      val in = ew.groupBy(col("dst").as("inode")).agg(
+        countDistinct(col("src")).as("in_deg"), sum(col("n")).as("in_n"))
+      out.join(in, col("node") === col("inode"), "full")
+        .select(coalesce(col("node"), col("inode")).as("node"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("out_n"), lit(0L)).as("out_n"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("in_n"), lit(0L)).as("in_n"),
+          coalesce(col("self_n"), lit(0L)).as("self_n"))
+        .orderBy("node")
+    })
+  )
+
+  /** The shared CTE prefix: pairs → edges → out-degree → ew. */
+  private val edgeCtes =
+    """pairs AS (SELECT user_id, event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS dst FROM events),
+      |edges AS (SELECT src, dst, COUNT(*) AS n FROM pairs
+      |    WHERE dst IS NOT NULL GROUP BY src, dst),
+      |outd AS (SELECT src, SUM(n) AS outn FROM edges GROUP BY src),
+      |ew AS (SELECT e.src, e.dst, e.n, o.outn
+      |    FROM edges e JOIN outd o USING (src))""".stripMargin
+
+  /** One damped iteration: p<i> from p<i-1> via scaled-integer sums. */
+  private def prStep(i: Int): String =
+    s"""c$i AS (SELECT ew.dst AS node,
+       |    SUM(CAST(FLOOR(p.pr * ew.n / ew.outn * 100000000000000 + 0.5)
+       |      AS BIGINT)) AS ssum
+       |  FROM p${i - 1} p JOIN ew ON p.node = ew.src GROUP BY ew.dst),
+       |p$i AS (SELECT p.node,
+       |    CAST(0.15 AS DOUBLE) / p.n_nodes + CAST(0.85 AS DOUBLE) *
+       |      (CAST(COALESCE(c.ssum, 0) AS DOUBLE) / 100000000000000)
+       |      AS pr, p.n_nodes
+       |  FROM p${i - 1} p LEFT JOIN c$i c ON p.node = c.node)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH $edgeCtes,
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |cnt AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS pr, n_nodes
+         |  FROM nodes CROSS JOIN cnt),
+         |${prStep(1)},
+         |${prStep(2)},
+         |${prStep(3)}
+         |SELECT node, FLOOR(pr * 10000 + 0.5) / 10000 AS pr
+         |FROM p3 ORDER BY node""".stripMargin,
+
+    "q_graph_degree" ->
+      s"""WITH $edgeCtes,
+         |o AS (SELECT src AS node, COUNT(DISTINCT dst) AS out_deg,
+         |    CAST(SUM(n) AS BIGINT) AS out_n,
+         |    CAST(SUM(CASE WHEN src = dst THEN n ELSE 0 END) AS BIGINT)
+         |      AS self_n
+         |  FROM ew GROUP BY src),
+         |i AS (SELECT dst AS inode, COUNT(DISTINCT src) AS in_deg,
+         |    CAST(SUM(n) AS BIGINT) AS in_n
+         |  FROM ew GROUP BY dst)
+         |SELECT COALESCE(node, inode) AS node,
+         |  COALESCE(out_deg, 0) AS out_deg, COALESCE(out_n, 0) AS out_n,
+         |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_n, 0) AS in_n,
+         |  COALESCE(self_n, 0) AS self_n
+         |FROM o FULL JOIN i ON node = inode ORDER BY node""".stripMargin
+  )
+}
