@@ -39,6 +39,22 @@ class CoverageSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("orc_read_write: round-trip preserves data; filters push to the scan (A)") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val docs = table("documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").orc(s"$tmp/orc")
+    val back = spark.read.orc(s"$tmp/orc")
+    assert(back.count() == docs.count())
+    assert(back.orderBy("doc_id").collect().map(_.toSeq)
+      .sameElements(docs.orderBy("doc_id").collect().map(_.toSeq)))
+    // predicate + projection reach the ORC scan, same as parquet
+    val filtered = back.filter(col("doc_id") < 10).select("doc_id", "lang")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      scan)
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), scan)
+  }
+
   test("q_agg_approx: HLL and approx percentile within error bounds (D)") {
     val li = table("lineitem")
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
