@@ -212,17 +212,25 @@ object AnalyticsQueries extends QueryModule {
     // Edit-distance near-dup verification: block on (lang, 24-char prefix),
     // verify candidate pairs with integer-exact levenshtein ≤ 20. The
     // character-level member of the dedup family (catches small in-place
-    // edits that token-set Jaccard dilutes).
+    // edits that token-set Jaccard dilutes). Two result-preserving
+    // accelerations over the naive verify (AnalyticsSpec proves equality):
+    // dist ≤ 20 implies |len(a)-len(b)| ≤ 20, so that cheap integer
+    // predicate rides the JOIN and prunes candidates before any DP runs;
+    // and the threshold form levenshtein(a,b,20) runs the banded O(n·20)
+    // DP instead of the full O(n·m) table, returning -1 past the bound.
     "q_editdist_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          substring(col("text"), 1, 24).as("blk"), col("text"))
+          substring(col("text"), 1, 24).as("blk"), col("text"),
+          length(col("text")).as("len"))
       d.as("a").join(d.as("b"),
           col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
-            && col("a.doc_id") < col("b.doc_id"))
+            && col("a.doc_id") < col("b.doc_id")
+            && abs(col("a.len") - col("b.len")) <= 20)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
-        .filter(col("dist") <= 20)
+          levenshtein(col("a.text"), col("b.text"), 20).cast("long")
+            .as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy("doc_a", "doc_b")
     }),
 
