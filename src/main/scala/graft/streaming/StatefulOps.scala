@@ -100,6 +100,51 @@ object StatefulOps {
       }
   }
 
+  case class Point(key: String, seq: Long, x: Double)
+  case class EwmaPoint(key: String, seq: Long, ewma: Double)
+
+  /** Recursive per-key EWMA (e' = α·x + (1-α)·e; first observation seeds
+    * e = x) across micro-batches — the streaming twin of the batch q_ewma
+    * smoother (which uses the window-truncated adjusted form; the
+    * recursive form here is the one a stream can maintain in O(1) state).
+    * Within a batch, points are folded in seq order; ACROSS batches the
+    * carried ValueState makes the fold continuous, which a per-batch
+    * aggregate cannot do — StreamingSpec proves equality with a single
+    * global fold over the concatenated input.
+    */
+  class EwmaProcessor(alpha: Double)
+      extends StatefulProcessor[String, Point, EwmaPoint] {
+    @transient private var ewma: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ewma = getHandle.getValueState[Double](
+        "ewma", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Point],
+                                 timerValues: TimerValues): Iterator[EwmaPoint] = {
+      var e = if (ewma.exists()) Some(ewma.get()) else None
+      val out = rows.toSeq.sortBy(_.seq).map { p =>
+        val next = e match {
+          case Some(prev) => alpha * p.x + (1 - alpha) * prev
+          case None => p.x
+        }
+        e = Some(next)
+        EwmaPoint(key, p.seq, next)
+      }
+      e.foreach(ewma.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming EWMA per key via transformWithState (update mode). */
+  def streamingEwma(spark: SparkSession, ds: Dataset[Point],
+                    alpha: Double): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new EwmaProcessor(alpha),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessionEvent(user: String, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionSummary(user: String, nEvents: Long, durationMs: Long)

@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stateful: streaming EWMA equals one continuous fold across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.Point]
+      val out = runToTable(
+        StatefulOps.streamingEwma(spark, in.toDS, 0.25).toDF,
+        "update",
+        () => in.addData(StatefulOps.Point("a", 1, 4.0),
+          StatefulOps.Point("a", 2, 8.0), StatefulOps.Point("b", 1, 1.0)),
+        () => in.addData(StatefulOps.Point("a", 3, 0.0),
+          StatefulOps.Point("b", 2, 3.0)))
+      val got = out.as[(String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // one continuous fold per key over the CONCATENATED batches: a late
+      // batch continues from carried state, not from a fresh seed
+      def fold(xs: Seq[Double]): Seq[Double] =
+        xs.tail.scanLeft(xs.head)((e, x) => 0.25 * x + 0.75 * e)
+      val ea = fold(Seq(4.0, 8.0, 0.0))
+      val eb = fold(Seq(1.0, 3.0))
+      val expect = Map(
+        ("a", 1L) -> ea(0), ("a", 2L) -> ea(1), ("a", 3L) -> ea(2),
+        ("b", 1L) -> eb(0), ("b", 2L) -> eb(1))
+      assert(got == expect, s"got $got expect $expect")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_output_modes: complete-mode global word count converges") {
     val in = MemoryStream[String]
     val out = runToTable(
