@@ -168,6 +168,23 @@ object TimeSeriesQueries extends QueryModule {
           sum(col("b_n") * pow(lit(0.5), col("di") - col("b_di")))
             / sum(pow(lit(0.5), col("di") - col("b_di")))).as("ewma"))
         .orderBy("event_type", "day")
+    }),
+
+    // Rolling 7-day active users (WAU) per calendar day: dedup to the
+    // (user, day) grain FIRST (that's the corpus-sized shuffle), then a
+    // fan-out-≤7 range join against the bounded day list, then one
+    // distinct-count keyed on day. Windowed DISTINCT aggregates have no
+    // frame form in either engine — the dedup-then-range-join shape IS
+    // the scalable plan.
+    "q_wau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      days.join(ud,
+          col("d") >= date_sub(col("day"), 6) && col("d") <= col("day"))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
     })
   )
 
@@ -262,6 +279,15 @@ object TimeSeriesQueries extends QueryModule {
         |FROM i a JOIN i b ON a.event_type = b.event_type
         |  AND b.di >= a.di - 9 AND b.di <= a.di
         |GROUP BY a.event_type, a.dday, a.n
-        |ORDER BY a.event_type, day""".stripMargin
+        |ORDER BY a.event_type, day""".stripMargin,
+
+    "q_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |    FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud)
+        |SELECT STRFTIME(days.day, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT ud.user_id) AS wau
+        |FROM days JOIN ud ON ud.d >= days.day - 6 AND ud.d <= days.day
+        |GROUP BY days.day ORDER BY day""".stripMargin
   )
 }

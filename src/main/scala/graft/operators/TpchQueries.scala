@@ -197,6 +197,52 @@ object TpchQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Percent-of-parent analytics: each nation's revenue as a share of
+    // its region and of the world — the standard drill-down ratio view.
+    // Shares divide exact decimal sums (cast to double only for the one
+    // final division); the windows run over the 25-row nation aggregate,
+    // never over fact rows.
+    "q_share_of_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val drev = revenue.cast("decimal(18,4)")
+      val nr = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(drev).as("nrev"))
+      val wr = Window.partitionBy("r_name")
+      val wg = Window.partitionBy()
+      nr.select(col("r_name"), col("n_name"),
+          col("nrev").cast("double").as("revenue"),
+          pround4(col("nrev").cast("double")
+            / sum(col("nrev")).over(wr).cast("double")).as("region_share"),
+          pround4(col("nrev").cast("double")
+            / sum(col("nrev")).over(wg).cast("double")).as("global_share"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // TPC-H Q4 (order-priority checking), adapted to the fixture schema:
+    // the reference predicate (commitdate < receiptdate) has no fixture
+    // column, so the EXISTS probes for a returned line instead. The
+    // subquery is a LEFT SEMI join — one pass over lineitem, no distinct
+    // materialized, orderkey-keyed shuffle on both sides.
+    "q_tpch_q4" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q19 (discounted revenue, OR'd brand/size/quantity branches).
     // The part-only implications of the OR (brand ∈ {…}, size bound) are
     // hoisted onto the part scan — see the module scale notes.
@@ -355,6 +401,33 @@ object TpchQueries extends QueryModule {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH nr AS (SELECT r_name, n_name,
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |      AS nrev
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(nrev AS DOUBLE) AS revenue,
+        |  FLOOR(CAST(nrev AS DOUBLE)
+        |    / CAST(SUM(nrev) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS region_share,
+        |  FLOOR(CAST(nrev AS DOUBLE) / CAST(SUM(nrev) OVER () AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS global_share
+        |FROM nr ORDER BY r_name, n_name""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_tpch_q19" ->
       """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -99,4 +99,20 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Double]("ewma") == r.getAs[Long]("n").toDouble)
     }
   }
+
+  test("q_wau: weekly actives bound daily actives and total users") {
+    val rows = q("q_wau").collect()
+    val dau = table("events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = table("events").select("user_id").distinct().count()
+    rows.foreach { r =>
+      val day = r.getAs[String]("day")
+      val wau = r.getAs[Long]("wau")
+      assert(wau >= dau(day), s"$day wau $wau < dau ${dau(day)}")
+      assert(wau <= total)
+    }
+  }
 }

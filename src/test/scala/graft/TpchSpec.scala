@@ -73,4 +73,32 @@ class TpchSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("p_brand") && l.contains("IN") || l.contains("isin")))
   }
+
+  test("q_share_of_total: shares sum to 1 within each region and globally") {
+    val rows = q("q_share_of_total").collect()
+    assert(rows.length > 1)
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Double]("region_share")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"region shares sum $s")
+    }
+    val g = rows.map(_.getAs[Double]("global_share")).sum
+    assert(math.abs(g - 1.0) < 1e-3, s"global shares sum $g")
+  }
+
+  test("q_tpch_q4: semi-join counts match a manual distinct-orderkey filter") {
+    val expect = {
+      val returned = table("lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey").distinct()
+      table("orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(returned, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val got = q("q_tpch_q4").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("order_count")).toMap
+    assert(got == expect)
+  }
 }
