@@ -1,0 +1,85 @@
+package graft
+
+import graft.plans.{TopKPerGroup, TopKPerGroupExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom grouped-top-k operator: rewrite fires on the declarative
+  * window+filter pattern, plans as partial→exchange→final bounded heaps,
+  * and returns row-identical results to the Window form it replaces.
+  */
+class TopKPlanSpec extends SparkSpec {
+
+  private def topkDf: DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table("orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  test("rewrite fires: two heap phases straddle one exchange, no sorts below") {
+    TopKPerGroup.install(spark)
+    try {
+      // executedPlan is AdaptiveSparkPlanExec (opaque to collect) — assert
+      // on the rendered initial plan
+      val plan = topkDf.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val topks = lines.filter(_.contains("TopKPerGroup "))
+      assert(topks.length == 2, s"expected partial+final, got:\n$plan")
+      assert(topks.exists(_.trim.endsWith("true")) &&
+        topks.exists(_.trim.endsWith("false")), plan)
+      assert(plan.contains("Exchange hashpartitioning(o_orderpriority"), plan)
+      // the Window plan AND Spark's sort-based WindowGroupLimit pre-bound
+      // are both gone; the heap phases read the bare scan with NO Sort
+      assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"),
+        plan)
+      val belowTopK = lines.dropWhile(!_.contains("TopKPerGroup "))
+      assert(!belowTopK.exists(l => l.contains("Sort ") &&
+        !l.contains("Sort [o_orderpriority")), plan)
+    } finally TopKPerGroup.uninstall(spark)
+  }
+
+  test("operator output is row-identical to the Window form") {
+    val baseline = topkDf.collect().map(_.toSeq)
+    TopKPerGroup.install(spark)
+    try {
+      val got = topkDf.collect().map(_.toSeq)
+      assert(got.sameElements(baseline))
+    } finally TopKPerGroup.uninstall(spark)
+  }
+
+  test("global top-k (no partition keys) works and ranks correctly") {
+    TopKPerGroup.install(spark)
+    try {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val rows = table("orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("rn", "o_orderkey", "o_totalprice")
+        .orderBy("rn").collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Int]("rn")).toSeq == (1 to 5))
+      val prices = rows.map(_.getAs[Double]("o_totalprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+      val expTop = table("orders").agg(max("o_totalprice")).head().getDouble(0)
+      assert(prices.head == expTop)
+    } finally TopKPerGroup.uninstall(spark)
+  }
+
+  test("rewrite does NOT fire on rank() or on non-literal bounds") {
+    TopKPerGroup.install(spark)
+    try {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val ranked = table("orders")
+        .withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+      val execs = ranked.queryExecution.executedPlan
+        .collect { case e: TopKPerGroupExec => e }
+      assert(execs.isEmpty, "rank() must keep the Window plan")
+    } finally TopKPerGroup.uninstall(spark)
+  }
+}
