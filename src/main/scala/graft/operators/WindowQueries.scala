@@ -132,6 +132,26 @@ object WindowQueries extends QueryModule {
           pround4(cume_dist().over(wTies)).as("cdist"),
           nth_value(col("s_name"), 3).over(wFull).as("third_poorest"))
         .orderBy("s_suppkey")
+    }),
+
+    // The declarative window+filter top-k, executed by the CUSTOM
+    // bounded-heap operator (graft.plans.TopKPerGroup): install() makes
+    // RewriteTopKWindow turn this exact pattern into the partial→
+    // exchange→final heap plan, so the driver's oracle hash-gates the
+    // custom exec's output — not just its ScalaTest twin. install is
+    // session-sticky and semantics-preserving: any later registry query
+    // with the same pattern (e.g. q_sample_stratified) simply gains the
+    // same plan, and the 3-SF gate re-validates them all under it.
+    "q_topk_window" -> ((s, dir) => {
+      graft.plans.TopKPerGroup.install(s)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price"))
+        .orderBy("o_orderpriority", "rn")
     })
   )
 
@@ -208,6 +228,15 @@ object WindowQueries extends QueryModule {
         |    ORDER BY s_acctbal ASC, s_suppkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS third_poorest
-        |FROM supplier ORDER BY s_suppkey""".stripMargin
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_topk_window" ->
+      """SELECT o_orderpriority, rn, o_orderkey,
+        |  ROUND(o_totalprice, 4) AS price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
   )
 }
