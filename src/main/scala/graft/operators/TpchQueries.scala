@@ -197,6 +197,110 @@ object TpchQueries extends QueryModule {
         .limit(20)
     }),
 
+    // TPC-H Q7 (volume shipping): revenue flowing between two specific
+    // nations (supplier side × customer side, both directions), by ship
+    // year. Both nation dims broadcast; the orders⋈lineitem chain
+    // shuffles once on orderkey, customer on custkey — the supplier and
+    // customer nation filters cut the fact stream before the wide joins.
+    "q_tpch_q7" -> ((s, dir) => {
+      val nat = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_2", "NATION_3"))
+        .select("n_nationkey", "n_name"))
+      val supp = t(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(revenue).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q13 (customer distribution): how many customers placed k
+    // non-urgent orders, INCLUDING the zero-order bucket the left join
+    // preserves — the canonical histogram-of-a-count pattern.
+    "q_tpch_q13" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): suppliers achieving the MAXIMUM quarterly
+    // revenue — max over an exact-decimal aggregate, so the argmax set is
+    // deterministic without a tiebreak. The revenue relation is computed
+    // once; the scalar max broadcasts back onto it.
+    "q_tpch_q15" -> ((s, dir) => {
+      val drev = revenue.cast("decimal(18,4)")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(drev).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): lines of one brand whose
+    // quantity is below 20% of that part's average quantity. The per-part
+    // average is a groupBy joined back (not a correlated re-scan); the
+    // 0.2·avg threshold is the same double op sequence in both engines.
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val brand = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#5").select("p_partkey")
+      val bl = li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      val avgq = bl.groupBy(col("p_partkey").as("ap"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      bl.join(avgq, col("p_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(pround4(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity): well-funded customers with no
+    // recent orders, bucketed by market segment (the fixture stand-in for
+    // the phone country code). The positive-balance average is a 1-row
+    // broadcast; the "no recent orders" test is a LEFT ANTI join.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Percent-of-parent analytics: each nation's revenue as a share of
     // its region and of the world — the standard drill-down ratio view.
     // Shares divide exact decimal sums (cast to double only for the one
@@ -401,6 +505,71 @@ object TpchQueries extends QueryModule {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_2', 'NATION_3')
+        |  AND n2.n_name IN ('NATION_2', 'NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q13" ->
+      """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5'),
+        |a AS (SELECT l_partkey AS ap, SUM(l_quantity) / COUNT(*) AS avg_qty
+        |  FROM bl GROUP BY l_partkey)
+        |SELECT FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+        |FROM bl JOIN a ON l_partkey = ap
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |      AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_share_of_total" ->
       """WITH nr AS (SELECT r_name, n_name,

@@ -101,4 +101,44 @@ class TpchSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Long]("order_count")).toMap
     assert(got == expect)
   }
+
+  test("q_tpch_q7: both directions, years bounded, nations differ") {
+    val rows = q("q_tpch_q7").collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation"))
+      val y = r.getAs[Int]("l_year")
+      assert(y == 1997 || y == 1998)
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+  }
+
+  test("q_tpch_q13: distribution covers every customer once") {
+    val rows = q("q_tpch_q13").collect()
+    val nCust = table("customer").count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    // weighted count = total non-urgent orders
+    val nOrd = table("orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist"))
+      .sum == nOrd)
+  }
+
+  test("q_tpch_q15: every reported supplier carries the same max revenue") {
+    val rows = q("q_tpch_q15").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
+  test("q_tpch_q17: one scalar row") {
+    assert(q("q_tpch_q17").collect().length == 1)
+  }
+
+  test("q_tpch_q22: flagged customers have no recent orders and high balance") {
+    val rows = q("q_tpch_q22").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("numcust") > 0)
+      assert(r.getAs[Double]("totacctbal") > 0)
+    }
+  }
 }
