@@ -279,6 +279,59 @@ object TpchQueries extends QueryModule {
           .cast("double") / 7.0).as("avg_yearly"))
     }),
 
+    // TPC-H Q8 (national market share): one nation's share of EUROPE's
+    // ECONOMY-part import revenue, per order year. Shares are ratios of
+    // exact decimal sums; the case-split rides the supplier-nation dim.
+    "q_tpch_q8" -> ((s, dir) => {
+      val drev = revenue.cast("decimal(18,4)")
+      val europeCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val econParts = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val suppNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(europeCust, col("o_custkey") === col("c_custkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(pround4(
+          sum(when(col("supp_nation") === "NATION_2", revenue)
+            .otherwise(lit(0.0)).cast("decimal(18,4)")).cast("double")
+            / sum(drev).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q14 (promotion effect): PROMO-part share of one month's
+    // revenue, as a 0-100 percentage of exact decimal sums.
+    "q_tpch_q14" -> ((s, dir) => {
+      val drev = revenue.cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(pround4(lit(100.0)
+          * sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0.0)).cast("decimal(18,4)")).cast("double")
+          / sum(drev).cast("double")).as("promo_revenue"))
+    }),
+
     // TPC-H Q22 (global sales opportunity): well-funded customers with no
     // recent orders, bucketed by market segment (the fixture stand-in for
     // the phone country code). The positive-balance average is a 1-row
@@ -556,6 +609,37 @@ object TpchQueries extends QueryModule {
         |    AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
         |FROM bl JOIN a ON l_partkey = ap
         |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  FLOOR((CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+        |        THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT FLOOR((CAST(100.0 AS DOUBLE)
+        |    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-03-01'
+        |  AND l_shipdate < TIMESTAMP '1999-04-01'""".stripMargin,
 
     "q_tpch_q22" ->
       """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))

@@ -141,4 +141,22 @@ class TpchSpec extends SparkSpec {
       assert(r.getAs[Double]("totacctbal") > 0)
     }
   }
+
+  test("q_tpch_q8: market share is a proper fraction per year") {
+    val rows = q("q_tpch_q8").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getAs[Double]("mkt_share")
+      assert(sh >= 0.0 && sh <= 1.0, s"share $sh")
+    }
+  }
+
+  test("q_tpch_q14: promo share is a 0-100 percentage") {
+    val rows = q("q_tpch_q14").collect()
+    assert(rows.length == 1)
+    if (!rows.head.isNullAt(0)) {
+      val p = rows.head.getDouble(0)
+      assert(p >= 0.0 && p <= 100.0)
+    }
+  }
 }
