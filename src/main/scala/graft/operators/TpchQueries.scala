@@ -43,6 +43,23 @@ import org.apache.spark.sql.functions._
   *     Catalyst doesn't factor OR-common predicates out, and at 100 TB
   *     that pre-filter is the difference between joining 3 brands' parts
   *     and joining the whole part table.
+  *   - q_tpch_q7/q8: the nation/region dims broadcast unconditionally;
+  *     the selective filters (two nations, one part type, one region)
+  *     cut each fact input BEFORE its wide join, so the join chain's
+  *     shuffles carry the filtered stream only.
+  *   - q_tpch_q13: left join preserves the zero-order bucket; both
+  *     aggregations are key-grained (custkey, then the tiny count
+  *     domain) — the second one is alphabet-bounded.
+  *   - q_tpch_q15: the revenue relation is one suppkey-grained aggregate
+  *     reused for both the scalar max and the argmax join (the max
+  *     broadcasts back; no second scan). Exact-decimal max → the argmax
+  *     SET is deterministic with no tiebreak needed.
+  *   - q_tpch_q17: per-part average joined back (never a correlated
+  *     re-scan); brand pre-filter broadcasts, so only that brand's lines
+  *     ever aggregate.
+  *   - q_tpch_q22: the positive-balance average is a 1-row broadcast;
+  *     "no recent orders" is a LEFT ANTI join on custkey (the distinct
+  *     shrinks the probe side before the anti-join shuffle).
   */
 object TpchQueries extends QueryModule {
 
