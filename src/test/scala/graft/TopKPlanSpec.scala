@@ -82,4 +82,22 @@ class TopKPlanSpec extends SparkSpec {
       assert(execs.isEmpty, "rank() must keep the Window plan")
     } finally TopKPerGroup.uninstall(spark)
   }
+
+  test("heap exec matches Window form with NULL order keys and empty partitions") {
+    val base = table("orders")
+      .withColumn("price",
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      .repartition(64) // most partitions tiny/empty at sf0.001
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price").desc_nulls_last, col("o_orderkey"))
+    def run = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("o_orderpriority", "rn", "o_orderkey", "price")
+      .orderBy("o_orderpriority", "rn").collect().map(_.toSeq)
+    val baseline = run
+    TopKPerGroup.install(spark)
+    try assert(run.sameElements(baseline))
+    finally TopKPerGroup.uninstall(spark)
+  }
 }
