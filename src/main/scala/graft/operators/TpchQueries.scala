@@ -176,8 +176,8 @@ object TpchQueries extends QueryModule {
             .cast("double") / 10000).as("sum_charge"),
           pround4(sum(col("l_quantity").cast("bigint")).cast("double")
             / count(lit(1))).as("avg_qty"),
-          pround4(sum(col("l_extendedprice").cast("decimal(18,4)"))
-            .cast("double") / count(lit(1))).as("avg_price"),
+          pround4(dsum(col("l_extendedprice")) / count(lit(1)))
+            .as("avg_price"),
           pround4(sum(col("l_discount").cast("decimal(18,4)"))
             .cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -292,8 +292,7 @@ object TpchQueries extends QueryModule {
         .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
       bl.join(avgq, col("p_partkey") === col("ap"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-        .agg(pround4(sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("double") / 7.0).as("avg_yearly"))
+        .agg(pround4(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
     }),
 
     // TPC-H Q8 (national market share): one nation's share of EUROPE's
@@ -356,8 +355,7 @@ object TpchQueries extends QueryModule {
     "q_tpch_q22" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
-          / count(lit(1))).as("avg_bal"))
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       val recent = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
         .select("o_custkey").distinct()
@@ -366,8 +364,7 @@ object TpchQueries extends QueryModule {
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
-          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
-            .as("totacctbal"))
+          dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_mktsegment")
     }),
 

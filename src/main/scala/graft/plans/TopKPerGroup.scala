@@ -87,18 +87,25 @@ case class TopKPerGroupExec(
     val orders = sortOrders
     val kk = k
     val isPartial = partial
+    val outAttrs = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groups, childOutput)
       val ord = new LazilyGeneratedOrdering(orders, childOutput)
+      // downstream operators (exchange, sort, getByteArrayRdd) require
+      // UnsafeRow output — project every emitted row, like WindowExec does
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       // per group: a max-heap (reversed ordering) of the k first-in-order
-      // rows — the heap root is the WORST kept row, evicted on a better one
+      // rows — the heap root is the WORST kept row, evicted on a better
+      // one. Initial capacity is NOT k: a defensive huge bound must not
+      // eagerly allocate a k-element array per group (the queue grows).
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(kk, 16) + 1, ord.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kk) heap.add(row.copy())
@@ -116,10 +123,10 @@ case class TopKPerGroupExec(
             var i = rows.length - 1
             while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain → sorted
             current =
-              if (isPartial) rows.iterator
+              if (isPartial) rows.iterator.map(outProj)
               else rows.iterator.zipWithIndex.map { case (r, idx) =>
-                new JoinedRow(r,
-                  new GenericInternalRow(Array[Any](idx + 1))): InternalRow
+                outProj(new JoinedRow(r,
+                  new GenericInternalRow(Array[Any](idx + 1))))
               }
           }
           current.hasNext
@@ -140,7 +147,10 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
 
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    // guard the decrement: rn < Int.MinValue would wrap to Int.MaxValue
+    // and turn an always-false filter into a rewrite that fires
+    case LessThan(a: Attribute, IntegerLiteral(k))
+        if a.semanticEquals(rn) && k > Int.MinValue => Some(k - 1)
     case _ => None
   }
 

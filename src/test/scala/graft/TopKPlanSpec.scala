@@ -100,4 +100,19 @@ class TopKPlanSpec extends SparkSpec {
     try assert(run.sameElements(baseline))
     finally TopKPerGroup.uninstall(spark)
   }
+
+  test("heap exec output survives codegen-off paths (UnsafeRow contract)") {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    TopKPerGroup.install(spark)
+    try {
+      // no projection after the filter: downstream consumes our rows raw
+      val rows = topkDf.collect()
+      assert(rows.length > 0 && rows.length <= 15)
+    } finally {
+      TopKPerGroup.uninstall(spark)
+      spark.conf.set(key, prev)
+    }
+  }
 }
