@@ -145,6 +145,52 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class Scored(key: String, id: Long, score: Double)
+  case class Ranked(key: String, id: Long, score: Double, rank: Int)
+
+  /** Cross-batch top-k leaderboard per key — the streaming twin of the
+    * batch TopKPerGroupExec heap operator (graft.plans.TopKPerGroup):
+    * state holds at most k (id, score) pairs per key, each batch folds
+    * its rows into the bounded list, and the full refreshed leaderboard
+    * is emitted (update mode). Ties break by id ascending, like every
+    * batch top-k here. State size is k rows per key — bounded regardless
+    * of stream length, the property that makes it streamable at all.
+    */
+  case class Board(ids: Array[Long], scores: Array[Double])
+
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, Scored, Ranked] {
+    @transient private var board: ValueState[Board] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      board = getHandle.getValueState[Board](
+        "board", Encoders.product[Board], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Scored],
+                                 timerValues: TimerValues): Iterator[Ranked] = {
+      val prev: Seq[(Long, Double)] =
+        if (board.exists()) {
+          val b = board.get(); b.ids.toSeq.zip(b.scores.toSeq)
+        } else Nil
+      val merged = (prev ++ rows.map(r => (r.id, r.score)))
+        .sortBy { case (id, score) => (-score, id) }
+        .take(k)
+      board.update(Board(merged.map(_._1).toArray, merged.map(_._2).toArray))
+      merged.iterator.zipWithIndex.map { case ((id, score), i) =>
+        Ranked(key, id, score, i + 1)
+      }
+    }
+  }
+
+  /** Streaming per-key top-k via transformWithState (update mode). */
+  def streamingTopK(spark: SparkSession, ds: Dataset[Scored],
+                    k: Int): Dataset[Ranked] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class SessionEvent(user: String, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionSummary(user: String, nEvents: Long, durationMs: Long)

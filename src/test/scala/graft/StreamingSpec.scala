@@ -223,6 +223,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stateful: streaming top-k leaderboard carries ranks across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.Scored]
+      val out = runToTable(
+        StatefulOps.streamingTopK(spark, in.toDS, 2).toDF,
+        "update",
+        () => in.addData(StatefulOps.Scored("a", 1, 5.0),
+          StatefulOps.Scored("a", 2, 9.0), StatefulOps.Scored("a", 3, 1.0)),
+        // batch 2: one better row arrives — it must displace id=1, and the
+        // carried id=2 must stay rank 1 even though batch 2 never saw it
+        () => in.addData(StatefulOps.Scored("a", 4, 7.0)))
+      val latest = out.as[(String, Long, Double, Int)].collect()
+        .groupBy(_._2).map { case (id, rs) => id -> rs.maxBy(_._4) }
+      // final leaderboard: id 2 (9.0) rank 1, id 4 (7.0) rank 2
+      val finalBoard = out.as[(String, Long, Double, Int)].collect()
+        .filter(r => r._2 == 2L || r._2 == 4L)
+      assert(finalBoard.exists(r => r._2 == 2L && r._4 == 1))
+      assert(finalBoard.exists(r => r._2 == 4L && r._4 == 2))
+      // id 3 (1.0) never made the k=2 board's final state; id 1 was rank 2
+      // only in batch 1
+      assert(!out.as[(String, Long, Double, Int)].collect()
+        .exists(r => r._2 == 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_output_modes: complete-mode global word count converges") {
     val in = MemoryStream[String]
     val out = runToTable(
