@@ -139,18 +139,47 @@ object PipelineQueries extends QueryModule {
     * corpus-wide .distinct() yields, with no Exchange at all — only the
     * tiny eval-side cross-doc dedup shuffles.
     */
+  /** The 100 TB path for [[contaminated]]: instead of broadcasting the
+    * exact eval-gram SET, broadcast a Bloom filter of it and pre-screen
+    * train grams SCAN-SIDE, so the exact equality join only receives
+    * probable hits. The Bloom's size is fpp-bounded and independent of
+    * the train corpus; false positives are removed by the exact join that
+    * follows, so the result is IDENTICAL to the exact path (PipelineSpec
+    * proves equality) — the filter only cuts the volume entering the
+    * shuffle, which at 100 TB is the difference between shuffling every
+    * train gram and shuffling ~|eval|·(1+fpp) of them.
+    */
+  private[graft] def contaminatedBloom(s: org.apache.spark.sql.SparkSession,
+      dir: String, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val grams = trainEvalGrams(s, dir)
+    val ev = grams.filter(col("doc_id") < 10).select("g").distinct()
+    val n = math.max(ev.count(), 1L) // bounded: eval sets are tiny
+    val bloom = ev.stat.bloomFilter("g", n, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightHit = udf((g: String) => bc.value.mightContainString(g))
+    grams.filter(col("doc_id") >= 10)
+      .filter(mightHit(col("g"))) // scan-side cut; FPs survive to...
+      .join(broadcast(ev), "g")   // ...the exact join, which removes them
+  }
+
   private def contaminated(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val grams = t(s, dir, "documents")
+    val grams = trainEvalGrams(s, dir)
+    val ev = grams.filter(col("doc_id") < 10).select("g").distinct()
+    grams.filter(col("doc_id") >= 10).join(broadcast(ev), "g")
+  }
+
+  /** The raw per-doc-distinct (doc_id, g) 5-gram relation both
+    * decontamination paths consume. */
+  private def trainEvalGrams(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(1, size(t) - 4),
           |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
         .as("g"))
-    val ev = grams.filter(col("doc_id") < 10).select("g").distinct()
-    grams.filter(col("doc_id") >= 10).join(broadcast(ev), "g")
-  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_quality_filter" ->

@@ -73,4 +73,15 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Int]("keep") == (if (oov * 10 <= n * 3) 1 else 0))
     }
   }
+
+  test("bloom-prescreened decontamination equals the exact path") {
+    val exact = q("q_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = graft.operators.PipelineQueries
+      .contaminatedBloom(spark, sf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomed == exact)
+  }
 }
