@@ -153,6 +153,30 @@ object RelationalQueries extends QueryModule {
       c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
         .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
         .orderBy("c_custkey")
+    }),
+
+    // The BAG (multiset) set-op variants: INTERSECT ALL keeps min(n_a,
+    // n_b) copies per tuple, EXCEPT ALL keeps n_a - n_b — semantics the
+    // DISTINCT forms above can't express. Both plan as an aggregate on
+    // the tuple + count arithmetic (one shuffle per side), not a join
+    // explosion; duplicate output rows are identical, so the driver's
+    // row-sorted hash is order-safe.
+    "q_intersect_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_returnflag", "l_linestatus")
+        .intersectAll(li.filter(col("l_orderkey") % 2 === 1)
+          .select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_returnflag", "l_linestatus")
+        .exceptAll(li.filter(col("l_orderkey") % 2 === 1)
+          .select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -250,6 +274,22 @@ object RelationalQueries extends QueryModule {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT l_returnflag, l_linestatus FROM lineitem
+        |  WHERE l_orderkey % 2 = 0
+        |INTERSECT ALL
+        |SELECT l_returnflag, l_linestatus FROM lineitem
+        |  WHERE l_orderkey % 2 = 1
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT l_returnflag, l_linestatus FROM lineitem
+        |  WHERE l_orderkey % 2 = 0
+        |EXCEPT ALL
+        |SELECT l_returnflag, l_linestatus FROM lineitem
+        |  WHERE l_orderkey % 2 = 1
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

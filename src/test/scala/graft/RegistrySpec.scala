@@ -37,4 +37,23 @@ class RegistrySpec extends SparkSpec {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("q_intersect_all / q_except_all: multiset counts are min and difference") {
+    val li = table("lineitem")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+      .groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+      .groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val inter = q("q_intersect_all").collect()
+      .groupBy(r => (r.getString(0), r.getString(1))).view.mapValues(_.length.toLong).toMap
+    val exc = q("q_except_all").collect()
+      .groupBy(r => (r.getString(0), r.getString(1))).view.mapValues(_.length.toLong).toMap
+    (a.keySet ++ b.keySet).foreach { k =>
+      val (na, nb) = (a.getOrElse(k, 0L), b.getOrElse(k, 0L))
+      assert(inter.getOrElse(k, 0L) == math.min(na, nb), s"intersectAll $k")
+      assert(exc.getOrElse(k, 0L) == math.max(na - nb, 0L), s"exceptAll $k")
+    }
+  }
 }
