@@ -134,6 +134,20 @@ object AggregateQueries extends QueryModule {
                  event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""")
     }),
 
+    // NULL-key grouping parity — both engines must treat NULL as ONE
+    // group (not drop it, not one-group-per-null): the null group is
+    // synthesized with NULLIF so the fixture's non-null columns still
+    // exercise the trap. COALESCE/NULLIF also land in the output surface.
+    "q_null_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(expr("NULLIF(l_returnflag, 'N')").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_linestatus")).as("n_status"))
+        .select(col("flag"),
+          coalesce(col("flag"), lit("(none)")).as("label"),
+          col("n"), col("n_status"))
+        .orderBy("label")),
+
     // Exact percentile (not approx) so DuckDB quantile_cont matches.
     "q_agg_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -248,6 +262,15 @@ object AggregateQueries extends QueryModule {
         |GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
         |ORDER BY g_et, g_uid,
         |         event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    "q_null_group" ->
+      """SELECT NULLIF(l_returnflag, 'N') AS flag,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), '(none)') AS label,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT l_linestatus) AS n_status
+        |FROM lineitem
+        |GROUP BY NULLIF(l_returnflag, 'N')
+        |ORDER BY label""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT l_returnflag,
