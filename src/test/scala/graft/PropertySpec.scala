@@ -105,4 +105,23 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(a == b, "signature depends on row order")
   }
+
+  test("jaro-winkler invariants: bounds, identity, symmetry, prefix monotone") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroImpl.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val strs = Seq.fill(80)(
+      Seq.fill(rnd.nextInt(12))("abcde".charAt(rnd.nextInt(5))).mkString)
+    for (a <- strs.take(30); b <- strs.take(30)) {
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds: jw($a,$b)=$s")
+      assert(s == jw(b, a), s"asymmetric: $a,$b")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0)
+      if (a.isEmpty || b.isEmpty) assert(s == 0.0)
+    }
+    // appending a shared prefix never decreases similarity of distinct
+    // suffixes below the unprefixed score (Winkler boost direction)
+    assert(jw("martha", "marhta") <= jw("xmartha", "xmarhta") + 1e-9)
+  }
 }
