@@ -193,10 +193,37 @@ object AggregateQueries extends QueryModule {
           array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
           array_join(array_sort(collect_set(col("c_mktsegment"))), "|").as("segs"),
           count(lit(1)).as("cnt"))
-        .orderBy("c_nationkey"))
+        .orderBy("c_nationkey")),
+
+    // Conditional aggregates — the FILTER (WHERE …) clause surface:
+    // count_if / filtered dsum / bool_and / bool_or. All four stay inside
+    // one partial→final HashAggregate (the predicate is evaluated map-side,
+    // so filtered rows never widen the shuffle). A group with no matching
+    // rows yields NULL for the filtered sum on both engines.
+    "q_agg_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 150000).as("n_big"),
+          sum(when(col("o_orderstatus") === "O",
+              col("o_totalprice").cast("decimal(18,4)")))
+            .cast("double").as("rev_open"),
+          bool_and(col("o_totalprice") > lit(0)).as("all_pos"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"))
+        .orderBy("o_orderpriority"))
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_open,
+        |  BOOL_AND(o_totalprice > 0) AS all_pos,
+        |  BOOL_OR(o_orderstatus = 'F') AS any_final
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_agg_global" ->
       """SELECT COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -135,10 +135,36 @@ object JoinQueries extends QueryModule {
         .select(col("p_id"), col("user_id"), col("c_id").as("asof_click"),
           round(col("c_value"), 4).as("click_value"))
         .orderBy("p_id")
+    }),
+
+    "q_null_safe_join" -> ((s, dir) => {
+      // Null-safe equi-join: `<=>` (IS NOT DISTINCT FROM) treats NULL as a
+      // joinable key value. Spark plans EqualNullSafe as a first-class hash
+      // join key (no cartesian fallback), so the NULL rows land in one hash
+      // bucket like any other key. The dim side is the distinct synthesized
+      // segments (≤5 incl. NULL) — broadcast, so the fact side never
+      // shuffles; each fact row matches exactly one dim row.
+      val c = t(s, dir, "customer")
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+      val dim = c.groupBy(col("seg").as("d_seg"))
+        .agg(count(lit(1)).as("seg_n"))
+      c.join(broadcast(dim), col("seg") <=> col("d_seg"))
+        .select(col("c_custkey"),
+          coalesce(col("seg"), lit("NULLSEG")).as("seg_filled"),
+          col("seg_n"))
+        .orderBy("c_custkey")
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_null_safe_join" ->
+      """WITH c AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |           FROM customer),
+        |     dim AS (SELECT seg AS d_seg, COUNT(*) AS seg_n FROM c GROUP BY seg)
+        |SELECT c_custkey, COALESCE(seg, 'NULLSEG') AS seg_filled, seg_n
+        |FROM c JOIN dim ON seg IS NOT DISTINCT FROM d_seg
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, ROUND(o_totalprice, 4) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey

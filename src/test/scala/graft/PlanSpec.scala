@@ -123,6 +123,39 @@ class PlanSpec extends SparkSpec {
       s"expected a single o_custkey exchange, got:\n$plan")
   }
 
+  test("q_null_safe_join: <=> keys plan as a broadcast HASH join") {
+    // EqualNullSafe is a first-class equi-join key in Spark — the NULL
+    // group hashes like any other value. A nested-loop fallback here would
+    // be the 100 TB failure mode.
+    val plan = executed("q_null_safe_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"null-safe join did not hash-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe join fell back to nested loop:\n$plan")
+  }
+
+  test("q_lateral: correlated lateral aggregate is decorrelated, not per-row") {
+    // Catalyst rewrites LATERAL (SELECT agg … WHERE key = outer.key) into
+    // aggregate-then-join; the plan must show a HashAggregate feeding a
+    // join, with no per-row subquery execution node.
+    val plan = executed("q_lateral")
+    assert(plan.contains("HashAggregate"),
+      s"lateral aggregate not decorrelated to an aggregate:\n$plan")
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"),
+      s"no join in the decorrelated lateral plan:\n$plan")
+  }
+
+  test("q_recursive_cte: 80-month spine, recursion never touches fact rows") {
+    val df = q("q_recursive_cte")
+    val rows = df.collect()
+    assert(rows.length == 80, s"spine length ${rows.length}, expected 80")
+    assert(rows.head.getString(0) == "1995-01" &&
+      rows.last.getString(0) == "2001-08")
+    // every month in range is present exactly once, counts non-negative
+    assert(rows.map(_.getString(0)).distinct.length == 80)
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
+
   test("no query degenerates to a cartesian product (except q_join_cross)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "q_join_cross") // the explicit small×small cross join
