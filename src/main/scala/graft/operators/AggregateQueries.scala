@@ -210,10 +210,41 @@ object AggregateQueries extends QueryModule {
             .cast("double").as("rev_open"),
           bool_and(col("o_totalprice") > lit(0)).as("all_pos"),
           bool_or(col("o_orderstatus") === "F").as("any_final"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // listagg … WITHIN GROUP (ORDER BY …) — the ANSI ordered string
+    // aggregate (Spark 4 ListAgg). The (nationkey, segment) pairs are
+    // DISTINCT'd FIRST (partial→final aggregate, 125 rows out), so the
+    // string is bounded by segment cardinality (5) no matter the group
+    // size — the only listagg shape that is safe at 100 TB. (listagg's own
+    // DISTINCT modifier trips a SortOrder cast bug in Spark 4.1 ListAgg,
+    // and would also carry every raw row into the sort buffer.)
+    "q_listagg" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """WITH pairs AS (
+          |  SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+          |)
+          |SELECT c_nationkey,
+          |  listagg(c_mktsegment, '|')
+          |    WITHIN GROUP (ORDER BY c_mktsegment) AS segs,
+          |  COUNT(*) AS n_segs
+          |FROM pairs GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_listagg" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |)
+        |SELECT c_nationkey,
+        |  string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+        |  COUNT(*) AS n_segs
+        |FROM pairs GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "q_agg_filter" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,

@@ -68,6 +68,27 @@ class CoverageSpec extends SparkSpec {
       s"approx median $approxMed vs exact $exactMed")
   }
 
+  test("hll sketch merge: per-group sketches union to the global count (D)") {
+    // The 100 TB distinct-count pattern: sketches are MERGEABLE, so a
+    // rollup never re-scans the facts — per-nation hll_sketch_agg binaries
+    // union (hll_union_agg) into the global estimate. Datasketches HLL is
+    // deterministic for a fixed lgK, so the two-level path must land within
+    // the sketch's published error envelope of the exact count.
+    val c = table("customer")
+    val perNation = c.groupBy("c_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"))
+    val merged = perNation
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val exact = c.select(countDistinct("c_custkey")).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"two-level HLL $merged vs exact $exact drifts > 5%")
+    // the sketch column is a binary payload — the shuffle between the two
+    // levels carries 25 sketches, not 25×group rows
+    assert(perNation.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
   test("SQL function registry: cosine_sim/normalize_text/lang_id/... (K)") {
     Registry.registerAll(spark)
     val r = spark.sql("""SELECT
