@@ -117,6 +117,26 @@ object WindowQueries extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Event-time RANGE frame: trailing 1-hour activity per user — the
+    // rate-limit / burst-detection window. The frame bound is a calendar
+    // INTERVAL on the timestamp order key (SQL-only surface; the DataFrame
+    // rangeBetween takes longs). RANGE includes ts-peers by definition, so
+    // the result is tie-deterministic; the decimal sum keeps accumulation
+    // order-independent. Same per-user partitioning story at 100 TB as any
+    // other window: one Exchange on user_id, skewed single user is the
+    // hazard, frame state is bounded by the hour's volume.
+    "q_win_time_range" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id, user_id,
+          |  COUNT(*) OVER w AS cnt_1h,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
     // cume_dist over a deliberately tie-ful key (coarsened balance — the
     // function is tie-deterministic: peers share one value) and nth_value
     // over the FULL partition frame (the default running frame would make
@@ -156,6 +176,15 @@ object WindowQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_win_time_range" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "q_win_rownum" ->
       """SELECT o_orderkey, o_orderpriority,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority

@@ -89,6 +89,68 @@ class CoverageSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
   }
 
+  test("corrupt-record tolerance: PERMISSIVE captures, DROPMALFORMED skips (A)") {
+    // 100 TB ingest reality: some JSON lines are broken. PERMISSIVE must
+    // keep every row (bad ones flagged in the corrupt column, fields null);
+    // DROPMALFORMED must keep exactly the clean rows. FAILFAST must throw.
+    val tmp = Files.createTempDirectory("graft-badjson").toString
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/part.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{broken json line
+        |{"id": 4, "v": null}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_bad", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .json(tmp).cache()
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("_bad").isNotNull).count() == 1)
+    assert(permissive.filter(col("_bad").isNotNull).select("id").head().isNullAt(0))
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(tmp)
+    assert(dropped.count() == 3)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(tmp).collect()
+    }
+  }
+
+  test("schema evolution: mergeSchema unions parquet file schemas (A)") {
+    // Old files lack the later-added column; mergeSchema reads must union
+    // the schemas and null-fill — the append-only table-evolution pattern.
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS name")
+      .write.parquet(s"$tmp/d=1")
+    spark.range(3, 5)
+      .selectExpr("id", "CAST(id AS STRING) AS name", "id * 2 AS score")
+      .write.parquet(s"$tmp/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.schema.fieldNames.toSet == Set("id", "name", "score", "d"))
+    assert(merged.count() == 5)
+    assert(merged.filter(col("d") === 1 && col("score").isNull).count() == 3)
+    assert(merged.filter(col("d") === 2).agg(sum("score")).head().getLong(0) == 14)
+  }
+
+  test("join strategy hints: merge forces SMJ, shuffle_hash forces SHJ (C)") {
+    // The escape hatch when the optimizer's choice is wrong for a known
+    // data shape — hints pin the physical strategy without touching the
+    // declarative query.
+    val o = table("orders")
+    val c = table("customer")
+    val smj = o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), s"merge hint ignored:\n$smj")
+    val shj = o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(shj.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$shj")
+    val bcast = o.join(c.hint("broadcast"), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$bcast")
+  }
+
   test("SQL function registry: cosine_sim/normalize_text/lang_id/... (K)") {
     Registry.registerAll(spark)
     val r = spark.sql("""SELECT
