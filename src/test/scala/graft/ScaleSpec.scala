@@ -2,6 +2,10 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.functions._
 
 /** 100 TB-mechanics demonstrations on local fixtures: partition layout
@@ -97,5 +101,47 @@ class ScaleSpec extends SparkSpec {
         s"no runtime bloom filter in:\n$plan")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  /** Sum of the `dataSize` metric over every shuffle exchange the query
+    * actually executed — measured bytes, not plan-string inference. Walks
+    * through AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec); reused
+    * exchanges count once, at their original.
+    */
+  private def shuffleDataSize(df: DataFrame): Long = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case _: ReusedExchangeExec    => Seq.empty
+      case e: ShuffleExchangeLike   => e +: p.children.flatMap(walk)
+      case _                        => p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .map(e => e.metrics.get("dataSize").fold(0L)(_.value)).sum
+  }
+
+  test("measured shuffle bytes: hash-grouped dedup shuffles a fraction of the text") {
+    // The q_dedup_exact contract — pass 1 exchanges (hash, id), never the
+    // document bodies — asserted on the executed exchanges' dataSize
+    // metric, not the plan string: total shuffled bytes must be well under
+    // the corpus text volume.
+    val textBytes = table("documents")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    val shuffled = shuffleDataSize(
+      operators.DedupQueries.dedupExact(spark, sf, materialize = false))
+    assert(shuffled > 0, "expected at least one executed shuffle")
+    assert(shuffled < textBytes / 2,
+      s"dedup shuffled $shuffled bytes vs $textBytes bytes of text")
+  }
+
+  test("measured shuffle bytes: partial aggregation shrinks the exchange to group scale") {
+    // lineitem is ~6k rows at this SF; after map-side partial aggregation
+    // the exchange carries (groups × partitions) rows — a few KB, orders
+    // of magnitude under the input.
+    val shuffled = shuffleDataSize(q("q_agg_group"))
+    assert(shuffled > 0, "expected an executed shuffle for the group-by")
+    assert(shuffled < 64 * 1024,
+      s"partial aggregation should bound the exchange, got $shuffled bytes")
   }
 }
