@@ -137,6 +137,28 @@ object JoinQueries extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // The SAME as-of relation computed by the custom sort-merge operator
+    // (plans/AsofJoin.scala): no candidate fan-out, no rank window — one
+    // forward merge per co-partitioned (user, time)-sorted partition pair.
+    // Driver-gated against the identical DuckDB oracle as q_join_asof, so
+    // the custom exec's output is hash-checked at all three SFs.
+    "q_asof_custom" -> ((s, dir) => {
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val c = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"), col("value").as("c_value"))
+      graft.plans.AsofJoinOp.asof(p, c,
+          leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+          leftTime = "p_ts", rightTime = "c_ts",
+          rightTieBreak = Seq("c_id"),
+          horizonMicros = 7L * 24 * 3600 * 1000000L)
+        .select(col("p_id"), col("user_id"), col("c_id").as("asof_click"),
+          round(col("c_value"), 4).as("click_value"))
+        .orderBy("p_id")
+    }),
+
     "q_null_safe_join" -> ((s, dir) => {
       // Null-safe equi-join: `<=>` (IS NOT DISTINCT FROM) treats NULL as a
       // joinable key value. Spark plans EqualNullSafe as a first-class hash
@@ -230,6 +252,20 @@ object JoinQueries extends QueryModule {
         |ORDER BY e1.user_id, e1.event_id""".stripMargin,
 
     "q_join_asof" ->
+      """SELECT p_id, user_id, asof_click, click_value FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         c.event_id AS asof_click, ROUND(c.value, 4) AS click_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |             ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND c.ts > p.ts - INTERVAL 7 DAY)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // identical relation to q_join_asof — the oracle doesn't care which
+    // physical operator produced it
+    "q_asof_custom" ->
       """SELECT p_id, user_id, asof_click, click_value FROM (
         |  SELECT p.event_id AS p_id, p.user_id AS user_id,
         |         c.event_id AS asof_click, ROUND(c.value, 4) AS click_value,

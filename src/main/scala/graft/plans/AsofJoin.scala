@@ -1,0 +1,223 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Sort-merge AS-OF join — the second full custom-operator stack (logical
+  * node → planner strategy → physical exec), for a join Spark has no native
+  * operator for: "for each left row, the LATEST right row with the same key
+  * at time ≤ left time, within a horizon".
+  *
+  * The declarative form (q_join_asof, operators/JoinQueries.scala) is
+  * equi-join on the key + range condition, then a row_number window keeps
+  * rank 1: every purchase×click candidate pair inside the horizon is
+  * MATERIALIZED and shuffled to the window, then all but one per purchase
+  * is discarded. Candidate fan-out ∝ per-key activity × horizon; at 100 TB
+  * with a 7-day horizon that is the dominant cost of the query.
+  *
+  * This operator computes the same relation with zero fan-out: both sides
+  * hash-cluster on the key (two exchanges, same as the join) and sort
+  * within partitions by (key, time) — then ONE forward merge pass holds
+  * exactly one buffered right row (the as-of candidate) at a time. O(n+m)
+  * after sort, no candidate materialization, no window. Ties on right time
+  * resolve by the trailing tie-break sort keys: the LAST row in sort order
+  * wins, matching the declarative form's ORDER BY ts DESC, id DESC rank 1.
+  *
+  * Semantics (inner as-of):
+  *   - NULL in any key field never matches (equi-join convention);
+  *   - NULL times never match;
+  *   - match requires leftTime - horizon < rightTime ≤ leftTime.
+  *
+  * Correctness is driver-gated through q_asof_custom (same DuckDB oracle
+  * as q_join_asof) and spec-checked equal to the declarative plan.
+  */
+case class AsofJoin(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    horizonMicros: Long,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  require(horizonMicros > 0, "asof horizon must be positive")
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sort-merge as-of. EnsureRequirements inserts the co-partitioned
+  * exchanges (ClusteredDistribution on both key lists) and the per-partition
+  * sorts (requiredChildOrdering); doExecute is a single forward merge that
+  * buffers ONE right row per key — the current as-of candidate.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    horizonMicros: Long,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+      ++ rightTieBreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val ltExpr = leftTime
+    val rtExpr = rightTime
+    val h = horizonMicros
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt0) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      // both key projections share one schema — compare with a generated
+      // ordering over bound references into that schema
+      val keyOrd = new LazilyGeneratedOrdering(
+        lKeyExprs.zipWithIndex.map { case (e, i) =>
+          SortOrder(BoundReference(i, e.dataType, nullable = true), Ascending)
+        }, Nil)
+      val ltEval = BindReferences.bindReference(ltExpr, lOut)
+      val rtEval = BindReferences.bindReference(rtExpr, rOut)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rIter = rIt0.buffered
+      // the as-of candidate: latest right row consumed so far whose key
+      // equals lastKey and whose time ≤ the current left time
+      var lastKey: InternalRow = null
+      var lastRight: InternalRow = null
+      var lastCt = 0L
+
+      new Iterator[InternalRow] {
+        private var ready = false
+        private var nextRow: InternalRow = null
+
+        private def findNext(): Unit = {
+          nextRow = null
+          while (nextRow == null && lIt.hasNext) {
+            val l = lIt.next()
+            val lk = lKeyProj(l)
+            if (!lk.anyNull) {
+              val ptv = ltEval.eval(l)
+              if (ptv != null) {
+                val pt = ptv.asInstanceOf[Long]
+                // advance the right side: consume rows behind the current
+                // key, and rows at the current key with time ≤ pt (each
+                // replaces the candidate — sort order makes the last one
+                // the latest, tie-break included)
+                var advance = true
+                while (advance && rIter.hasNext) {
+                  val rk = rKeyProj(rIter.head)
+                  if (rk.anyNull) { rIter.next() }
+                  else {
+                    val c = keyOrd.compare(rk, lk)
+                    if (c < 0) {
+                      rIter.next(); lastKey = null; lastRight = null
+                    } else if (c == 0) {
+                      val ctv = rtEval.eval(rIter.head)
+                      if (ctv == null) { rIter.next() }
+                      else {
+                        val ct = ctv.asInstanceOf[Long]
+                        if (ct <= pt) {
+                          lastRight = rIter.next().copy()
+                          lastCt = ct
+                          if (lastKey == null ||
+                              keyOrd.compare(lastKey, lk) != 0)
+                            lastKey = lk.copy()
+                        } else advance = false
+                      }
+                    } else advance = false
+                  }
+                }
+                if (lastRight != null && lastKey != null &&
+                    keyOrd.compare(lastKey, lk) == 0 && lastCt > pt - h)
+                  nextRow = outProj(joined(l, lastRight))
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (!ready) { findNext(); ready = true }
+          nextRow != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty asof iterator")
+          ready = false
+          nextRow
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical AsofJoin 1:1 onto its exec. */
+object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(lk, rk, lt, rt, tie, h, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, h, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsofJoinOp {
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+  /** Inner as-of join: for each `left` row, the latest `right` row with the
+    * same key at rightTime ≤ leftTime within the horizon. Columns are
+    * resolved by name against each side; ties on rightTime resolve to the
+    * LAST row in `rightTieBreak` ascending order.
+    */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String],
+      horizonMicros: Long): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "as-of join needs matching non-empty key lists")
+    val spark = left.sparkSession
+    install(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def res(plan: LogicalPlan, n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${plan.output.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, AsofJoin(
+      leftKeys.map(res(lp, _)), rightKeys.map(res(rp, _)),
+      res(lp, leftTime), res(rp, rightTime),
+      rightTieBreak.map(res(rp, _)), horizonMicros, lp, rp))
+  }
+}

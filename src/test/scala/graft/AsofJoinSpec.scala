@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.AsofJoinOp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom sort-merge as-of operator (plans/AsofJoin.scala) must be
+  * result-identical to the declarative fan-out+rank form and must plan as
+  * merge (two exchanges, no candidate materialization). */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H7D: Long = 7L * 24 * 3600 * 1000000L
+
+  private def purchases: DataFrame =
+    table("events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id"))
+
+  private def clicks: DataFrame =
+    table("events").filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"), col("value").as("c_value"))
+
+  private def declarative: DataFrame = {
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "inner")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("c_id"), col("c_ts"))
+      .orderBy("p_id")
+  }
+
+  private def custom: DataFrame =
+    AsofJoinOp.asof(purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTime = "p_ts", rightTime = "c_ts",
+        rightTieBreak = Seq("c_id"), horizonMicros = H7D)
+      .select(col("p_id"), col("user_id"), col("c_id"), col("c_ts"))
+      .orderBy("p_id")
+
+  test("custom as-of equals the declarative fan-out+rank form on the fixture") {
+    val a = declarative.collect().map(_.toSeq)
+    val b = custom.collect().map(_.toSeq)
+    assert(a.length == b.length && a.length > 100,
+      s"row counts differ or trivial: ${a.length} vs ${b.length}")
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("plan: AsofJoinExec with clustered exchanges, no window, no fan-out join") {
+    val df = custom
+    df.collect()
+    // the AQE rendering repeats the tree under "== Initial Plan ==" —
+    // count structure in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Window"), s"rank window leaked into:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"fan-out join leaked into:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"expected exactly two key exchanges:\n$plan")
+  }
+
+  test("null keys and null times never match; ties resolve to max tie-break") {
+    val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
+    def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
+    val l = Seq(
+      (1L, Option(10L), Option(t(60))),   // matches click 103 (tie winner)
+      (2L, Option(10L), Option(t(600))),  // beyond 2h horizon → no match
+      (3L, None: Option[Long], Option(t(60))),  // null key → no match
+      (4L, Option(10L), None: Option[Timestamp]), // null time → no match
+      (5L, Option(77L), Option(t(60))))   // key with no clicks → no match
+      .toDF("p_id", "user_id", "p_ts")
+    val r = Seq(
+      (101L, Option(10L), Option(t(0))),
+      (103L, Option(10L), Option(t(30))), // same ts as 102, higher id wins
+      (102L, Option(10L), Option(t(30))),
+      (104L, Option(10L), Option(t(90))), // after every left time
+      (105L, None: Option[Long], Option(t(30))),  // null key
+      (106L, Option(10L), None: Option[Timestamp])) // null time
+      .toDF("c_id", "c_user", "c_ts")
+    val out = AsofJoinOp.asof(l, r,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        horizonMicros = 2L * 3600 * 1000000L)
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.toSet == Set((1L, 103L)), s"got ${out.toSeq}")
+  }
+
+  test("rejects empty or mismatched key lists and a non-positive horizon") {
+    intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(purchases, clicks, Seq(), Seq(), "p_ts", "c_ts", Seq(), H7D)
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(purchases, clicks, Seq("user_id"), Seq("c_user"),
+        "p_ts", "c_ts", Seq(), -1L)
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(purchases, clicks, Seq("no_such_col"), Seq("c_user"),
+        "p_ts", "c_ts", Seq(), H7D)
+    }
+  }
+}
