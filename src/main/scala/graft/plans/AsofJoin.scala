@@ -46,10 +46,13 @@ case class AsofJoin(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
+    leftOuter: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(horizonMicros > 0, "asof horizon must be positive")
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
@@ -67,10 +70,13 @@ case class AsofJoinExec(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
+    leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -90,6 +96,7 @@ case class AsofJoinExec(
     val ltExpr = leftTime
     val rtExpr = rightTime
     val h = horizonMicros
+    val outer = leftOuter
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt0) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -104,6 +111,8 @@ case class AsofJoinExec(
       val rtEval = BindReferences.bindReference(rtExpr, rOut)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
       val rIter = rIt0.buffered
       // the as-of candidate: latest right row consumed so far whose key
       // equals lastKey and whose time ≤ the current left time
@@ -155,8 +164,10 @@ case class AsofJoinExec(
                 if (lastRight != null && lastKey != null &&
                     keyOrd.compare(lastKey, lk) == 0 && lastCt > pt - h)
                   nextRow = outProj(joined(l, lastRight))
-              }
-            }
+                else if (outer)
+                  nextRow = outProj(joined(l, nullRight))
+              } else if (outer) nextRow = outProj(joined(l, nullRight))
+            } else if (outer) nextRow = outProj(joined(l, nullRight))
           }
         }
 
@@ -181,8 +192,9 @@ case class AsofJoinExec(
 /** Plans the logical AsofJoin 1:1 onto its exec. */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, tie, h, l, r) =>
-      AsofJoinExec(lk, rk, lt, rt, tie, h, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(lk, rk, lt, rt, tie, h, outer, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, h, outer,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -194,19 +206,23 @@ object AsofJoinOp {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
 
-  /** Inner as-of join: for each `left` row, the latest `right` row with the
+  /** As-of join: for each `left` row, the latest `right` row with the
     * same key at rightTime ≤ leftTime within the horizon. Columns are
     * resolved by name against each side; ties on rightTime resolve to the
-    * LAST row in `rightTieBreak` ascending order.
+    * LAST row in `rightTieBreak` ascending order. joinType "inner" drops
+    * unmatched left rows; "left" keeps them with a null right side.
     */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       rightTieBreak: Seq[String],
-      horizonMicros: Long): DataFrame = {
+      horizonMicros: Long,
+      joinType: String = "inner"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
+    require(joinType == "inner" || joinType == "left",
+      s"asof joinType must be inner or left, got $joinType")
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed
@@ -218,6 +234,7 @@ object AsofJoinOp {
     PlanBridge.ofRows(spark, AsofJoin(
       leftKeys.map(res(lp, _)), rightKeys.map(res(rp, _)),
       res(lp, leftTime), res(rp, rightTime),
-      rightTieBreak.map(res(rp, _)), horizonMicros, lp, rp))
+      rightTieBreak.map(res(rp, _)), horizonMicros,
+      joinType == "left", lp, rp))
   }
 }

@@ -93,6 +93,43 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 103L)), s"got ${out.toSeq}")
   }
 
+  test("left-outer: unmatched lefts survive with a null right side") {
+    val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
+    def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
+    val l = Seq((1L, 10L, t(60)), (2L, 99L, t(60))).toDF("p_id", "user_id", "p_ts")
+    val r = Seq((101L, 10L, t(30))).toDF("c_id", "c_user", "c_ts")
+    val out = AsofJoinOp.asof(l, r,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        horizonMicros = 3600L * 1000000L, joinType = "left")
+      .select("p_id", "c_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+    assert(out.toSet == Set((1L, Some(101L)), (2L, None)), s"got ${out.toSeq}")
+    // the right-side attributes must be nullable in the outer output schema
+    val schema = AsofJoinOp.asof(l, r,
+      Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+      3600L * 1000000L, "left").schema
+    assert(schema("c_id").nullable)
+  }
+
+  test("left-outer equals the declarative LEFT JOIN + rank form on the fixture") {
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    val decl = purchases.join(clicks,
+        col("user_id") === col("c_user") && col("c_ts") <= col("p_ts")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("c_id")).orderBy("p_id")
+      .collect().map(_.toSeq)
+    val cust = AsofJoinOp.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        H7D, joinType = "left")
+      .select(col("p_id"), col("c_id")).orderBy("p_id")
+      .collect().map(_.toSeq)
+    assert(decl.length == cust.length && decl.length > 100)
+    assert(decl.zip(cust).forall { case (x, y) => x == y })
+  }
+
   test("rejects empty or mismatched key lists and a non-positive horizon") {
     intercept[IllegalArgumentException] {
       AsofJoinOp.asof(purchases, clicks, Seq(), Seq(), "p_ts", "c_ts", Seq(), H7D)
