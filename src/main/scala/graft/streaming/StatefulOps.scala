@@ -191,6 +191,64 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class AsofEvent(user: Long, ts: Long, isClick: Boolean, id: Long,
+                       value: Double)
+  case class AsofMatch(user: Long, pId: Long, pTs: Long,
+                       cId: Option[Long], cTs: Option[Long],
+                       cValue: Option[Double])
+  case class LastClick(ts: Long, id: Long, value: Double)
+
+  /** Streaming twin of the batch sort-merge as-of operator
+    * (graft.plans.AsofJoinExec): the two sides arrive as ONE keyed event
+    * stream (clicks = reference side, purchases = probe side); per key the
+    * state is exactly the batch merge's loop variable — the single latest
+    * click — so each purchase resolves in O(1) against it, left-outer
+    * style (no click in the horizon → None fields). Within a batch, rows
+    * fold in (ts, clicks-first, id) order, reproducing the batch operator's
+    * tie rules (a click AT the purchase ts is visible; equal-ts clicks
+    * resolve to the max id). Across batches the carried ValueState makes
+    * the merge continuous; like any streaming enrichment, a click arriving
+    * in a LATER batch than a purchase it should have matched cannot rewrite
+    * the already-emitted row — the spec feeds batches in event-time order,
+    * the contract any as-of stream needs (watermark + sorted replay).
+    * State is one (ts, id, value) per key, bounded forever.
+    */
+  class AsofProcessor(horizonMicros: Long)
+      extends StatefulProcessor[Long, AsofEvent, AsofMatch] {
+    @transient private var last: ValueState[LastClick] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastClick](
+        "lastClick", Encoders.product[LastClick], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofEvent],
+                                 timerValues: TimerValues): Iterator[AsofMatch] = {
+      var st = if (last.exists()) Some(last.get()) else None
+      val out = Seq.newBuilder[AsofMatch]
+      rows.toSeq
+        .sortBy(e => (e.ts, if (e.isClick) 0 else 1, e.id))
+        .foreach { e =>
+          if (e.isClick) st = Some(LastClick(e.ts, e.id, e.value))
+          else out += (st match {
+            case Some(c) if c.ts > e.ts - horizonMicros =>
+              AsofMatch(key, e.id, e.ts, Some(c.id), Some(c.ts), Some(c.value))
+            case _ => AsofMatch(key, e.id, e.ts, None, None, None)
+          })
+        }
+      st.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming left-outer as-of enrichment via transformWithState. */
+  def streamingAsof(spark: SparkSession, ds: Dataset[AsofEvent],
+                    horizonMicros: Long): Dataset[AsofMatch] = {
+    import spark.implicits._
+    ds.groupByKey(_.user)
+      .transformWithState(new AsofProcessor(horizonMicros),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class SessionEvent(user: String, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionSummary(user: String, nEvents: Long, durationMs: Long)

@@ -223,6 +223,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stateful: streaming as-of equals the batch as-of operator across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val H = 3600L * 1000000L // 1-hour horizon, micros
+      def ev(user: Long, tsMin: Int, click: Boolean, id: Long, v: Double) =
+        StatefulOps.AsofEvent(user, tsMin * 60L * 1000000L, click, id, v)
+      val batch1 = Seq(
+        ev(1, 0, click = true, 101, 1.5),
+        ev(1, 10, click = false, 201, 0), // matches click 101
+        ev(2, 5, click = true, 102, 2.5))
+      val batch2 = Seq(
+        ev(2, 20, click = false, 202, 0), // matches 102 — state carried from batch 1
+        ev(1, 200, click = false, 203, 0), // click 101 beyond horizon → None
+        ev(3, 30, click = false, 204, 0)) // user with no clicks → None
+      val in = MemoryStream[StatefulOps.AsofEvent]
+      val out = runToTable(
+        StatefulOps.streamingAsof(spark, in.toDS, H).toDF, "append",
+        () => in.addData(batch1: _*), () => in.addData(batch2: _*))
+      val got = out.as[StatefulOps.AsofMatch].collect()
+        .map(m => m.pId -> m.cId).toMap
+      assert(got == Map(201L -> Some(101L), 202L -> Some(102L),
+        203L -> None, 204L -> None), s"got $got")
+      // the streaming result must equal the BATCH custom operator run over
+      // the concatenated input (left-outer form)
+      val all = batch1 ++ batch2
+      val l = all.filter(!_.isClick)
+        .map(e => (e.id, e.user, new Timestamp(e.ts / 1000)))
+        .toDF("p_id", "user_id", "p_ts")
+      val r = all.filter(_.isClick)
+        .map(e => (e.id, e.user, new Timestamp(e.ts / 1000), e.value))
+        .toDF("c_id", "c_user", "c_ts", "c_value")
+      val batchOut = graft.plans.AsofJoinOp.asof(l, r,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+          H, joinType = "left")
+        .select("p_id", "c_id").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      assert(batchOut == got, s"batch $batchOut vs streaming $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_stateful: streaming top-k leaderboard carries ranks across batches") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
