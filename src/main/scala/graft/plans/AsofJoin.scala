@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Sort-merge AS-OF join — the second full custom-operator stack (logical
   * node → planner strategy → physical exec), for a join Spark has no native
@@ -129,6 +130,9 @@ case class AsofJoinExec(
           while (nextRow == null && lIt.hasNext) {
             val l = lIt.next()
             val lk = lKeyProj(l)
+            // match = the right row to attach, or null (null key / null
+            // time / no candidate in the horizon) — single emit point
+            var matched: InternalRow = null
             if (!lk.anyNull) {
               val ptv = ltEval.eval(l)
               if (ptv != null) {
@@ -163,11 +167,11 @@ case class AsofJoinExec(
                 }
                 if (lastRight != null && lastKey != null &&
                     keyOrd.compare(lastKey, lk) == 0 && lastCt > pt - h)
-                  nextRow = outProj(joined(l, lastRight))
-                else if (outer)
-                  nextRow = outProj(joined(l, nullRight))
-              } else if (outer) nextRow = outProj(joined(l, nullRight))
-            } else if (outer) nextRow = outProj(joined(l, nullRight))
+                  matched = lastRight
+              }
+            }
+            if (matched != null) nextRow = outProj(joined(l, matched))
+            else if (outer) nextRow = outProj(joined(l, nullRight))
           }
         }
 
@@ -208,9 +212,20 @@ object AsofJoinOp {
 
   /** As-of join: for each `left` row, the latest `right` row with the
     * same key at rightTime ≤ leftTime within the horizon. Columns are
-    * resolved by name against each side; ties on rightTime resolve to the
-    * LAST row in `rightTieBreak` ascending order. joinType "inner" drops
-    * unmatched left rows; "left" keeps them with a null right side.
+    * resolved by name against each side (honoring spark.sql.caseSensitive,
+    * ambiguous names rejected); ties on rightTime resolve to the LAST row
+    * in `rightTieBreak` ascending order — the tie-break is REQUIRED so the
+    * attached payload is deterministic (pass a unique id; the time column
+    * itself if (key, time) is unique). joinType "inner" drops unmatched
+    * left rows; "left" keeps them with a null right side.
+    *
+    * Fails fast (IllegalArgumentException) on: mismatched key dataTypes
+    * (each side hashes its own types for partitioning — Int 5 and Long 5
+    * land on different partitions, silently dropping matches), non-
+    * timestamp/long time columns (the merge compares micros longs), and
+    * overlapping attribute ids between the sides (a self-derived right
+    * side must alias its columns, or the output projection would bind
+    * right columns to left positions).
     */
   def asof(
       left: DataFrame, right: DataFrame,
@@ -221,19 +236,50 @@ object AsofJoinOp {
       joinType: String = "inner"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
+    require(rightTieBreak.nonEmpty,
+      "as-of join needs a right tie-break column for deterministic " +
+        "results on equal times (a unique id, or the time column itself " +
+        "if (key, time) is unique)")
     require(joinType == "inner" || joinType == "left",
       s"asof joinType must be inner or left, got $joinType")
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def res(plan: LogicalPlan, n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false") == "true"
+    def res(plan: LogicalPlan, n: String): Attribute = {
+      val hits = plan.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"column $n not in [${plan.output.map(_.name).mkString(", ")}]")
+      if (hits.length > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous (${hits.length} matches) — alias first")
+      hits.head
+    }
+    val lk = leftKeys.map(res(lp, _))
+    val rk = rightKeys.map(res(rp, _))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}: ${a.dataType} vs " +
+          s"${b.name}: ${b.dataType} — cast before joining")
+    }
+    val lt = res(lp, leftTime)
+    val rt = res(rp, rightTime)
+    Seq(lt, rt).foreach { a =>
+      require(a.dataType == TimestampType || a.dataType == LongType,
+        s"as-of time column ${a.name} must be TIMESTAMP or BIGINT, " +
+          s"got ${a.dataType}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    val overlap = lp.outputSet.intersect(rp.outputSet)
+    require(overlap.isEmpty,
+      s"left and right share attributes ${overlap.toSeq.map(_.name).mkString(", ")}" +
+        " — alias the right side's columns (self-derived inputs must not" +
+        " expose the same attribute ids on both sides)")
     PlanBridge.ofRows(spark, AsofJoin(
-      leftKeys.map(res(lp, _)), rightKeys.map(res(rp, _)),
-      res(lp, leftTime), res(rp, rightTime),
+      lk, rk, lt, rt,
       rightTieBreak.map(res(rp, _)), horizonMicros,
       joinType == "left", lp, rp))
   }

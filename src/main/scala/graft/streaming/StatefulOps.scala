@@ -83,17 +83,27 @@ object StatefulOps {
       .flatMapGroupsWithState[FillState, FilledPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user, rows, state) =>
+          // one row per (user, hour), always: within a batch duplicate
+          // hours collapse to the LAST occurrence (latest info wins);
+          // an hour at or before the carried state is already emitted and
+          // final in append mode — drop it rather than duplicate it
           val sorted = rows.toSeq.sortBy(_.hour)
+            .foldLeft(Vector.empty[HourPoint]) { (acc, p) =>
+              if (acc.nonEmpty && acc.last.hour == p.hour) acc.init :+ p
+              else acc :+ p
+            }
           val out = Seq.newBuilder[FilledPoint]
           var st = state.getOption
           sorted.foreach { p =>
-            st.foreach { s =>
-              ((s.lastHour + 1) until p.hour).foreach { h =>
-                out += FilledPoint(user, h, s.lastValue, observed = false)
+            if (!st.exists(_.lastHour >= p.hour)) {
+              st.foreach { s =>
+                ((s.lastHour + 1) until p.hour).foreach { h =>
+                  out += FilledPoint(user, h, s.lastValue, observed = false)
+                }
               }
+              out += FilledPoint(user, p.hour, p.value, observed = true)
+              st = Some(FillState(p.hour, p.value))
             }
-            out += FilledPoint(user, p.hour, p.value, observed = true)
-            st = Some(FillState(p.hour, p.value))
           }
           st.foreach(state.update)
           out.result().iterator
@@ -172,7 +182,13 @@ object StatefulOps {
         if (board.exists()) {
           val b = board.get(); b.ids.toSeq.zip(b.scores.toSeq)
         } else Nil
-      val merged = (prev ++ rows.map(r => (r.id, r.score)))
+      // last write per id wins: a re-scored id REPLACES its buffered entry
+      // (otherwise it would occupy two ranks at once); an id already
+      // evicted from the k-bounded board re-enters with its new score only
+      val byId = scala.collection.mutable.LinkedHashMap[Long, Double]()
+      prev.foreach { case (id, s) => byId(id) = s }
+      rows.foreach(r => byId(r.id) = r.score)
+      val merged = byId.toSeq
         .sortBy { case (id, score) => (-score, id) }
         .take(k)
       board.update(Board(merged.map(_._1).toArray, merged.map(_._2).toArray))
@@ -228,9 +244,18 @@ object StatefulOps {
       rows.toSeq
         .sortBy(e => (e.ts, if (e.isClick) 0 else 1, e.id))
         .foreach { e =>
-          if (e.isClick) st = Some(LastClick(e.ts, e.id, e.value))
-          else out += (st match {
-            case Some(c) if c.ts > e.ts - horizonMicros =>
+          if (e.isClick) {
+            // replace only when strictly newer in (ts, id) order — an
+            // equal-ts click straddling a batch boundary with a SMALLER id
+            // must not overwrite the carried max-id winner (the batch
+            // operator's tie rule is max id at equal ts)
+            if (st.forall(c => e.ts > c.ts || (e.ts == c.ts && e.id > c.id)))
+              st = Some(LastClick(e.ts, e.id, e.value))
+          } else out += (st match {
+            // c.ts <= e.ts guards contract breaches (a late purchase must
+            // not match a FUTURE click the batch operator structurally
+            // cannot attach — it degrades to unmatched instead)
+            case Some(c) if c.ts <= e.ts && c.ts > e.ts - horizonMicros =>
               AsofMatch(key, e.id, e.ts, Some(c.id), Some(c.ts), Some(c.value))
             case _ => AsofMatch(key, e.id, e.ts, None, None, None)
           })

@@ -130,17 +130,54 @@ class AsofJoinSpec extends SparkSpec {
     assert(decl.zip(cust).forall { case (x, y) => x == y })
   }
 
-  test("rejects empty or mismatched key lists and a non-positive horizon") {
+  test("fails fast on bad arguments instead of returning silently wrong rows") {
+    // empty keys
     intercept[IllegalArgumentException] {
-      AsofJoinOp.asof(purchases, clicks, Seq(), Seq(), "p_ts", "c_ts", Seq(), H7D)
+      AsofJoinOp.asof(purchases, clicks, Seq(), Seq(), "p_ts", "c_ts",
+        Seq("c_id"), H7D)
     }
+    // non-positive horizon
     intercept[IllegalArgumentException] {
       AsofJoinOp.asof(purchases, clicks, Seq("user_id"), Seq("c_user"),
-        "p_ts", "c_ts", Seq(), -1L)
+        "p_ts", "c_ts", Seq("c_id"), -1L)
     }
+    // unknown column
     intercept[IllegalArgumentException] {
       AsofJoinOp.asof(purchases, clicks, Seq("no_such_col"), Seq("c_user"),
+        "p_ts", "c_ts", Seq("c_id"), H7D)
+    }
+    // missing tie-break → nondeterministic payload on equal times
+    intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(purchases, clicks, Seq("user_id"), Seq("c_user"),
         "p_ts", "c_ts", Seq(), H7D)
     }
+    // key dataType mismatch: Int 5 and Long 5 hash to different partitions
+    val pInt = purchases.withColumn("user_id", col("user_id").cast("int"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(pInt, clicks, Seq("user_id"), Seq("c_user"),
+        "p_ts", "c_ts", Seq("c_id"), H7D)
+    }
+    assert(e1.getMessage.contains("type mismatch"))
+    // non-timestamp time column
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(purchases.withColumn("p_day", col("p_ts").cast("date")),
+        clicks, Seq("user_id"), Seq("c_user"), "p_day", "c_ts",
+        Seq("c_id"), H7D)
+    }
+    assert(e2.getMessage.contains("TIMESTAMP"))
+    // overlapping attribute ids (self-derived right side, un-aliased):
+    // the output projection would bind right columns to left positions
+    val base = table("events").select(col("event_id"), col("ts"),
+      col("user_id"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoinOp.asof(base.filter(col("event_id") % 2 === 0),
+        base.filter(col("event_id") % 2 === 1),
+        Seq("user_id"), Seq("user_id"), "ts", "ts", Seq("event_id"), H7D)
+    }
+    assert(e3.getMessage.contains("alias"))
+    // column resolution honors case-insensitivity (Spark default)
+    val ok = AsofJoinOp.asof(purchases, clicks,
+      Seq("USER_ID"), Seq("C_USER"), "P_TS", "C_TS", Seq("C_ID"), H7D)
+    assert(ok.count() > 0)
   }
 }

@@ -164,6 +164,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect, s"got $got")
   }
 
+  test("s_stateful gapFill: duplicate hours collapse to ONE row per (user, hour)") {
+    import StatefulOps.{FilledPoint, HourPoint}
+    val in = MemoryStream[HourPoint]
+    val out = runToTable(
+      StatefulOps.gapFill(spark, in.toDS).toDF,
+      "append",
+      // hour 1 observed twice in one batch → last value wins, one row
+      () => in.addData(HourPoint("a", 1, 1.0), HourPoint("a", 1, 1.9)),
+      // hour 1 re-sent in a later batch → already emitted and final in
+      // append mode, dropped; hour 3 continues the fill from 1.9
+      () => in.addData(HourPoint("a", 1, 9.9), HourPoint("a", 3, 3.0)))
+    val rows = out.as[FilledPoint].collect()
+    assert(rows.count(p => p.user == "a" && p.hour == 1L) == 1,
+      s"duplicate (a,1): ${rows.toSeq}")
+    val got = rows.map(p => (p.user, p.hour) -> (p.value, p.observed)).toMap
+    val expect = Map(
+      ("a", 1L) -> (1.9, true), ("a", 2L) -> (1.9, false),
+      ("a", 3L) -> (3.0, true))
+    assert(got == expect, s"got $got")
+  }
+
   test("s_stateful: transformWithState running counts (RocksDB store)") {
     // transformWithState requires the RocksDB state store provider —
     // scope the conf to this test and restore the session default after.
@@ -272,6 +293,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stateful: streaming as-of tie and contract-breach edges") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val H = 3600L * 1000000L
+      def ev(user: Long, tsMin: Int, click: Boolean, id: Long) =
+        StatefulOps.AsofEvent(user, tsMin * 60L * 1000000L, click, id, 0.0)
+      val in = MemoryStream[StatefulOps.AsofEvent]
+      val out = runToTable(
+        StatefulOps.streamingAsof(spark, in.toDS, H).toDF, "append",
+        // batch 1: the max-id winner of an equal-ts click tie
+        () => in.addData(ev(1, 10, click = true, 7)),
+        // batch 2: the same-ts SMALLER-id click straddles the boundary —
+        // it must NOT overwrite the carried winner (batch rule: max id);
+        // then a purchase at that ts matches id 7
+        () => in.addData(ev(1, 10, click = true, 3),
+          ev(1, 10, click = false, 201)),
+        // batch 3: a LATE purchase behind the carried click (contract
+        // breach) degrades to unmatched, never matching a future click
+        () => in.addData(ev(1, 5, click = false, 202)))
+      val got = out.as[StatefulOps.AsofMatch].collect()
+        .map(m => m.pId -> m.cId).toMap
+      assert(got == Map(201L -> Some(7L), 202L -> None), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_stateful: streaming top-k leaderboard carries ranks across batches") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -298,6 +352,37 @@ class StreamingSpec extends SparkSpec {
       // only in batch 1
       assert(!out.as[(String, Long, Double, Int)].collect()
         .exists(r => r._2 == 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("s_stateful: a re-scored id replaces its buffered entry, never two ranks") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.Scored]
+      val out = runToTable(
+        StatefulOps.streamingTopK(spark, in.toDS, 2).toDF,
+        "update",
+        () => in.addData(StatefulOps.Scored("a", 1, 10.0),
+          StatefulOps.Scored("a", 2, 8.0)),
+        // id 1 is RE-scored: it must occupy exactly one rank with the new
+        // score, and id 2 must hold the other — not be pushed off by a
+        // stale duplicate of id 1
+        () => in.addData(StatefulOps.Scored("a", 1, 12.0)))
+      val batch2 = out.as[(String, Long, Double, Int)].collect()
+        .filter(_._3 == 12.0) // rows emitted after the re-score
+      assert(batch2.count(_._2 == 1L) == 1, s"id 1 duplicated: ${batch2.toSeq}")
+      val lastRanks = out.as[(String, Long, Double, Int)].collect()
+        .groupBy(_._2).map { case (id, rs) => id -> rs.last }
+      assert(lastRanks(1L)._3 == 12.0 && lastRanks(1L)._4 == 1)
+      assert(lastRanks(2L)._4 == 2)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
