@@ -4,10 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -48,6 +48,7 @@ case class AsofJoin(
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
     leftOuter: Boolean,
+    broadcastRight: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(horizonMicros > 0, "asof horizon must be positive")
@@ -193,12 +194,139 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans the logical AsofJoin 1:1 onto its exec. */
+/** Broadcast as-of: the zero-fact-shuffle path for a SMALL right side
+  * (reference/dimension data). The right side broadcasts whole; each left
+  * partition builds a per-key time-sorted index of it ONCE, then every
+  * left row resolves by hash lookup + binary search (rightmost time ≤ pt)
+  * — the fact side never exchanges at all (vs two exchanges in the merge
+  * exec). The rightmost-equal-time entry is the max-tie-break row, so tie
+  * semantics match the merge exec exactly. At 100 TB this is the as-of
+  * analog of a broadcast hash join: use when the reference side fits an
+  * executor; the merge exec remains the both-sides-large path.
+  */
+case class AsofJoinBroadcastExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    horizonMicros: Long,
+    leftOuter: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val ltExpr = leftTime
+    val rtExpr = rightTime
+    val tieExprs = rightTieBreak
+    val h = horizonMicros
+    val outer = leftOuter
+    val outAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIt =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val ltEval = BindReferences.bindReference(ltExpr, lOut)
+      val rtEval = BindReferences.bindReference(rtExpr, rOut)
+      // (time, tie-break) ascending — within a key bucket the rightmost
+      // entry with time ≤ pt is the match, ties included
+      val rowOrd = new LazilyGeneratedOrdering(
+        (SortOrder(rtExpr, Ascending) +:
+          tieExprs.map(SortOrder(_, Ascending))).map(so =>
+            so.copy(child = BindReferences.bindReference(so.child, rOut))),
+        Nil)
+      // per-partition build over the broadcast rows: key → (sorted rows,
+      // parallel micros array). Build cost is |right| per partition — the
+      // contract of any broadcast join.
+      val index = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[Long])]()
+      locally {
+        val buckets =
+          new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+        bcast.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull && rtEval.eval(r) != null) {
+            var b = buckets.get(k)
+            if (b == null) {
+              b = new java.util.ArrayList[InternalRow]()
+              buckets.put(k.copy(), b)
+            }
+            b.add(r) // broadcast rows are already materialized copies
+          }
+        }
+        val it = buckets.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val rows = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
+          java.util.Arrays.sort(rows, rowOrd)
+          val cts = rows.map(r => rtEval.eval(r).asInstanceOf[Long])
+          index.put(e.getKey, (rows, cts))
+        }
+      }
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
+
+      lIt.flatMap { l =>
+        var matched: InternalRow = null
+        val lk = lKeyProj(l)
+        if (!lk.anyNull) {
+          val ptv = ltEval.eval(l)
+          if (ptv != null) {
+            val pt = ptv.asInstanceOf[Long]
+            val bucket = index.get(lk)
+            if (bucket != null) {
+              val rows = bucket._1
+              val cts = bucket._2
+              // rightmost index with cts(i) <= pt (upper bound - 1):
+              // duplicates of the same time resolve to the LAST sorted
+              // entry = max tie-break, matching the merge exec
+              var lo = 0
+              var hi = cts.length // first index with ct > pt
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (cts(mid) <= pt) lo = mid + 1 else hi = mid
+              }
+              if (lo > 0 && cts(lo - 1) > pt - h) matched = rows(lo - 1)
+            }
+          }
+        }
+        if (matched != null) Iterator.single(outProj(joined(l, matched)))
+        else if (outer) Iterator.single(outProj(joined(l, nullRight)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical AsofJoin 1:1 onto its exec (merge or broadcast). */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, tie, h, outer, l, r) =>
-      AsofJoinExec(lk, rk, lt, rt, tie, h, outer,
-        planLater(l), planLater(r)) :: Nil
+    case AsofJoin(lk, rk, lt, rt, tie, h, outer, bcast, l, r) =>
+      if (bcast)
+        AsofJoinBroadcastExec(lk, rk, lt, rt, tie, h, outer,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsofJoinExec(lk, rk, lt, rt, tie, h, outer,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -226,6 +354,11 @@ object AsofJoinOp {
     * overlapping attribute ids between the sides (a self-derived right
     * side must alias its columns, or the output projection would bind
     * right columns to left positions).
+    *
+    * broadcastRight = true picks the broadcast-index exec: the right side
+    * broadcasts whole and the fact side never shuffles — use when the
+    * reference side fits an executor (the as-of analog of a broadcast
+    * hash join); default is the both-sides-large sort-merge exec.
     */
   def asof(
       left: DataFrame, right: DataFrame,
@@ -233,7 +366,8 @@ object AsofJoinOp {
       leftTime: String, rightTime: String,
       rightTieBreak: Seq[String],
       horizonMicros: Long,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      broadcastRight: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     require(rightTieBreak.nonEmpty,
@@ -281,6 +415,6 @@ object AsofJoinOp {
     PlanBridge.ofRows(spark, AsofJoin(
       lk, rk, lt, rt,
       rightTieBreak.map(res(rp, _)), horizonMicros,
-      joinType == "left", lp, rp))
+      joinType == "left", broadcastRight, lp, rp))
   }
 }

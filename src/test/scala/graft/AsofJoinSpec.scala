@@ -93,6 +93,62 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 103L)), s"got ${out.toSeq}")
   }
 
+  test("broadcast as-of equals the merge exec and never shuffles the fact side") {
+    val merge = custom.collect().map(_.toSeq)
+    val bdf = AsofJoinOp.asof(purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTime = "p_ts", rightTime = "c_ts",
+        rightTieBreak = Seq("c_id"), horizonMicros = H7D,
+        broadcastRight = true)
+      .select(col("p_id"), col("user_id"), col("c_id"), col("c_ts"))
+      .orderBy("p_id")
+    val bc = bdf.collect().map(_.toSeq)
+    assert(merge.length == bc.length && merge.length > 100)
+    assert(merge.zip(bc).forall { case (x, y) => x == y })
+    val plan = bdf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoinBroadcast"), s"broadcast exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"no broadcast exchange:\n$plan")
+    // the fact side must not hash-shuffle at all; the only exchange beyond
+    // the broadcast is the final orderBy's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side shuffled in broadcast mode:\n$plan")
+  }
+
+  test("broadcast mode handles null keys/times, ties, and horizon identically") {
+    val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
+    def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
+    val l = Seq(
+      (1L, Option(10L), Option(t(60))),
+      (2L, Option(10L), Option(t(600))),
+      (3L, None: Option[Long], Option(t(60))),
+      (4L, Option(10L), None: Option[Timestamp]),
+      (5L, Option(77L), Option(t(60))))
+      .toDF("p_id", "user_id", "p_ts")
+    val r = Seq(
+      (101L, Option(10L), Option(t(0))),
+      (103L, Option(10L), Option(t(30))),
+      (102L, Option(10L), Option(t(30))),
+      (104L, Option(10L), Option(t(90))),
+      (105L, None: Option[Long], Option(t(30))),
+      (106L, Option(10L), None: Option[Timestamp]))
+      .toDF("c_id", "c_user", "c_ts")
+    val out = AsofJoinOp.asof(l, r,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        horizonMicros = 2L * 3600 * 1000000L, broadcastRight = true)
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.toSet == Set((1L, 103L)), s"got ${out.toSeq}")
+    // outer broadcast: every left survives, unmatched with null right
+    val outer = AsofJoinOp.asof(l, r,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        2L * 3600 * 1000000L, joinType = "left", broadcastRight = true)
+      .select("p_id", "c_id").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toMap
+    assert(outer == Map(1L -> Some(103L), 2L -> None, 3L -> None,
+      4L -> None, 5L -> None), s"got $outer")
+  }
+
   test("left-outer: unmatched lefts survive with a null right side") {
     val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
     def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
