@@ -181,6 +181,27 @@ object JoinQueries extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // FORWARD as-of on the custom operator: the earliest click AT or AFTER
+    // each purchase within 7 days — "what did the user do next". Equal-time
+    // ties resolve to the MIN click id (the mirror of backward's max).
+    "q_asof_forward" -> ((s, dir) => {
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val c = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"), col("value").as("c_value"))
+      graft.plans.AsofJoinOp.asof(p, c,
+          leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+          leftTime = "p_ts", rightTime = "c_ts",
+          rightTieBreak = Seq("c_id"),
+          horizonMicros = 7L * 24 * 3600 * 1000000L,
+          direction = "forward")
+        .select(col("p_id"), col("user_id"), col("c_id").as("next_click"),
+          round(col("c_value"), 4).as("click_value"))
+        .orderBy("p_id")
+    }),
+
     // LEFT-OUTER as-of on the custom operator: purchases with no click in
     // the horizon survive with a null right side — the usual enrichment
     // contract (every fact row kept, latest dimension state attached).
@@ -308,6 +329,18 @@ object JoinQueries extends QueryModule {
 
     // identical relation to q_join_asof — the oracle doesn't care which
     // physical operator produced it
+    "q_asof_forward" ->
+      """SELECT p_id, user_id, next_click, click_value FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         c.event_id AS next_click, ROUND(c.value, 4) AS click_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |             ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts
+        |   AND c.ts < p.ts + INTERVAL 7 DAY)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
     "q_asof_bcast" ->
       """SELECT p_id, user_id, asof_click, click_value FROM (
         |  SELECT p.event_id AS p_id, p.user_id AS user_id,

@@ -49,6 +49,7 @@ case class AsofJoin(
     horizonMicros: Long,
     leftOuter: Boolean,
     broadcastRight: Boolean,
+    forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(horizonMicros > 0, "asof horizon must be positive")
@@ -73,6 +74,7 @@ case class AsofJoinExec(
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
     leftOuter: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -99,6 +101,7 @@ case class AsofJoinExec(
     val rtExpr = rightTime
     val h = horizonMicros
     val outer = leftOuter
+    val fwd = forward
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt0) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -138,37 +141,69 @@ case class AsofJoinExec(
               val ptv = ltEval.eval(l)
               if (ptv != null) {
                 val pt = ptv.asInstanceOf[Long]
-                // advance the right side: consume rows behind the current
-                // key, and rows at the current key with time ≤ pt (each
-                // replaces the candidate — sort order makes the last one
-                // the latest, tie-break included)
-                var advance = true
-                while (advance && rIter.hasNext) {
-                  val rk = rKeyProj(rIter.head)
-                  if (rk.anyNull) { rIter.next() }
-                  else {
-                    val c = keyOrd.compare(rk, lk)
-                    if (c < 0) {
-                      rIter.next(); lastKey = null; lastRight = null
-                    } else if (c == 0) {
-                      val ctv = rtEval.eval(rIter.head)
-                      if (ctv == null) { rIter.next() }
-                      else {
-                        val ct = ctv.asInstanceOf[Long]
-                        if (ct <= pt) {
-                          lastRight = rIter.next().copy()
-                          lastCt = ct
-                          if (lastKey == null ||
-                              keyOrd.compare(lastKey, lk) != 0)
-                            lastKey = lk.copy()
-                        } else advance = false
-                      }
-                    } else advance = false
+                if (!fwd) {
+                  // BACKWARD (latest right ≤ pt): consume rows behind the
+                  // current key, and rows at the current key with time ≤ pt
+                  // (each replaces the candidate — sort order makes the
+                  // last one the latest, tie-break included)
+                  var advance = true
+                  while (advance && rIter.hasNext) {
+                    val rk = rKeyProj(rIter.head)
+                    if (rk.anyNull) { rIter.next() }
+                    else {
+                      val c = keyOrd.compare(rk, lk)
+                      if (c < 0) {
+                        rIter.next(); lastKey = null; lastRight = null
+                      } else if (c == 0) {
+                        val ctv = rtEval.eval(rIter.head)
+                        if (ctv == null) { rIter.next() }
+                        else {
+                          val ct = ctv.asInstanceOf[Long]
+                          if (ct <= pt) {
+                            lastRight = rIter.next().copy()
+                            lastCt = ct
+                            if (lastKey == null ||
+                                keyOrd.compare(lastKey, lk) != 0)
+                              lastKey = lk.copy()
+                          } else advance = false
+                        }
+                      } else advance = false
+                    }
+                  }
+                  if (lastRight != null && lastKey != null &&
+                      keyOrd.compare(lastKey, lk) == 0 && lastCt > pt - h)
+                    matched = lastRight
+                } else {
+                  // FORWARD (earliest right ≥ pt): rows behind the key, and
+                  // same-key rows with time < pt, are dead for every later
+                  // left row (pt is non-decreasing) — consume them. The
+                  // candidate is the head itself, NOT consumed: the next
+                  // left row at the same pt needs it too. Sort order makes
+                  // the head the earliest time with the MIN tie-break.
+                  var advance = true
+                  while (advance && rIter.hasNext) {
+                    val rk = rKeyProj(rIter.head)
+                    if (rk.anyNull) { rIter.next() }
+                    else {
+                      val c = keyOrd.compare(rk, lk)
+                      if (c < 0) { rIter.next() }
+                      else if (c == 0) {
+                        val ctv = rtEval.eval(rIter.head)
+                        if (ctv == null) { rIter.next() }
+                        else if (ctv.asInstanceOf[Long] < pt) { rIter.next() }
+                        else advance = false
+                      } else advance = false
+                    }
+                  }
+                  if (rIter.hasNext) {
+                    val head = rIter.head
+                    val rk = rKeyProj(head)
+                    if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
+                      val ct = rtEval.eval(head).asInstanceOf[Long]
+                      if (ct < pt + h) matched = head
+                    }
                   }
                 }
-                if (lastRight != null && lastKey != null &&
-                    keyOrd.compare(lastKey, lk) == 0 && lastCt > pt - h)
-                  matched = lastRight
               }
             }
             if (matched != null) nextRow = outProj(joined(l, matched))
@@ -212,6 +247,7 @@ case class AsofJoinBroadcastExec(
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
     leftOuter: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -235,6 +271,7 @@ case class AsofJoinBroadcastExec(
     val tieExprs = rightTieBreak
     val h = horizonMicros
     val outer = leftOuter
+    val fwd = forward
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIt =>
@@ -292,16 +329,28 @@ case class AsofJoinBroadcastExec(
             if (bucket != null) {
               val rows = bucket._1
               val cts = bucket._2
-              // rightmost index with cts(i) <= pt (upper bound - 1):
-              // duplicates of the same time resolve to the LAST sorted
-              // entry = max tie-break, matching the merge exec
-              var lo = 0
-              var hi = cts.length // first index with ct > pt
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (cts(mid) <= pt) lo = mid + 1 else hi = mid
+              if (!fwd) {
+                // BACKWARD: rightmost index with cts(i) <= pt (upper bound
+                // - 1): duplicates of the same time resolve to the LAST
+                // sorted entry = max tie-break, matching the merge exec
+                var lo = 0
+                var hi = cts.length // first index with ct > pt
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (cts(mid) <= pt) lo = mid + 1 else hi = mid
+                }
+                if (lo > 0 && cts(lo - 1) > pt - h) matched = rows(lo - 1)
+              } else {
+                // FORWARD: leftmost index with cts(i) >= pt (lower bound):
+                // the FIRST sorted entry at that time = min tie-break
+                var lo = 0
+                var hi = cts.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (cts(mid) < pt) lo = mid + 1 else hi = mid
+                }
+                if (lo < cts.length && cts(lo) < pt + h) matched = rows(lo)
               }
-              if (lo > 0 && cts(lo - 1) > pt - h) matched = rows(lo - 1)
             }
           }
         }
@@ -320,12 +369,12 @@ case class AsofJoinBroadcastExec(
 /** Plans the logical AsofJoin 1:1 onto its exec (merge or broadcast). */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, tie, h, outer, bcast, l, r) =>
+    case AsofJoin(lk, rk, lt, rt, tie, h, outer, bcast, fwd, l, r) =>
       if (bcast)
-        AsofJoinBroadcastExec(lk, rk, lt, rt, tie, h, outer,
+        AsofJoinBroadcastExec(lk, rk, lt, rt, tie, h, outer, fwd,
           planLater(l), planLater(r)) :: Nil
       else
-        AsofJoinExec(lk, rk, lt, rt, tie, h, outer,
+        AsofJoinExec(lk, rk, lt, rt, tie, h, outer, fwd,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -355,6 +404,12 @@ object AsofJoinOp {
     * side must alias its columns, or the output projection would bind
     * right columns to left positions).
     *
+    * direction "backward" (default) attaches the LATEST right row with
+    * rightTime ≤ leftTime (horizon below); "forward" attaches the
+    * EARLIEST right row with rightTime ≥ leftTime (horizon above,
+    * leftTime ≤ rightTime < leftTime + horizon; equal-time ties resolve
+    * to the MIN tie-break — the mirror of backward's max).
+    *
     * broadcastRight = true picks the broadcast-index exec: the right side
     * broadcasts whole and the fact side never shuffles — use when the
     * reference side fits an executor (the as-of analog of a broadcast
@@ -367,7 +422,8 @@ object AsofJoinOp {
       rightTieBreak: Seq[String],
       horizonMicros: Long,
       joinType: String = "inner",
-      broadcastRight: Boolean = false): DataFrame = {
+      broadcastRight: Boolean = false,
+      direction: String = "backward"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     require(rightTieBreak.nonEmpty,
@@ -376,6 +432,8 @@ object AsofJoinOp {
         "if (key, time) is unique)")
     require(joinType == "inner" || joinType == "left",
       s"asof joinType must be inner or left, got $joinType")
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward or forward, got $direction")
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed
@@ -415,6 +473,6 @@ object AsofJoinOp {
     PlanBridge.ofRows(spark, AsofJoin(
       lk, rk, lt, rt,
       rightTieBreak.map(res(rp, _)), horizonMicros,
-      joinType == "left", broadcastRight, lp, rp))
+      joinType == "left", broadcastRight, direction == "forward", lp, rp))
   }
 }

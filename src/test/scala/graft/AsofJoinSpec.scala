@@ -149,6 +149,66 @@ class AsofJoinSpec extends SparkSpec {
       4L -> None, 5L -> None), s"got $outer")
   }
 
+  test("forward as-of equals the declarative next-event form, both execs") {
+    // earliest click AT or AFTER each purchase within 7 days
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").asc, col("c_id").asc)
+    val decl = purchases.join(clicks,
+        col("user_id") === col("c_user") && col("c_ts") >= col("p_ts")
+          && col("c_ts") < col("p_ts") + expr("INTERVAL 7 DAYS"), "inner")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("c_id"), col("c_ts")).orderBy("p_id")
+      .collect().map(_.toSeq)
+    for (bcast <- Seq(false, true)) {
+      val got = AsofJoinOp.asof(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+          H7D, broadcastRight = bcast, direction = "forward")
+        .select(col("p_id"), col("c_id"), col("c_ts")).orderBy("p_id")
+        .collect().map(_.toSeq)
+      assert(decl.length == got.length && decl.length > 100,
+        s"bcast=$bcast: ${decl.length} vs ${got.length}")
+      assert(decl.zip(got).forall { case (x, y) => x == y }, s"bcast=$bcast")
+    }
+  }
+
+  test("forward edges: equal-time inclusive, min-id tie, horizon exclusive") {
+    val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
+    def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
+    val l = Seq(
+      (1L, 10L, t(30)),  // clicks AT 30 exist → equal-time inclusive,
+                         // tie resolves to MIN id (102 over 103)
+      (2L, 10L, t(100)), // next click at 180 is ≥ horizon (80 ≥ 120? no —
+                         // 180-100=80 min < 120 min horizon → matches 104)
+      (3L, 10L, t(178)), // click 104 at 180 within 2 min → matches
+      (4L, 10L, t(181))) // nothing after → unmatched
+      .toDF("p_id", "user_id", "p_ts")
+    val r = Seq(
+      (101L, 10L, t(0)),   // before every purchase — never a forward match
+      (103L, 10L, t(30)),
+      (102L, 10L, t(30)),
+      (104L, 10L, t(180)))
+      .toDF("c_id", "c_user", "c_ts")
+    for (bcast <- Seq(false, true)) {
+      val out = AsofJoinOp.asof(l, r,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+          horizonMicros = 2L * 3600 * 1000000L, // 120 min
+          broadcastRight = bcast, direction = "forward")
+        .select("p_id", "c_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(out == Set((1L, 102L), (2L, 104L), (3L, 104L)),
+        s"bcast=$bcast got $out")
+    }
+    // horizon EXCLUSIVE at the top: purchase at t(60), click at t(180),
+    // horizon exactly 120 min → 180 = 60+120 is OUT
+    val lx = Seq((9L, 10L, t(60))).toDF("p_id", "user_id", "p_ts")
+    val outx = AsofJoinOp.asof(lx, r,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        2L * 3600 * 1000000L, direction = "forward")
+      .select("p_id", "c_id").collect()
+    assert(outx.isEmpty, s"boundary leak: ${outx.toSeq}")
+  }
+
   test("left-outer: unmatched lefts survive with a null right side") {
     val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
     def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
