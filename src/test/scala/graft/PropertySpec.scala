@@ -124,4 +124,63 @@ class PropertySpec extends SparkSpec {
     // suffixes below the unprefixed score (Winkler boost direction)
     assert(jw("martha", "marhta") <= jw("xmartha", "xmarhta") + 1e-9)
   }
+
+  test("as-of operator: every exec x direction x join type matches an independent model") {
+    // Random keyed event sets with a DENSE time domain (forced ties and
+    // null keys/times), checked against a plain-Scala reference model —
+    // independent of both the custom execs and the declarative Spark plan.
+    import java.sql.Timestamp
+    import graft.plans.AsofJoinOp
+    val arnd = new Random(7)
+    (1 to 5).foreach { round =>
+      def key() = if (arnd.nextInt(8) == 0) None else Some(1L + arnd.nextInt(3))
+      def sec() = if (arnd.nextInt(10) == 0) None else Some(arnd.nextInt(40).toLong)
+      val lefts = (1 to 20 + arnd.nextInt(15)).map(i =>
+        (i.toLong, key(), sec()))
+      val rights = (1 to 20 + arnd.nextInt(15)).map(i =>
+        (1000L + i, key(), sec()))
+      val hSec = 3L + arnd.nextInt(12)
+
+      def model(forward: Boolean): Map[Long, Option[Long]] =
+        lefts.flatMap { case (pid, ku, pts) =>
+          (ku, pts) match {
+            case (Some(u), Some(pt)) =>
+              val cand = rights.collect {
+                case (cid, Some(cu), Some(ct)) if cu == u &&
+                  (if (!forward) ct <= pt && ct > pt - hSec
+                   else ct >= pt && ct < pt + hSec) => (ct, cid)
+              }
+              Some(pid -> (if (cand.isEmpty) None
+                else Some(if (!forward) cand.max._2 else cand.min._2)))
+            case _ => Some(pid -> None)
+          }
+        }.toMap
+
+      val lDf = lefts.map { case (i, k, s) =>
+        (i, k, s.map(x => new Timestamp(x * 1000))) }
+        .toDF("p_id", "user_id", "p_ts")
+      val rDf = rights.map { case (i, k, s) =>
+        (i, k, s.map(x => new Timestamp(x * 1000))) }
+        .toDF("c_id", "c_user", "c_ts")
+
+      for (bcast <- Seq(false, true); fwd <- Seq(false, true);
+           outer <- Seq(false, true)) {
+        val got = AsofJoinOp.asof(lDf, rDf,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+            horizonMicros = hSec * 1000000L,
+            joinType = if (outer) "left" else "inner",
+            broadcastRight = bcast,
+            direction = if (fwd) "forward" else "backward")
+          .select("p_id", "c_id").collect()
+          .map(x => x.getLong(0) ->
+            (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+        val m = model(fwd)
+        val expect = if (outer) m else m.filter(_._2.isDefined)
+        assert(got == expect,
+          s"round=$round bcast=$bcast fwd=$fwd outer=$outer:\n" +
+            s"got    ${got.toSeq.sortBy(_._1)}\n" +
+            s"expect ${expect.toSeq.sortBy(_._1)}")
+      }
+    }
+  }
 }
