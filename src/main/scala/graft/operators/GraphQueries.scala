@@ -80,7 +80,10 @@ object GraphQueries extends QueryModule {
     // Degree/weight profile of the transition graph — the sanity view of
     // any graph pipeline (fan-out, fan-in, self-loop share per node).
     "q_graph_degree" -> ((s, dir) => {
-      val ew = edges(s, dir)
+      // three consumers (out branch, in branch, the join) — materialize
+      // the corpus-wide window scan ONCE, exactly as q_pagerank does,
+      // instead of recomputing the edge relation per branch
+      val ew = edges(s, dir).localCheckpoint()
       val out = ew.groupBy(col("src").as("node")).agg(
         countDistinct(col("dst")).as("out_deg"),
         sum(col("n")).as("out_n"),

@@ -137,9 +137,12 @@ object JoinQueries extends QueryModule {
         .orderBy("p_id")
     }),
 
-    // The SAME as-of relation computed by the custom sort-merge operator
-    // (plans/AsofJoin.scala): no candidate fan-out, no rank window — one
-    // forward merge per co-partitioned (user, time)-sorted partition pair.
+    // The SAME as-of relation computed by the custom operator
+    // (plans/AsofJoin.scala): no candidate fan-out, no rank window. The
+    // strategy is AUTO — the planner broadcasts the click side when its
+    // stats fall under autoBroadcastJoinThreshold (as on the fixtures)
+    // and falls back to the co-partitioned sort-merge exec when both
+    // sides are large, mirroring Spark's own join-strategy choice.
     // Driver-gated against the identical DuckDB oracle as q_join_asof, so
     // the custom exec's output is hash-checked at all three SFs.
     "q_asof_custom" -> ((s, dir) => {

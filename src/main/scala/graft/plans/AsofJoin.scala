@@ -48,17 +48,38 @@ case class AsofJoin(
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
     leftOuter: Boolean,
-    broadcastRight: Boolean,
+    strategy: String, // "auto" | "merge" | "broadcast"
     forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(horizonMicros > 0, "asof horizon must be positive")
+  require(Set("auto", "merge", "broadcast").contains(strategy),
+    s"asof strategy must be auto, merge or broadcast, got $strategy")
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Window-bound arithmetic on micros longs. horizonMicros is caller-
+  * supplied: a huge horizon against an extreme timestamp would wrap Long
+  * arithmetic and silently INVERT the window predicate. Saturating at the
+  * Long range instead means "unbounded on that side" — the semantics a
+  * too-large horizon asks for.
+  */
+private[plans] object AsofBounds {
+  /** pt - h (h > 0), saturating to Long.MinValue on underflow. */
+  def lowBound(pt: Long, h: Long): Long = {
+    val r = pt - h
+    if (((pt ^ h) & (pt ^ r)) < 0) Long.MinValue else r
+  }
+  /** pt + h (h > 0), saturating to Long.MaxValue on overflow. */
+  def highBound(pt: Long, h: Long): Long = {
+    val r = pt + h
+    if (((pt ^ r) & (h ^ r)) < 0) Long.MaxValue else r
+  }
 }
 
 /** Physical sort-merge as-of. EnsureRequirements inserts the co-partitioned
@@ -171,7 +192,8 @@ case class AsofJoinExec(
                     }
                   }
                   if (lastRight != null && lastKey != null &&
-                      keyOrd.compare(lastKey, lk) == 0 && lastCt > pt - h)
+                      keyOrd.compare(lastKey, lk) == 0 &&
+                      lastCt > AsofBounds.lowBound(pt, h))
                     matched = lastRight
                 } else {
                   // FORWARD (earliest right ≥ pt): rows behind the key, and
@@ -200,7 +222,7 @@ case class AsofJoinExec(
                     val rk = rKeyProj(head)
                     if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
                       val ct = rtEval.eval(head).asInstanceOf[Long]
-                      if (ct < pt + h) matched = head
+                      if (ct < AsofBounds.highBound(pt, h)) matched = head
                     }
                   }
                 }
@@ -339,7 +361,8 @@ case class AsofJoinBroadcastExec(
                   val mid = (lo + hi) >>> 1
                   if (cts(mid) <= pt) lo = mid + 1 else hi = mid
                 }
-                if (lo > 0 && cts(lo - 1) > pt - h) matched = rows(lo - 1)
+                if (lo > 0 && cts(lo - 1) > AsofBounds.lowBound(pt, h))
+                  matched = rows(lo - 1)
               } else {
                 // FORWARD: leftmost index with cts(i) >= pt (lower bound):
                 // the FIRST sorted entry at that time = min tie-break
@@ -349,7 +372,8 @@ case class AsofJoinBroadcastExec(
                   val mid = (lo + hi) >>> 1
                   if (cts(mid) < pt) lo = mid + 1 else hi = mid
                 }
-                if (lo < cts.length && cts(lo) < pt + h) matched = rows(lo)
+                if (lo < cts.length && cts(lo) < AsofBounds.highBound(pt, h))
+                  matched = rows(lo)
               }
             }
           }
@@ -366,10 +390,24 @@ case class AsofJoinBroadcastExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans the logical AsofJoin 1:1 onto its exec (merge or broadcast). */
+/** Plans the logical AsofJoin onto merge or broadcast exec. "auto" mirrors
+  * Spark's own join strategy choice: broadcast when the right side's plan
+  * statistics fall at or under spark.sql.autoBroadcastJoinThreshold
+  * (disabled when the threshold is ≤ 0), sort-merge otherwise — so callers
+  * get the zero-fact-shuffle path for reference-sized right sides without
+  * passing a hint, and the both-sides-large path everywhere else.
+  */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, tie, h, outer, bcast, fwd, l, r) =>
+    case AsofJoin(lk, rk, lt, rt, tie, h, outer, strat, fwd, l, r) =>
+      val bcast = strat match {
+        case "broadcast" => true
+        case "merge" => false
+        case _ => // auto: same signal BroadcastHashJoin planning uses
+          val threshold = org.apache.spark.sql.internal.SQLConf.get
+            .autoBroadcastJoinThreshold
+          threshold > 0 && r.stats.sizeInBytes <= threshold
+      }
       if (bcast)
         AsofJoinBroadcastExec(lk, rk, lt, rt, tie, h, outer, fwd,
           planLater(l), planLater(r)) :: Nil
@@ -410,10 +448,12 @@ object AsofJoinOp {
     * leftTime ≤ rightTime < leftTime + horizon; equal-time ties resolve
     * to the MIN tie-break — the mirror of backward's max).
     *
-    * broadcastRight = true picks the broadcast-index exec: the right side
-    * broadcasts whole and the fact side never shuffles — use when the
-    * reference side fits an executor (the as-of analog of a broadcast
-    * hash join); default is the both-sides-large sort-merge exec.
+    * Physical strategy: by default ("auto") the planner picks the
+    * broadcast-index exec when the right side's plan statistics fall under
+    * spark.sql.autoBroadcastJoinThreshold — the as-of analog of Spark's own
+    * broadcast-hash-join choice — and the both-sides-large sort-merge exec
+    * otherwise. strategy = "merge" / "broadcast" forces a side;
+    * broadcastRight = true is the legacy spelling of "broadcast".
     */
   def asof(
       left: DataFrame, right: DataFrame,
@@ -423,7 +463,8 @@ object AsofJoinOp {
       horizonMicros: Long,
       joinType: String = "inner",
       broadcastRight: Boolean = false,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      strategy: String = "auto"): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     require(rightTieBreak.nonEmpty,
@@ -434,6 +475,9 @@ object AsofJoinOp {
       s"asof joinType must be inner or left, got $joinType")
     require(direction == "backward" || direction == "forward",
       s"asof direction must be backward or forward, got $direction")
+    require(Set("auto", "merge", "broadcast").contains(strategy),
+      s"asof strategy must be auto, merge or broadcast, got $strategy")
+    val effStrategy = if (broadcastRight) "broadcast" else strategy
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed
@@ -473,6 +517,6 @@ object AsofJoinOp {
     PlanBridge.ofRows(spark, AsofJoin(
       lk, rk, lt, rt,
       rightTieBreak.map(res(rp, _)), horizonMicros,
-      joinType == "left", broadcastRight, direction == "forward", lp, rp))
+      joinType == "left", effStrategy, direction == "forward", lp, rp))
   }
 }

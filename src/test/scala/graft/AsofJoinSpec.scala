@@ -41,7 +41,8 @@ class AsofJoinSpec extends SparkSpec {
     AsofJoinOp.asof(purchases, clicks,
         leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
         leftTime = "p_ts", rightTime = "c_ts",
-        rightTieBreak = Seq("c_id"), horizonMicros = H7D)
+        rightTieBreak = Seq("c_id"), horizonMicros = H7D,
+        strategy = "merge") // the fixture is broadcast-sized — pin merge
       .select(col("p_id"), col("user_id"), col("c_id"), col("c_ts"))
       .orderBy("p_id")
 
@@ -66,6 +67,34 @@ class AsofJoinSpec extends SparkSpec {
       s"fan-out join leaked into:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
       s"expected exactly two key exchanges:\n$plan")
+  }
+
+  test("auto strategy: broadcast under the threshold, merge when disabled") {
+    def planOf(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    def auto: DataFrame = AsofJoinOp.asof(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"), H7D)
+    // fixture clicks sit well under the default 10 MB threshold → the
+    // planner must pick the broadcast-index exec with no hint
+    val bplan = planOf(auto)
+    assert(bplan.contains("AsofJoinBroadcast"),
+      s"auto did not broadcast a small right side:\n$bplan")
+    // same signal Spark's own join strategy honors: threshold ≤ 0
+    // disables broadcasting → sort-merge exec
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val mplan = planOf(auto)
+      assert(mplan.contains("AsofJoin") && !mplan.contains("AsofJoinBroadcast"),
+        s"auto did not fall back to merge with broadcasting disabled:\n$mplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // and both auto plans return the merge exec's rows
+    val a = custom.select("p_id", "c_id").collect().map(_.toSeq)
+    val b = auto.select(col("p_id"), col("c_id")).orderBy("p_id")
+      .collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
   }
 
   test("null keys and null times never match; ties resolve to max tie-break") {
@@ -163,7 +192,8 @@ class AsofJoinSpec extends SparkSpec {
     for (bcast <- Seq(false, true)) {
       val got = AsofJoinOp.asof(purchases, clicks,
           Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
-          H7D, broadcastRight = bcast, direction = "forward")
+          H7D, direction = "forward",
+          strategy = if (bcast) "broadcast" else "merge")
         .select(col("p_id"), col("c_id"), col("c_ts")).orderBy("p_id")
         .collect().map(_.toSeq)
       assert(decl.length == got.length && decl.length > 100,
@@ -193,7 +223,8 @@ class AsofJoinSpec extends SparkSpec {
       val out = AsofJoinOp.asof(l, r,
           Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
           horizonMicros = 2L * 3600 * 1000000L, // 120 min
-          broadcastRight = bcast, direction = "forward")
+          direction = "forward",
+          strategy = if (bcast) "broadcast" else "merge")
         .select("p_id", "c_id").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
       assert(out == Set((1L, 102L), (2L, 104L), (3L, 104L)),
@@ -207,6 +238,26 @@ class AsofJoinSpec extends SparkSpec {
         2L * 3600 * 1000000L, direction = "forward")
       .select("p_id", "c_id").collect()
     assert(outx.isEmpty, s"boundary leak: ${outx.toSeq}")
+  }
+
+  test("extreme horizon saturates (unbounded window) instead of wrapping") {
+    // pt - Long.MaxValue wraps a micros long; the bound must saturate to
+    // "unbounded below/above", not silently invert the predicate
+    val ts0 = Timestamp.valueOf("2026-01-10 12:00:00")
+    def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
+    val l = Seq((1L, 10L, t(60))).toDF("p_id", "user_id", "p_ts")
+    val r = Seq((101L, 10L, t(0)), (102L, 10L, t(90)))
+      .toDF("c_id", "c_user", "c_ts")
+    for (strat <- Seq("merge", "broadcast"); fwd <- Seq(false, true)) {
+      val out = AsofJoinOp.asof(l, r,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+          horizonMicros = Long.MaxValue, strategy = strat,
+          direction = if (fwd) "forward" else "backward")
+        .select("p_id", "c_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val expect = Set((1L, if (fwd) 102L else 101L))
+      assert(out == expect, s"strat=$strat fwd=$fwd got $out")
+    }
   }
 
   test("left-outer: unmatched lefts survive with a null right side") {

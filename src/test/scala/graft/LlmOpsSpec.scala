@@ -50,6 +50,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(salted == unsalted)
   }
 
+  test("q_fuzzy_pairs: grid-salted join equals unsalted noun-blocked join") {
+    graft.functions.NativeJaro.register(spark)
+    val names = table("part").select("p_name").distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val unsalted = names.as("a").join(names.as("b"),
+        col("a.noun") === col("b.noun") &&
+          col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        expr("floor(jaro_winkler(a.p_name, b.p_name) * 10000 + 0.5) / 10000")
+          .as("jw"))
+      .filter(col("jw") >= 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val salted = q("q_fuzzy_pairs").collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b")))
+      .sorted.toSeq
+    assert(salted == unsalted && salted.nonEmpty)
+  }
+
   test("q_simhash_dedup: equals brute-force hamming<=3 over local signatures") {
     // 4 × 8-bit blocks give EXACT recall at radius 3 (pigeonhole), so the
     // banded join must reproduce the full O(n²) pair list, not a subset.

@@ -101,6 +101,15 @@ class PlanSpec extends SparkSpec {
       s"grid-salt coordinates missing from the join keys:\n$plan")
   }
 
+  test("q_fuzzy_pairs: noun-block self-join is grid-salted (bounded fan-out)") {
+    // nouns are a bounded Zipfian vocabulary — the self-join must carry
+    // the S×S grid coordinates so a hot noun bucket spreads over S²
+    // shuffle partitions instead of going quadratic on one reducer
+    val plan = executed("q_fuzzy_pairs")
+    assert(plan.contains("ga#") && plan.contains("gb#"),
+      s"grid-salt coordinates missing from the join keys:\n$plan")
+  }
+
   test("q_scalar_subquery: the aggregate joins in as a broadcast, not a shuffle") {
     val plan = executed("q_scalar_subquery")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),

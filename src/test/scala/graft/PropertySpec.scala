@@ -169,7 +169,7 @@ class PropertySpec extends SparkSpec {
             Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
             horizonMicros = hSec * 1000000L,
             joinType = if (outer) "left" else "inner",
-            broadcastRight = bcast,
+            strategy = if (bcast) "broadcast" else "merge",
             direction = if (fwd) "forward" else "backward")
           .select("p_id", "c_id").collect()
           .map(x => x.getLong(0) ->
