@@ -11,16 +11,24 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Jaro-Winkler kernel shared by interpreted eval and generated code.
   *
   * Semantics pinned to the de-facto standard the DuckDB oracle implements
-  * (probed, see JaroSpec): match window floor(max/2)-1 (window 0 still
-  * admits same-position matches), transpositions = half the out-of-order
-  * matched positions, EITHER empty string → 0.0 (not the 1.0 some
-  * textbook variants give for both-empty), Winkler boost
-  * jw = j + l·0.1·(1-j) with l = common prefix capped at 4, applied only
-  * when j > 0.7.
+  * (probed, see JaroSpec + tools/jaro_ab.py): match window floor(max/2)-1
+  * (window 0 still admits same-position matches), transpositions = half
+  * the out-of-order matched positions (INTEGER division), EITHER empty
+  * string → 0.0 (not the 1.0 some textbook variants give for both-empty),
+  * Winkler boost jw = j + l·0.1·(1-j) with l = common prefix capped at 4,
+  * applied only when j > 0.7.
+  *
+  * The kernel runs over UTF-8 BYTES, not chars: the oracle measures
+  * length / match positions / prefix in its string's raw UTF-8 units
+  * (probed across BMP, non-BMP, and mixed alphabets — a byte-level twin
+  * is bit-exact on all, a code-point or UTF-16 twin diverges on ~70% of
+  * non-ASCII pairs). UTF8String's backing array IS UTF-8, so operating on
+  * bytes is both the bit-exact semantics for every input and cheaper than
+  * materializing a java.lang.String per row.
   */
 object JaroImpl {
 
-  def jaro(sa: String, sb: String): Double = {
+  def jaro(sa: Array[Byte], sb: Array[Byte]): Double = {
     val la = sa.length
     val lb = sb.length
     if (la == 0 || lb == 0) return 0.0
@@ -35,7 +43,7 @@ object JaroImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!fb(j) && sb.charAt(j) == sa.charAt(i)) {
+        if (!fb(j) && sb(j) == sa(i)) {
           fa(i) = true; fb(j) = true; m += 1; found = true
         }
         j += 1
@@ -50,7 +58,7 @@ object JaroImpl {
     while (i < la) {
       if (fa(i)) {
         while (!fb(j)) j += 1
-        if (sa.charAt(i) != sb.charAt(j)) t += 1
+        if (sa(i) != sb(j)) t += 1
         j += 1
       }
       i += 1
@@ -60,13 +68,13 @@ object JaroImpl {
   }
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val sa = a.toString
-    val sb = b.toString
+    val sa = a.getBytes
+    val sb = b.getBytes
     val j = jaro(sa, sb)
     if (j <= 0.7) return j
     var l = 0
     val max = math.min(4, math.min(sa.length, sb.length))
-    while (l < max && sa.charAt(l) == sb.charAt(l)) l += 1
+    while (l < max && sa(l) == sb(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
 }

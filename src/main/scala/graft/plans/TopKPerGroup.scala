@@ -4,12 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.expressions.AttributeSet
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode}
 
 /** Grouped top-k as a FIRST-CLASS operator — the full custom-operator
   * stack (logical node → optimizer rewrite → planner strategy → physical
@@ -45,6 +45,19 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *   - ties: row_number over a non-unique order is nondeterministic in
   *     the Window form too — the heap form is no worse; use a unique
   *     tiebreaker as everywhere else in this repo.
+  *
+  * MEMORY MODEL (the operator's cardinality assumption): each task holds
+  * one k-row heap per distinct group key seen in its partition — O(groups
+  * × k) rows, i.e. the same envelope as the operator's own OUTPUT per
+  * partition, with no spill path (the native Window instead external-sorts
+  * with spilling). That is the right trade whenever k·|groups| is
+  * result-set-sized — the top-k-per-group queries this rewrite targets.
+  * For a pathological key (row_number over a near-unique partition key,
+  * |groups| ≈ |rows|) the heap map approaches input size: keep the native
+  * plan there (don't install the rewrite, or uninstall around the query).
+  * The production hardening lever, if that shape ever matters, is the
+  * HashAggregateExec precedent: an UnsafeFixedWidthAggregationMap-style
+  * spill-to-sort fallback.
   */
 case class GroupedTopK(
     groupExprs: Seq[Expression],
@@ -58,10 +71,74 @@ case class GroupedTopK(
     copy(child = newChild)
 }
 
+/** The per-partition bounded-heap state, shared by the exec's iterator path
+  * (doExecute) and its whole-stage-codegen path (generated code calls
+  * insert() per row, then drains result()). Per group: a max-heap (reversed
+  * ordering) of the k first-in-order rows — the heap root is the WORST kept
+  * row, evicted on a better one. Initial capacity is NOT k: a defensive
+  * huge bound must not eagerly allocate a k-element array per group.
+  */
+final class TopKHeapBuffer(
+    keyProj: UnsafeProjection,
+    ord: Ordering[InternalRow],
+    k: Int,
+    partial: Boolean,
+    outProj: UnsafeProjection) {
+
+  private val heaps =
+    new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var heap = heaps.get(key)
+    if (heap == null) {
+      heap = new java.util.PriorityQueue[InternalRow](
+        math.min(k, 16) + 1, ord.reverse)
+      heaps.put(key.copy(), heap)
+    }
+    if (heap.size() < k) heap.add(row.copy())
+    else if (ord.compare(row, heap.peek()) < 0) {
+      heap.poll(); heap.add(row.copy())
+    }
+  }
+
+  /** Drains every heap in rank order; the final phase attaches rn. Emitted
+    * rows go through outProj (downstream operators require UnsafeRow). */
+  def result(): Iterator[InternalRow] = {
+    val it = heaps.values().iterator()
+    new Iterator[InternalRow] {
+      private var current: Iterator[InternalRow] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!current.hasNext && it.hasNext) {
+          val heap = it.next()
+          val rows = new Array[InternalRow](heap.size())
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain → sorted
+          current =
+            if (partial) rows.iterator.map(outProj)
+            else rows.iterator.zipWithIndex.map { case (r, idx) =>
+              outProj(new JoinedRow(r,
+                new GenericInternalRow(Array[Any](idx + 1))))
+            }
+        }
+        current.hasNext
+      }
+      override def next(): InternalRow = { hasNext; current.next() }
+    }
+  }
+}
+
 /** Physical bounded-heap top-k. `partial = true` emits the per-partition
   * survivors without rank; the final node (after the exchange
   * EnsureRequirements inserts for its ClusteredDistribution) merges heaps
   * and attaches rn.
+  *
+  * Participates in whole-stage codegen as a BLOCKING operator (the
+  * SortExec pattern): the child's generated pipeline feeds insert() row by
+  * row with no iterator boundary, and once input is exhausted the drained
+  * heaps stream into the parent's generated consume — so the partial phase
+  * fuses with the scan/filter/project below it and the final phase fuses
+  * with whatever sits above, instead of breaking both pipelines apart.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
@@ -69,7 +146,9 @@ case class TopKPerGroupExec(
     k: Int,
     rnAttr: Attribute,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan)
+  extends UnaryExecNode
+  with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rnAttr
@@ -81,60 +160,78 @@ case class TopKPerGroupExec(
     else if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
+  /** Fresh per-task state; called from doExecute AND from generated code
+    * (the plan node rides the codegen references array, like SortExec's
+    * createSorter). */
+  def createBuffer(): TopKHeapBuffer = new TopKHeapBuffer(
+    UnsafeProjection.create(groupExprs, child.output),
+    new LazilyGeneratedOrdering(sortOrders, child.output),
+    k, partial,
+    UnsafeProjection.create(output, output))
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
     val groups = groupExprs
     val orders = sortOrders
     val kk = k
     val isPartial = partial
+    val childOutput = child.output
     val outAttrs = output
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(groups, childOutput)
-      val ord = new LazilyGeneratedOrdering(orders, childOutput)
-      // downstream operators (exchange, sort, getByteArrayRdd) require
-      // UnsafeRow output — project every emitted row, like WindowExec does
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      // per group: a max-heap (reversed ordering) of the k first-in-order
-      // rows — the heap root is the WORST kept row, evicted on a better
-      // one. Initial capacity is NOT k: a defensive huge bound must not
-      // eagerly allocate a k-element array per group (the queue grows).
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            math.min(kk, 16) + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
-      val it = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && it.hasNext) {
-            val heap = it.next()
-            val rows = new Array[InternalRow](heap.size())
-            var i = rows.length - 1
-            while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain → sorted
-            current =
-              if (isPartial) rows.iterator.map(outProj)
-              else rows.iterator.zipWithIndex.map { case (r, idx) =>
-                outProj(new JoinedRow(r,
-                  new GenericInternalRow(Array[Any](idx + 1))))
-              }
-          }
-          current.hasNext
-        }
-        override def next(): InternalRow = { hasNext; current.next() }
-      }
+      val buf = new TopKHeapBuffer(
+        UnsafeProjection.create(groups, childOutput),
+        new LazilyGeneratedOrdering(orders, childOutput),
+        kk, isPartial,
+        UnsafeProjection.create(outAttrs, outAttrs))
+      while (iter.hasNext) buf.insert(iter.next())
+      buf.result()
     }
   }
+
+  // ---- whole-stage codegen (blocking-operator shape, cf. SortExec) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  private var bufferVar: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needInput = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "topkNeedInput", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("topkPlan", this)
+    bufferVar = ctx.addMutableState(classOf[TopKHeapBuffer].getName,
+      "topkBuffer", v => s"$v = $thisPlan.createBuffer();",
+      forceInline = true)
+    val outputIter = ctx.addMutableState(
+      "scala.collection.Iterator<InternalRow>", "topkOutput",
+      forceInline = true)
+    val addToBuffer = ctx.freshName("addToTopKBuffer")
+    val addFunc = ctx.addNewFunction(addToBuffer,
+      s"""
+         |private void $addToBuffer() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val row = ctx.freshName("topkRow")
+    s"""
+       |if ($needInput) {
+       |  $addFunc();
+       |  $outputIter = $bufferVar.result();
+       |  $needInput = false;
+       |}
+       |while ($limitNotReachedCond $outputIter.hasNext()) {
+       |  UnsafeRow $row = (UnsafeRow) $outputIter.next();
+       |  ${consume(ctx, null, row)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$bufferVar.insert((InternalRow) ${row.value});
+     """.stripMargin
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
@@ -163,9 +260,20 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
         case Some(k) if k > 0 =>
           // if Spark's InferWindowGroupLimit already wrapped the child in
           // its sort-based pre-bound, strip it: the heap phases subsume it
-          // (same bound, no sort) and stacking both doubles the work
+          // (same bound, no sort) and stacking both doubles the work.
+          // Strip ONLY a pre-bound that provably belongs to THIS window —
+          // same partition keys, same order, a row_number rank, limit ≥ k
+          // — so a differently-specced WindowGroupLimit placed by any
+          // other rule (or a future Spark) is left intact rather than
+          // silently dropped (its rows would be wrong to un-bound).
           val base = child match {
-            case wgl: WindowGroupLimit if wgl.limit >= k => wgl.child
+            case wgl: WindowGroupLimit if wgl.limit >= k &&
+                wgl.rankLikeFunction.isInstanceOf[RowNumber] &&
+                wgl.partitionSpec.length == part.length &&
+                wgl.partitionSpec.zip(part).forall { case (x, y) => x.semanticEquals(y) } &&
+                wgl.orderSpec.length == order.length &&
+                wgl.orderSpec.zip(order).forall { case (x, y) => x.semanticEquals(y) } =>
+              wgl.child
             case c => c
           }
           f.copy(child = GroupedTopK(part, order, k, a.toAttribute, base))

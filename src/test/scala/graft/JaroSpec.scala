@@ -35,6 +35,20 @@ class JaroSpec extends SparkSpec {
     assert(jw("ab", "abcdefghijklmn") == 0.7714285714285715)
   }
 
+  test("kernel matches DuckDB bit-exactly on non-ASCII (UTF-8 byte semantics)") {
+    // the oracle measures length/window/prefix in UTF-8 BYTES — a
+    // code-point or UTF-16 kernel diverges on ~70% of non-ASCII pairs
+    // (probed in tools/jaro_ab.py); these pins cover 2-byte (é/ü/Greek),
+    // 3-byte (CJK), and 4-byte/non-BMP (surrogate-pair) characters
+    assert(jw("café", "cafe") == 0.8483333333333334)
+    assert(jw("日本語", "日本語テスト") == 0.9)
+    assert(jw("🦀crab", "🦀crib") == 0.95)
+    assert(jw("über", "uber") == 0.7833333333333333)
+    assert(jw("naïve", "naive") == 0.8577777777777779)
+    assert(jw("héllo wörld", "hello world") == 0.8531468531468531)
+    assert(jw("αβγδε", "αβγεδ") == 0.98)
+  }
+
   test("SQL function registers and codegen output equals interpreted eval") {
     NativeJaro.register(spark)
     import spark.implicits._

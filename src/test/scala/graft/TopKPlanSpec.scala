@@ -43,6 +43,25 @@ class TopKPlanSpec extends SparkSpec {
     } finally TopKPerGroup.uninstall(spark)
   }
 
+  test("heap phases fuse into whole-stage codegen spans") {
+    TopKPerGroup.install(spark)
+    try {
+      val df = topkDf
+      df.collect() // force execution so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // fused operators render with a *(n) stage prefix — both heap
+      // phases must sit INSIDE a codegen span (the partial fused with the
+      // scan pipeline below, the final fused above the exchange), not
+      // break the stages apart around an iterator boundary
+      val fused = plan.linesIterator
+        .filter(_.contains("TopKPerGroup "))
+        .filter(_.contains("*(")).toSeq
+      assert(fused.length == 2,
+        s"expected both heap phases codegen-fused, got:\n$plan")
+    } finally TopKPerGroup.uninstall(spark)
+  }
+
   test("operator output is row-identical to the Window form") {
     val baseline = topkDf.collect().map(_.toSeq)
     TopKPerGroup.install(spark)
@@ -81,6 +100,33 @@ class TopKPlanSpec extends SparkSpec {
         .collect { case e: TopKPerGroupExec => e }
       assert(execs.isEmpty, "rank() must keep the Window plan")
     } finally TopKPerGroup.uninstall(spark)
+  }
+
+  test("rewrite strips only a WindowGroupLimit matching the window's own spec") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow, WindowGroupLimit}
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val optimized = table("orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .queryExecution.optimizedPlan
+    // sanity: InferWindowGroupLimit put its pre-bound under the Window,
+    // and the rewrite strips that matching bound
+    assert(optimized.collect { case g: WindowGroupLimit => g }.nonEmpty)
+    val rewritten = graft.plans.RewriteTopKWindow(optimized)
+    assert(rewritten.collect { case g: WindowGroupLimit => g }.isEmpty,
+      "a same-specced pre-bound must be stripped")
+    // now forge a FOREIGN pre-bound: same rank/limit but different
+    // partition keys — the rewrite must keep it (stripping would un-bound
+    // rows some other rule already relied on limiting)
+    val forged = optimized.transform {
+      case g: WindowGroupLimit =>
+        g.copy(partitionSpec = g.orderSpec.map(_.child))
+    }
+    val kept = graft.plans.RewriteTopKWindow(forged)
+    assert(kept.collect { case g: WindowGroupLimit => g }.nonEmpty,
+      "a foreign-specced pre-bound must survive the rewrite")
+    // and the heap node still planned above it
+    assert(kept.collect { case g: graft.plans.GroupedTopK => g }.nonEmpty)
   }
 
   test("heap exec matches Window form with NULL order keys and empty partitions") {

@@ -57,21 +57,34 @@ def jw(sa, sb, int_half):
 
 def main(n):
     random.seed(7)
-    pairs = [
-        ("".join(random.choices("abcde", k=random.randint(0, 10))),
-         "".join(random.choices("abcde", k=random.randint(0, 10))))
-        for _ in range(n)
-    ]
-    con = duckdb.connect()
-    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
-    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
-    ref = [r[0] for r in
-           con.sql("SELECT jaro_winkler_similarity(a, b) FROM p").fetchall()]
-    mis_int = sum(1 for (a, b), r in zip(pairs, ref) if jw(a, b, True) != r)
-    mis_flt = sum(1 for (a, b), r in zip(pairs, ref) if jw(a, b, False) != r)
-    print(f"pairs={n} bit-exact mismatches: int-half={mis_int} "
-          f"float-half={mis_flt}")
-    assert mis_int == 0, "JaroImpl semantics drifted from the oracle!"
+    # three alphabets: ASCII, BMP multibyte (2- and 3-byte UTF-8), and
+    # non-BMP (4-byte, surrogate pairs in UTF-16). DuckDB's kernel runs
+    # over UTF-8 BYTES: the byte-level twin below is bit-exact on ALL
+    # alphabets, while a code-point twin matches only on ASCII — that
+    # experiment pinned JaroImpl to UTF8String.getBytes.
+    for name, alpha in [("ascii", "abcde"), ("bmp", "abéñ日本語ß"),
+                        ("nonbmp", "ab🦀🎉é日")]:
+        pairs = [
+            ("".join(random.choices(alpha, k=random.randint(0, 10))),
+             "".join(random.choices(alpha, k=random.randint(0, 10))))
+            for _ in range(n)
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+        ref = [r[0] for r in
+               con.sql("SELECT jaro_winkler_similarity(a, b) FROM p")
+               .fetchall()]
+        # byte twin = JaroImpl's view (UTF-8 code units)
+        mis_b = sum(1 for (a, b), r in zip(pairs, ref)
+                    if jw(list(a.encode()), list(b.encode()), True) != r)
+        mis_int = sum(1 for (a, b), r in zip(pairs, ref)
+                      if jw(a, b, True) != r)
+        mis_flt = sum(1 for (a, b), r in zip(pairs, ref)
+                      if jw(a, b, False) != r)
+        print(f"{name}: pairs={n} bit-exact mismatches: utf8-bytes={mis_b} "
+              f"codepoint-int-half={mis_int} codepoint-float-half={mis_flt}")
+        assert mis_b == 0, "JaroImpl byte semantics drifted from the oracle!"
 
 
 if __name__ == "__main__":
