@@ -36,18 +36,24 @@ object DedupClusters {
   /** @param hopsPerRound label-propagation joins per checkpoint round:
     *   1 = classic; 2 = two-hop (halves the checkpoint/action overhead
     *   per covered hop — helps when rounds are overhead-bound, i.e.
-    *   small graphs; same fixpoint either way) */
+    *   small graphs; same fixpoint either way)
+    * @param reliable write per-round checkpoints to the configured
+    *   SparkContext checkpoint dir instead of executor-pinned
+    *   localCheckpoints — the fault-tolerant mode for long-running
+    *   100 TB jobs (see [[Materialize]]); also switched on globally by
+    *   spark.graft.reliableCheckpoints=true. Same fixpoint either way. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
                           maxIter: Int = 20,
-                          hopsPerRound: Int = 1): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true) // reused every round — cut it off the source plan
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+                          hopsPerRound: Int = 1,
+                          reliable: Boolean = false): DataFrame = {
+    val rel = reliable || Materialize.reliableRequested(pairs)
+    val edges = Materialize( // reused every round — cut it off the source plan
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct(), rel)
+    var labels = Materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")), rel)
     var prevSum = labels.agg(sum("cluster")).head().getLong(0)
     var converged = false
     var i = 0
@@ -59,7 +65,7 @@ object DedupClusters {
         next = next.unionAll(viaNeighbors)
           .groupBy("id").agg(min("cluster").as("cluster"))
       }
-      labels = next.localCheckpoint(true)
+      labels = Materialize(next, rel)
       val s = labels.agg(sum("cluster")).head().getLong(0)
       converged = s == prevSum
       prevSum = s

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-cutting materialization for derived relations that are consumed
+  * more than once (self-join sides, iterative label relations, multi-branch
+  * graph scans).
+  *
+  * Default = `localCheckpoint(eager)`: blocks stored on executors, fast, no
+  * extra I/O — right for a single-JVM harness and for short-lived derived
+  * relations. It is NOT fault-tolerant: blocks are pinned to live executors,
+  * so losing one mid-job recomputes nothing — the job fails. At 100 TB on a
+  * 1000-executor cluster, executor loss is routine, so long pipelines flip
+  * `spark.graft.reliableCheckpoints=true` (plus
+  * `SparkContext.setCheckpointDir` to a durable store) and the SAME call
+  * sites write reliable `checkpoint()`s instead: the derived relation
+  * persists to storage and survives executor loss, at the cost of one
+  * write+read round-trip — exactly the "write the derived relation to
+  * storage" production pattern the dedup-family scale notes describe.
+  */
+object Materialize {
+
+  val confKey = "spark.graft.reliableCheckpoints"
+
+  def reliableRequested(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(confKey, "false").toBoolean
+
+  /** Materialize df eagerly and cut its lineage; conf picks the mode. */
+  def apply(df: DataFrame): DataFrame = apply(df, reliableRequested(df))
+
+  def apply(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$confKey=true needs SparkContext.setCheckpointDir(<durable path>)")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+}

@@ -81,7 +81,7 @@ object AnalyticsQueries extends QueryModule {
       // reads, so the checkpoint is cheaper than the scans it replaces.
       val dw = tokens(s, dir)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
-        .localCheckpoint()
+        .transform(graft.functions.Materialize(_))
       val vocab = dw.groupBy("w").agg(sum(col("c_dw")).as("c_w"))
       val tot = vocab.agg(sum(col("c_w")).as("c_tot"))
       dw.join(broadcast(vocab), Seq("w"))
@@ -158,7 +158,7 @@ object AnalyticsQueries extends QueryModule {
       // sides) — materialize it once instead of re-scanning events 3×.
       val su = t(s, dir, "events")
         .select(col("event_type"), col("user_id")).distinct()
-        .localCheckpoint()
+        .transform(graft.functions.Materialize(_))
       val sizes = su.groupBy("event_type")
         .agg(count(lit(1)).as("sz"))
       val inter = su.as("a").join(su.as("b"),

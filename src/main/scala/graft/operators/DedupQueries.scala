@@ -73,7 +73,7 @@ object DedupQueries extends QueryModule {
         // once instead of running the shingle HOFs twice over the corpus
         // (the production analog at 100 TB: write the derived relation to
         // storage — either way the expensive projection runs once).
-        .localCheckpoint()
+        .transform(graft.functions.Materialize(_))
       // Grid-salted self-join (1-bucket theta-join partitioning): the
       // blocking key (lang, first token) is Zipfian — at 100× one hot
       // bucket lands on one reducer and goes quadratic. Give each row a
@@ -183,7 +183,7 @@ object DedupQueries extends QueryModule {
           .as("s"))
         .select(col("doc_id"), col("sig"), col("s.band").as("band"),
           col("s.blk").as("blk"))
-        .localCheckpoint() // both self-join sides; 4 narrow rows per doc
+        .transform(graft.functions.Materialize(_)) // both self-join sides; 4 narrow rows per doc
       val dist = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
       blocks.as("a").join(blocks.as("b"),
           col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&
@@ -255,7 +255,7 @@ object DedupQueries extends QueryModule {
     // moves (hk, partial cnt/min) only — no text on the wire.
     val byHashRaw = normed.groupBy("hk")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-    val byHash = if (materialize) byHashRaw.localCheckpoint() else byHashRaw
+    val byHash = if (materialize) graft.functions.Materialize(byHashRaw) else byHashRaw
     val singles = byHash.filter(col("n_copies") === 1)
       .select("doc_id", "n_copies")
     // pass 2: multi-member hash groups re-grouped on the true norm text.
@@ -286,7 +286,7 @@ object DedupQueries extends QueryModule {
           """transform(sequence(1, size(t) - 1),
             |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
           .as("grams"))
-        .localCheckpoint() // consumers: LSH hashing + both verify sides
+        .transform(graft.functions.Materialize(_)) // consumers: LSH hashing + both verify sides
       // one md5 per gram; the 16 slot hashes derive arithmetically
       // ((2k+1)·h + 104729k mod 1e9+7 — products stay < 2^38, no
       // overflow). All 16 mins run as parallel aggregate buffers over
@@ -307,7 +307,7 @@ object DedupQueries extends QueryModule {
               (0 to 3).map(r => col(s"m${4 * b + r}")): _*).as("bk"))): _*))
           .as("s"))
         .select(col("doc_id"), col("s.band").as("band"), col("s.bk").as("bk"))
-        .localCheckpoint() // both self-join sides; 4 narrow rows per doc
+        .transform(graft.functions.Materialize(_)) // both self-join sides; 4 narrow rows per doc
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -49,7 +49,7 @@ object GraphQueries extends QueryModule {
     // graph. Edge weights n/outn are exact-integer ratios evaluated in a
     // pinned double op order; iteration sums ride scaled BIGINTs.
     "q_pagerank" -> ((s, dir) => {
-      val ew = edges(s, dir).localCheckpoint() // reused by all 3 iterations
+      val ew = graft.functions.Materialize(edges(s, dir)) // reused by all 3 iterations
       val nodes = t(s, dir, "events")
         .select(col("event_type").as("node")).distinct()
       val cnt = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -83,7 +83,7 @@ object GraphQueries extends QueryModule {
       // three consumers (out branch, in branch, the join) — materialize
       // the corpus-wide window scan ONCE, exactly as q_pagerank does,
       // instead of recomputing the edge relation per branch
-      val ew = edges(s, dir).localCheckpoint()
+      val ew = graft.functions.Materialize(edges(s, dir))
       val out = ew.groupBy(col("src").as("node")).agg(
         countDistinct(col("dst")).as("out_deg"),
         sum(col("n")).as("out_n"),

@@ -98,6 +98,42 @@ class FunctionsLibSpec extends SparkSpec {
     assert(kept == Seq(1L, 7L, 10L))
   }
 
+  test("DedupClusters: reliable-checkpoint mode reaches the same fixpoint") {
+    // the fault-tolerant 100 TB mode: per-round materialization goes to a
+    // durable checkpoint dir instead of executor-pinned blocks — identical
+    // labels either way (see Materialize)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("a_id", "b_id")
+    val local = DedupClusters.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val rel = DedupClusters.connectedComponents(pairs, reliable = true)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+      assert(rel == local, s"reliable mode diverged: $rel vs $local")
+      // the conf switch drives the same path without the explicit flag
+      spark.conf.set(graft.functions.Materialize.confKey, "true")
+      try {
+        val viaConf = DedupClusters.connectedComponents(pairs).collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+        assert(viaConf == local)
+      } finally spark.conf.unset(graft.functions.Materialize.confKey)
+    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("DedupClusters: reliable mode without a checkpoint dir fails fast") {
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        DedupClusters.connectedComponents(pairs, reliable = true).collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+  }
+
   test("DedupClusters: end-to-end with MinHash pairs on planted dups") {
     val pairs = MinHashDedup
       .nearDuplicatePairs(planted, "doc_id", "text", threshold = 0.5)
