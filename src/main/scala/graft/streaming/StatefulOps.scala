@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.time.Duration
+
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -228,14 +230,28 @@ object StatefulOps {
     * the already-emitted row — the spec feeds batches in event-time order,
     * the contract any as-of stream needs (watermark + sorted replay).
     * State is one (ts, id, value) per key, bounded forever.
+    *
+    * `stateTtlMs > 0` adds a per-key processing-time TTL on the carried
+    * click (TTLConfig; requires TimeMode.ProcessingTime): a key idle
+    * longer than the TTL has its state evicted by the store, so a
+    * long-running job's state footprint tracks the ACTIVE key set, not
+    * the all-time one — the consumer-group offset-retention analog.
+    * Within the TTL window semantics are unchanged; after expiry a
+    * purchase degrades to unmatched, exactly as if the click never
+    * happened. Test-harness note: with TTL active,
+    * `StreamingQuery.processAllAvailable` never quiesces even though
+    * every batch completes (TtlReproSpec documents it) — poll the sink
+    * instead, as StreamingSpec's TTL tests do.
     */
-  class AsofProcessor(horizonMicros: Long)
+  class AsofProcessor(horizonMicros: Long, stateTtlMs: Long = 0L)
       extends StatefulProcessor[Long, AsofEvent, AsofMatch] {
     @transient private var last: ValueState[LastClick] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       last = getHandle.getValueState[LastClick](
-        "lastClick", Encoders.product[LastClick], TTLConfig.NONE)
+        "lastClick", Encoders.product[LastClick],
+        if (stateTtlMs > 0) TTLConfig(Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[AsofEvent],
                                  timerValues: TimerValues): Iterator[AsofMatch] = {
@@ -265,13 +281,16 @@ object StatefulOps {
     }
   }
 
-  /** Streaming left-outer as-of enrichment via transformWithState. */
+  /** Streaming left-outer as-of enrichment via transformWithState.
+    * `stateTtlMs > 0` bounds per-key state lifetime (see AsofProcessor). */
   def streamingAsof(spark: SparkSession, ds: Dataset[AsofEvent],
-                    horizonMicros: Long): Dataset[AsofMatch] = {
+                    horizonMicros: Long,
+                    stateTtlMs: Long = 0L): Dataset[AsofMatch] = {
     import spark.implicits._
     ds.groupByKey(_.user)
-      .transformWithState(new AsofProcessor(horizonMicros),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new AsofProcessor(horizonMicros, stateTtlMs),
+        if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   case class SessionEvent(user: String, ts: java.sql.Timestamp)

@@ -27,10 +27,22 @@ object StreamingLsh {
   case class CandidatePair(idA: Long, idB: Long)
 
   /** docs must have columns (doc_id: Long, text: String); may be a
-    * streaming DataFrame. */
+    * streaming DataFrame.
+    *
+    * `stateTtlMs > 0` puts a processing-time TTL on each band bucket:
+    * a bucket that sees no members for that long is evicted wholesale
+    * (fMGWS ProcessingTimeTimeout + state.remove), so a long-running
+    * job's state tracks the RECENTLY-ACTIVE bucket set instead of
+    * growing with all-time bucket cardinality. The trade is explicit:
+    * a new document no longer pairs against members older than the TTL
+    * — recency-bounded recall, the same compromise maxBucket already
+    * makes spatially, applied temporally. fMGWS fires expired timers
+    * when a micro-batch runs, so eviction happens on the next batch
+    * after the idle period. */
   def candidates(spark: SparkSession, docs: DataFrame,
                  shingleN: Int = 2, bands: Int = 4, rows: Int = 4,
-                 maxBucket: Int = 64): Dataset[CandidatePair] = {
+                 maxBucket: Int = 64,
+                 stateTtlMs: Long = 0L): Dataset[CandidatePair] = {
     import spark.implicits._
     val k = bands * rows
     val sig = docs.select(col("doc_id"),
@@ -45,23 +57,32 @@ object StreamingLsh {
         }: _*)).as("bucket"),
         col("doc_id").as("docId"))
       .as[BandDoc]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[List[Long], CandidatePair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_, it, state) =>
-          val retained = state.getOption.getOrElse(Nil)
-          val incoming = it.map(_.docId).toList.distinct
-            .filterNot(retained.contains)
-          val out = List.newBuilder[CandidatePair]
-          var seen = retained
-          incoming.foreach { id =>
-            seen.foreach { p =>
-              out += CandidatePair(math.min(id, p), math.max(id, p))
+          if (stateTtlMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val retained = state.getOption.getOrElse(Nil)
+            val incoming = it.map(_.docId).toList.distinct
+              .filterNot(retained.contains)
+            val out = List.newBuilder[CandidatePair]
+            var seen = retained
+            incoming.foreach { id =>
+              seen.foreach { p =>
+                out += CandidatePair(math.min(id, p), math.max(id, p))
+              }
+              seen = id :: seen
             }
-            seen = id :: seen
+            state.update(seen.take(maxBucket))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
           }
-          state.update(seen.take(maxBucket))
-          out.result().iterator
       }
   }
 }

@@ -508,4 +508,129 @@ class StreamingSpec extends SparkSpec {
       assert(u1.get.durationMs == 30000L)
     } finally q.stop()
   }
+
+  /** Bounded poll — the wait primitive for TTL'd queries, where
+    * processAllAvailable never quiesces (TtlReproSpec documents the
+    * behavior; sessionize above hit the same with ProcessingTimeTimeout). */
+  private def pollUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200); ok = cond
+    }
+    ok
+  }
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("s_stateful TTL: as-of semantics unchanged within the TTL window") {
+    withRocksDb {
+      val H = 3600L * 1000000L
+      def ev(user: Long, tsMin: Int, click: Boolean, id: Long, v: Double) =
+        StatefulOps.AsofEvent(user, tsMin * 60L * 1000000L, click, id, v)
+      val in = MemoryStream[StatefulOps.AsofEvent]
+      sinkId += 1
+      val name = s"sink_$sinkId"
+      val cp = Files.createTempDirectory("graft-cp").toString
+      // TTL far beyond the test's runtime: every result must equal the
+      // unttl'd operator's (the cross-batch carry included)
+      val q = StatefulOps.streamingAsof(spark, in.toDS, H,
+          stateTtlMs = 120000L)
+        .toDF.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", cp).start()
+      try {
+        in.addData(ev(1, 0, click = true, 101, 1.5),
+          ev(1, 10, click = false, 201, 0))
+        assert(pollUntil(60000)(spark.table(name).count() >= 1),
+          "batch 1 output never arrived")
+        // state carried into a later batch, still inside the TTL window
+        in.addData(ev(1, 30, click = false, 202, 0))
+        assert(pollUntil(60000)(spark.table(name).count() >= 2),
+          "batch 2 output never arrived")
+        val got = spark.table(name).as[StatefulOps.AsofMatch].collect()
+          .map(m => m.pId -> m.cId).toMap
+        assert(got == Map(201L -> Some(101L), 202L -> Some(101L)),
+          s"got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("s_stateful TTL: idle as-of state expires; purchase degrades to unmatched") {
+    withRocksDb {
+      val H = 3600L * 1000000L
+      val TTL = 2000L
+      def ev(user: Long, tsMin: Int, click: Boolean, id: Long, v: Double) =
+        StatefulOps.AsofEvent(user, tsMin * 60L * 1000000L, click, id, v)
+      val in = MemoryStream[StatefulOps.AsofEvent]
+      sinkId += 1
+      val name = s"sink_$sinkId"
+      val cp = Files.createTempDirectory("graft-cp").toString
+      val q = StatefulOps.streamingAsof(spark, in.toDS, H, stateTtlMs = TTL)
+        .toDF.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", cp).start()
+      try {
+        in.addData(ev(1, 0, click = true, 101, 1.5),
+          ev(1, 10, click = false, 201, 0))
+        assert(pollUntil(60000)(spark.table(name).count() >= 1),
+          "batch 1 output never arrived")
+        // the poll above proves the click's state write is in the past;
+        // idle past the TTL, then probe with an EVENT-time-valid purchase
+        Thread.sleep(TTL + 2000)
+        in.addData(ev(1, 20, click = false, 202, 0))
+        assert(pollUntil(60000)(spark.table(name).count() >= 2),
+          "batch 2 output never arrived")
+        val got = spark.table(name).as[StatefulOps.AsofMatch].collect()
+          .map(m => m.pId -> m.cId).toMap
+        // 201 matched inside the window; 202 finds the state evicted even
+        // though the 1-hour event-time horizon would have matched it
+        assert(got == Map(201L -> Some(101L), 202L -> None), s"got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("s_lsh TTL: idle band buckets are evicted; fresh docs still pair") {
+    val TTL = 1500L
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val in = MemoryStream[(Long, String)]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val cp = Files.createTempDirectory("graft-cp").toString
+    // self-triggering so bucket timers fire during the idle gap even with
+    // no new data (same as the sessionize test above)
+    val q = streaming.StreamingLsh.candidates(spark,
+        in.toDF.toDF("doc_id", "text"), stateTtlMs = TTL)
+      .toDF.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      in.addData((1L, textA))
+      assert(pollUntil(60000)(
+        q.recentProgress.map(_.numInputRows).sum >= 1),
+        "doc 1 was never consumed")
+      // idle past the TTL — the continuous trigger fires the timers and
+      // evicts doc 1's buckets
+      Thread.sleep(TTL + 2000)
+      // identical docs 3 and 4: 3 must NOT pair with the evicted 1;
+      // 3↔4 pairs immediately, proving the bucket works post-eviction
+      in.addData((3L, textA))
+      in.addData((4L, textA))
+      assert(pollUntil(60000)(spark.table(name)
+          .select("idA", "idB").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).contains((3L, 4L))),
+        "post-eviction pair (3,4) never arrived")
+      val pairs = spark.table(name).select("idA", "idB").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)),
+        s"evicted bucket member still paired: $pairs")
+    } finally q.stop()
+  }
 }
