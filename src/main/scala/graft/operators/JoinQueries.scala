@@ -226,6 +226,31 @@ object JoinQueries extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // The SAME relation through the SQL surface: asof_join is a
+    // table-valued function (plans/AsofSql.scala), so the custom operator
+    // is reachable from plain spark.sql — the TVF builder delegates to the
+    // one AsofJoinOp.asof path, so validation, tie-break contract, and the
+    // auto broadcast/merge choice are identical to the DataFrame form.
+    // Oracle-gated against the same DuckDB relation as q_asof_custom.
+    "q_asof_sql" -> ((s, dir) => {
+      graft.plans.AsofSql.install(s)
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id"))
+        .createOrReplaceTempView("asof_sql_purchases")
+      t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"), col("value").as("c_value"))
+        .createOrReplaceTempView("asof_sql_clicks")
+      s.sql("""
+        SELECT p_id, user_id, c_id AS asof_click,
+               ROUND(c_value, 4) AS click_value
+        FROM asof_join('asof_sql_purchases', 'asof_sql_clicks',
+                       'user_id', 'c_user', 'p_ts', 'c_ts', 'c_id',
+                       INTERVAL 7 DAYS)
+        ORDER BY p_id""")
+    }),
+
     "q_null_safe_join" -> ((s, dir) => {
       // Null-safe equi-join: `<=>` (IS NOT DISTINCT FROM) treats NULL as a
       // joinable key value. Spark plans EqualNullSafe as a first-class hash
@@ -345,6 +370,19 @@ object JoinQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
     "q_asof_bcast" ->
+      """SELECT p_id, user_id, asof_click, click_value FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         c.event_id AS asof_click, ROUND(c.value, 4) AS click_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |             ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND c.ts > p.ts - INTERVAL 7 DAY)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // identical relation through the SQL TVF surface
+    "q_asof_sql" ->
       """SELECT p_id, user_id, asof_click, click_value FROM (
         |  SELECT p.event_id AS p_id, p.user_id AS user_id,
         |         c.event_id AS asof_click, ROUND(c.value, 4) AS click_value,

@@ -11,4 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a session-scoped SQL table-valued function (the
+    * `SELECT * FROM f(...)` surface). Same visibility story as ofRows:
+    * `sessionState` is private[sql]; the registry API itself is the one
+    * Spark's own built-in TVFs (`range`, `explode`, ...) go through. */
+  def registerTableFunction(
+      spark: SparkSession, name: String, usage: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.plans.AsofSql", null, name, usage, ""),
+        builder)
 }

@@ -347,4 +347,93 @@ class AsofJoinSpec extends SparkSpec {
       Seq("USER_ID"), Seq("C_USER"), "P_TS", "C_TS", Seq("C_ID"), H7D)
     assert(ok.count() > 0)
   }
+
+  // ---- SQL TVF surface (plans/AsofSql.scala) ----
+
+  private def installSqlViews(): Unit = {
+    graft.plans.AsofSql.install(spark)
+    purchases.createOrReplaceTempView("asof_spec_p")
+    clicks.createOrReplaceTempView("asof_spec_c")
+  }
+
+  test("sql: asof_join TVF equals the DataFrame form and plans the custom exec") {
+    installSqlViews()
+    val sqlDf = spark.sql(
+      """SELECT p_id, user_id, c_id, c_ts
+        |FROM asof_join('asof_spec_p', 'asof_spec_c', 'user_id', 'c_user',
+        |               'p_ts', 'c_ts', 'c_id', INTERVAL 7 DAYS)
+        |ORDER BY p_id""".stripMargin)
+    val a = custom.collect().map(_.toSeq)
+    val b = sqlDf.collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    // parse → plan: the SQL form must land on the custom operator (auto
+    // broadcasts the fixture-sized right side), never the fan-out join
+    val plan = sqlDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"fan-out join/window leaked into:\n$plan")
+  }
+
+  test("sql: optional TVF args select joinType, direction, and strategy") {
+    installSqlViews()
+    // forward + forced merge through SQL equals forward through the API
+    val sqlFwd = spark.sql(
+      """SELECT p_id, c_id FROM asof_join('asof_spec_p', 'asof_spec_c',
+        |  'user_id', 'c_user', 'p_ts', 'c_ts', 'c_id', INTERVAL 7 DAYS,
+        |  'inner', 'forward', 'merge') ORDER BY p_id""".stripMargin)
+    val apiFwd = AsofJoinOp.asof(purchases, clicks, Seq("user_id"),
+        Seq("c_user"), "p_ts", "c_ts", Seq("c_id"), H7D,
+        direction = "forward", strategy = "merge")
+      .select("p_id", "c_id").orderBy("p_id")
+    assert(sqlFwd.collect().map(_.toSeq).toSeq ==
+      apiFwd.collect().map(_.toSeq).toSeq)
+    // 'merge' must pin the sort-merge exec (renders as bare "AsofJoin"),
+    // not the broadcast-index one
+    val fwdPlan = sqlFwd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fwdPlan.contains("AsofJoin") && !fwdPlan.contains("AsofJoinBroadcast"),
+      s"forced merge not honored:\n$fwdPlan")
+    // left-outer through SQL keeps unmatched purchases
+    val inner = spark.sql(
+      """SELECT count(*) AS n FROM asof_join('asof_spec_p', 'asof_spec_c',
+        |  'user_id', 'c_user', 'p_ts', 'c_ts', 'c_id',
+        |  INTERVAL 1 HOUR)""".stripMargin).head().getLong(0)
+    val outer = spark.sql(
+      """SELECT count(*) AS n FROM asof_join('asof_spec_p', 'asof_spec_c',
+        |  'user_id', 'c_user', 'p_ts', 'c_ts', 'c_id',
+        |  INTERVAL 1 HOUR, 'left')""".stripMargin).head().getLong(0)
+    val nPurchases = purchases.count()
+    assert(outer == nPurchases && inner < outer,
+      s"outer=$outer inner=$inner purchases=$nPurchases")
+  }
+
+  test("sql: TVF rejects malformed calls at analysis time") {
+    installSqlViews()
+    // wrong arity
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('asof_spec_p', 'asof_spec_c')")
+    }
+    assert(e1.getMessage.contains("8-11"), e1.getMessage)
+    // non-literal table name
+    intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM asof_join(p_id, 'asof_spec_c', 'user_id', 'c_user',
+          |  'p_ts', 'c_ts', 'c_id', INTERVAL 7 DAYS)""".stripMargin)
+    }
+    // year-month interval horizon is ambiguous (variable-length months)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM asof_join('asof_spec_p', 'asof_spec_c', 'user_id',
+          |  'c_user', 'p_ts', 'c_ts', 'c_id', INTERVAL 1 MONTH)""".stripMargin)
+    }
+    assert(e2.getMessage.toLowerCase.contains("horizon"), e2.getMessage)
+    // the underlying operator's validation rides through: bad column
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM asof_join('asof_spec_p', 'asof_spec_c', 'no_col',
+          |  'c_user', 'p_ts', 'c_ts', 'c_id', INTERVAL 7 DAYS)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("no_col"), e3.getMessage)
+  }
 }
