@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode, LazilyGeneratedOrdering}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -251,6 +252,48 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** The broadcast as-of's per-task index: key → time-sorted right rows with
+  * a parallel micros array. One lookup = hash probe + binary search; built
+  * once per task from the broadcast rows (shared by the iterator path and
+  * the generated whole-stage code, like TopKHeapBuffer).
+  */
+final class AsofBroadcastIndex(
+    buckets: java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[Long])],
+    horizonMicros: Long,
+    forward: Boolean) {
+
+  /** The as-of row for (key, pt), or null: backward = rightmost time ≤ pt
+    * (duplicates resolve to the LAST sorted entry = max tie-break, matching
+    * the merge exec); forward = leftmost time ≥ pt (min tie-break). */
+  def lookup(key: UnsafeRow, pt: Long): InternalRow = {
+    val bucket = buckets.get(key)
+    if (bucket == null) return null
+    val rows = bucket._1
+    val cts = bucket._2
+    if (!forward) {
+      var lo = 0
+      var hi = cts.length // first index with ct > pt
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cts(mid) <= pt) lo = mid + 1 else hi = mid
+      }
+      if (lo > 0 && cts(lo - 1) > AsofBounds.lowBound(pt, horizonMicros))
+        rows(lo - 1)
+      else null
+    } else {
+      var lo = 0
+      var hi = cts.length // first index with ct >= pt
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cts(mid) < pt) lo = mid + 1 else hi = mid
+      }
+      if (lo < cts.length && cts(lo) < AsofBounds.highBound(pt, horizonMicros))
+        rows(lo)
+      else null
+    }
+  }
+}
+
 /** Broadcast as-of: the zero-fact-shuffle path for a SMALL right side
   * (reference/dimension data). The right side broadcasts whole; each left
   * partition builds a per-key time-sorted index of it ONCE, then every
@@ -260,6 +303,13 @@ case class AsofJoinExec(
   * semantics match the merge exec exactly. At 100 TB this is the as-of
   * analog of a broadcast hash join: use when the reference side fits an
   * executor; the merge exec remains the both-sides-large path.
+  *
+  * Participates in whole-stage codegen on the FACT side (the
+  * BroadcastHashJoin shape): the generated code probes the per-task
+  * [[AsofBroadcastIndex]] inline, so scan → filter → as-of → project stays
+  * one fused loop with no iterator boundary around the join. As-of attaches
+  * at most ONE right row per fact row, so the generated shape is map-like —
+  * no inner loop, no result copying.
   */
 case class AsofJoinBroadcastExec(
     leftKeys: Seq[Expression],
@@ -271,7 +321,7 @@ case class AsofJoinBroadcastExec(
     leftOuter: Boolean,
     forward: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -283,58 +333,59 @@ case class AsofJoinBroadcastExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  /** Per-task index build over the broadcast rows: key → (tie-sorted rows,
+    * parallel micros array). Build cost is |right| per task — the contract
+    * of any broadcast join. Called from doExecute AND from the generated
+    * class's init (the plan node rides the codegen references array). */
+  def buildIndex(broadcastRows: Array[InternalRow]): AsofBroadcastIndex = {
+    val rOut = right.output
+    val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+    val rtEval = BindReferences.bindReference(rightTime, rOut)
+    // (time, tie-break) ascending — within a key bucket the rightmost
+    // entry with time ≤ pt is the match, ties included
+    val rowOrd = new LazilyGeneratedOrdering(
+      (SortOrder(rightTime, Ascending) +:
+        rightTieBreak.map(SortOrder(_, Ascending))).map(so =>
+          so.copy(child = BindReferences.bindReference(so.child, rOut))),
+      Nil)
+    val index = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[Long])]()
+    val buckets =
+      new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+    broadcastRows.foreach { r =>
+      val k = rKeyProj(r)
+      if (!k.anyNull && rtEval.eval(r) != null) {
+        var b = buckets.get(k)
+        if (b == null) {
+          b = new java.util.ArrayList[InternalRow]()
+          buckets.put(k.copy(), b)
+        }
+        b.add(r) // broadcast rows are already materialized copies
+      }
+    }
+    val it = buckets.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val rows = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
+      java.util.Arrays.sort(rows, rowOrd)
+      val cts = rows.map(r => rtEval.eval(r).asInstanceOf[Long])
+      index.put(e.getKey, (rows, cts))
+    }
+    new AsofBroadcastIndex(index, horizonMicros, forward)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
     val ltExpr = leftTime
-    val rtExpr = rightTime
-    val tieExprs = rightTieBreak
-    val h = horizonMicros
     val outer = leftOuter
-    val fwd = forward
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val buildFn = buildIndex _
     left.execute().mapPartitions { lIt =>
+      val index = buildFn(bcast.value)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val ltEval = BindReferences.bindReference(ltExpr, lOut)
-      val rtEval = BindReferences.bindReference(rtExpr, rOut)
-      // (time, tie-break) ascending — within a key bucket the rightmost
-      // entry with time ≤ pt is the match, ties included
-      val rowOrd = new LazilyGeneratedOrdering(
-        (SortOrder(rtExpr, Ascending) +:
-          tieExprs.map(SortOrder(_, Ascending))).map(so =>
-            so.copy(child = BindReferences.bindReference(so.child, rOut))),
-        Nil)
-      // per-partition build over the broadcast rows: key → (sorted rows,
-      // parallel micros array). Build cost is |right| per partition — the
-      // contract of any broadcast join.
-      val index = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[Long])]()
-      locally {
-        val buckets =
-          new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
-        bcast.value.foreach { r =>
-          val k = rKeyProj(r)
-          if (!k.anyNull && rtEval.eval(r) != null) {
-            var b = buckets.get(k)
-            if (b == null) {
-              b = new java.util.ArrayList[InternalRow]()
-              buckets.put(k.copy(), b)
-            }
-            b.add(r) // broadcast rows are already materialized copies
-          }
-        }
-        val it = buckets.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val rows = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
-          java.util.Arrays.sort(rows, rowOrd)
-          val cts = rows.map(r => rtEval.eval(r).asInstanceOf[Long])
-          index.put(e.getKey, (rows, cts))
-        }
-      }
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight: InternalRow =
@@ -345,44 +396,94 @@ case class AsofJoinBroadcastExec(
         val lk = lKeyProj(l)
         if (!lk.anyNull) {
           val ptv = ltEval.eval(l)
-          if (ptv != null) {
-            val pt = ptv.asInstanceOf[Long]
-            val bucket = index.get(lk)
-            if (bucket != null) {
-              val rows = bucket._1
-              val cts = bucket._2
-              if (!fwd) {
-                // BACKWARD: rightmost index with cts(i) <= pt (upper bound
-                // - 1): duplicates of the same time resolve to the LAST
-                // sorted entry = max tie-break, matching the merge exec
-                var lo = 0
-                var hi = cts.length // first index with ct > pt
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (cts(mid) <= pt) lo = mid + 1 else hi = mid
-                }
-                if (lo > 0 && cts(lo - 1) > AsofBounds.lowBound(pt, h))
-                  matched = rows(lo - 1)
-              } else {
-                // FORWARD: leftmost index with cts(i) >= pt (lower bound):
-                // the FIRST sorted entry at that time = min tie-break
-                var lo = 0
-                var hi = cts.length
-                while (lo < hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (cts(mid) < pt) lo = mid + 1 else hi = mid
-                }
-                if (lo < cts.length && cts(lo) < AsofBounds.highBound(pt, h))
-                  matched = rows(lo)
-              }
-            }
-          }
+          if (ptv != null)
+            matched = index.lookup(lk, ptv.asInstanceOf[Long])
         }
         if (matched != null) Iterator.single(outProj(joined(l, matched)))
         else if (outer) Iterator.single(outProj(joined(l, nullRight)))
         else Iterator.empty
       }
     }
+  }
+
+  // ---- whole-stage codegen (fact-side pipeline, cf. BroadcastHashJoin) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // at most ONE output row per fact row (map-like, no inner loop) — the
+  // unique-key BroadcastHashJoin rule: copy only if the fact side must
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    // broadcast once (driver-side, at codegen time — the BHJ pattern);
+    // index build once per task in the generated class's init
+    val bcastRef = ctx.addReferenceObj("asofBroadcast",
+      right.executeBroadcast[Array[InternalRow]]())
+    val thisPlan = ctx.addReferenceObj("asofPlan", this)
+    val indexVar = ctx.addMutableState(classOf[AsofBroadcastIndex].getName,
+      "asofIndex",
+      v => s"$v = $thisPlan.buildIndex((InternalRow[]) $bcastRef.value());",
+      forceInline = true)
+
+    // probe key + time evaluated from the exploded fact-side variables
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      BindReferences.bindReferences(leftKeys, left.output))
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val matched = ctx.freshName("asofMatched")
+
+    // right-side columns read from the matched row; under left-outer the
+    // reads are guarded so an unmatched row yields nulls
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      if (!leftOuter) ev
+      else {
+        val isNull = ctx.freshName("asofIsNull")
+        val value = ctx.freshName("asofValue")
+        val javaType = CodeGenerator.javaType(a.dataType)
+        ExprCode(
+          code"""
+            |boolean $isNull = true;
+            |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+            |if ($matched != null) {
+            |  ${ev.code}
+            |  $isNull = ${ev.isNull};
+            |  $value = ${ev.value};
+            |}""".stripMargin,
+          JavaCode.isNullVariable(isNull),
+          JavaCode.variable(value, a.dataType))
+      }
+    }
+
+    val probe =
+      s"""
+         |${keyEv.code}
+         |${ltEv.code}
+         |InternalRow $matched = null;
+         |if (!${keyEv.value}.anyNull() && !${ltEv.isNull}) {
+         |  $matched = $indexVar.lookup(${keyEv.value}, ${ltEv.value});
+         |}
+       """.stripMargin
+    if (leftOuter)
+      s"""
+         |$probe
+         |${consume(ctx, input ++ rightVars)}
+       """.stripMargin
+    else
+      s"""
+         |$probe
+         |if ($matched != null) {
+         |  ${consume(ctx, input ++ rightVars)}
+         |}
+       """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -348,6 +348,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("codegen: broadcast as-of fuses into the fact-side pipeline") {
+    val df = AsofJoinOp.asof(purchases, clicks, Seq("user_id"),
+        Seq("c_user"), "p_ts", "c_ts", Seq("c_id"), H7D,
+        strategy = "broadcast")
+      .select(col("p_id"), col("c_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // fused operators render with a *(n) stage prefix — the probe must sit
+    // INSIDE a codegen span (scan → filter → as-of → project, one loop),
+    // not break the fact pipeline at an iterator boundary
+    val fused = plan.linesIterator
+      .filter(_.contains("AsofJoinBroadcast"))
+      .filter(_.contains("*(")).toSeq
+    assert(fused.length == 1,
+      s"broadcast as-of not codegen-fused:\n$plan")
+    // left-outer probes are fused too (guarded null-fill path)
+    val outerDf = AsofJoinOp.asof(purchases, clicks, Seq("user_id"),
+        Seq("c_user"), "p_ts", "c_ts", Seq("c_id"), H7D,
+        joinType = "left", strategy = "broadcast")
+      .select(col("p_id"), col("c_id"))
+    outerDf.collect()
+    val outerPlan = outerDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(outerPlan.linesIterator.exists(l =>
+      l.contains("AsofJoinBroadcast") && l.contains("*(")),
+      s"outer broadcast as-of not codegen-fused:\n$outerPlan")
+  }
+
   // ---- SQL TVF surface (plans/AsofSql.scala) ----
 
   private def installSqlViews(): Unit = {
