@@ -226,6 +226,30 @@ object JoinQueries extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // NEAREST as-of on the custom operator: the temporally closest click
+    // within ±7 days — either side. Exact matches and equidistant ties
+    // resolve to the backward side (then its max-id tie-break); the merge
+    // pass already holds both neighbors (backward candidate + head), so
+    // nearest costs the same single pass as backward. pandas merge_asof
+    // parity: backward/forward/nearest are all first-class directions.
+    "q_asof_nearest" -> ((s, dir) => {
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val c = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user"), col("value").as("c_value"))
+      graft.plans.AsofJoinOp.asof(p, c,
+          leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+          leftTime = "p_ts", rightTime = "c_ts",
+          rightTieBreak = Seq("c_id"),
+          horizonMicros = 7L * 24 * 3600 * 1000000L,
+          direction = "nearest")
+        .select(col("p_id"), col("user_id"), col("c_id").as("near_click"),
+          round(col("c_value"), 4).as("click_value"))
+        .orderBy("p_id")
+    }),
+
     // The SAME relation through the SQL surface: asof_join is a
     // table-valued function (plans/AsofSql.scala), so the custom operator
     // is reachable from plain spark.sql — the TVF builder delegates to the
@@ -379,6 +403,26 @@ object JoinQueries extends QueryModule {
         |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |   AND c.ts > p.ts - INTERVAL 7 DAY)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // nearest = min |time delta| in the ±7-day window; distance ties and
+    // exact matches prefer the backward side, then that side's own
+    // tie-break (backward max id / forward min id) — the rank order spells
+    // out exactly that
+    "q_asof_nearest" ->
+      """SELECT p_id, user_id, near_click, click_value FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         c.event_id AS near_click, ROUND(c.value, 4) AS click_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |             ORDER BY ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)) ASC,
+        |                      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+        |                      CASE WHEN c.ts <= p.ts THEN -c.event_id
+        |                           ELSE c.event_id END ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND c.ts > p.ts - INTERVAL 7 DAY
+        |   AND c.ts < p.ts + INTERVAL 7 DAY)
         |WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
     // identical relation through the SQL TVF surface

@@ -50,12 +50,14 @@ case class AsofJoin(
     horizonMicros: Long,
     leftOuter: Boolean,
     strategy: String, // "auto" | "merge" | "broadcast"
-    forward: Boolean,
+    direction: String, // "backward" | "forward" | "nearest"
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   require(horizonMicros > 0, "asof horizon must be positive")
   require(Set("auto", "merge", "broadcast").contains(strategy),
     s"asof strategy must be auto, merge or broadcast, got $strategy")
+  require(AsofDirection.valid(direction),
+    s"asof direction must be backward, forward or nearest, got $direction")
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
@@ -70,6 +72,14 @@ case class AsofJoin(
   * Long range instead means "unbounded on that side" — the semantics a
   * too-large horizon asks for.
   */
+private[plans] object AsofDirection {
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+  def valid(d: String): Boolean =
+    d == Backward || d == Forward || d == Nearest
+}
+
 private[plans] object AsofBounds {
   /** pt - h (h > 0), saturating to Long.MinValue on underflow. */
   def lowBound(pt: Long, h: Long): Long = {
@@ -87,6 +97,17 @@ private[plans] object AsofBounds {
   * exchanges (ClusteredDistribution on both key lists) and the per-partition
   * sorts (requiredChildOrdering); doExecute is a single forward merge that
   * buffers ONE right row per key — the current as-of candidate.
+  *
+  * DELIBERATELY not CodegenSupport (unlike [[AsofJoinBroadcastExec]], which
+  * fuses): CollapseCodegenStages special-cases Spark's own sort-merge join
+  * classes to wrap BOTH sorted children in InputAdapter so each keeps its
+  * own fused stage; a custom binary node gets the generic treatment, so
+  * implementing produce here would pull the child SortExecs into this
+  * node's stage unfused — trading their codegen away for one fewer
+  * iterator boundary. As-is, the children fuse below (exchange → *(n)
+  * Sort) and the framework's InputAdapter fuses everything above the
+  * join; only the merge loop itself stays interpreted, and it is a tight
+  * single pass with generated orderings/projections already.
   */
 case class AsofJoinExec(
     leftKeys: Seq[Expression],
@@ -96,7 +117,7 @@ case class AsofJoinExec(
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
     leftOuter: Boolean,
-    forward: Boolean,
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -123,7 +144,7 @@ case class AsofJoinExec(
     val rtExpr = rightTime
     val h = horizonMicros
     val outer = leftOuter
-    val fwd = forward
+    val dir = direction
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt0) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -163,11 +184,12 @@ case class AsofJoinExec(
               val ptv = ltEval.eval(l)
               if (ptv != null) {
                 val pt = ptv.asInstanceOf[Long]
-                if (!fwd) {
-                  // BACKWARD (latest right ≤ pt): consume rows behind the
-                  // current key, and rows at the current key with time ≤ pt
-                  // (each replaces the candidate — sort order makes the
-                  // last one the latest, tie-break included)
+                if (dir != AsofDirection.Forward) {
+                  // BACKWARD / NEAREST (latest right ≤ pt): consume rows
+                  // behind the current key, and rows at the current key
+                  // with time ≤ pt (each replaces the candidate — sort
+                  // order makes the last one the latest, tie-break
+                  // included)
                   var advance = true
                   while (advance && rIter.hasNext) {
                     val rk = rKeyProj(rIter.head)
@@ -192,10 +214,43 @@ case class AsofJoinExec(
                       } else advance = false
                     }
                   }
+                  var backCand: InternalRow = null
+                  var backCt = 0L
                   if (lastRight != null && lastKey != null &&
                       keyOrd.compare(lastKey, lk) == 0 &&
-                      lastCt > AsofBounds.lowBound(pt, h))
-                    matched = lastRight
+                      lastCt > AsofBounds.lowBound(pt, h)) {
+                    backCand = lastRight
+                    backCt = lastCt
+                  }
+                  if (dir == AsofDirection.Backward) matched = backCand
+                  else {
+                    // NEAREST: the other neighbor is the head — the first
+                    // same-key row with time STRICTLY above pt (equal
+                    // times were consumed as backward candidates, so a
+                    // distance-0 match always resolves backward). Closer
+                    // side wins; ties resolve backward. Distances compare
+                    // UNSIGNED: each fits [0, 2^64) even when a saturated
+                    // horizon admits the full Long time range.
+                    var fwdCand: InternalRow = null
+                    var fwdCt = 0L
+                    if (rIter.hasNext) {
+                      val head = rIter.head
+                      val rk = rKeyProj(head)
+                      if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
+                        val ct = rtEval.eval(head).asInstanceOf[Long]
+                        if (ct < AsofBounds.highBound(pt, h)) {
+                          fwdCand = head
+                          fwdCt = ct
+                        }
+                      }
+                    }
+                    matched =
+                      if (backCand == null) fwdCand
+                      else if (fwdCand == null) backCand
+                      else if (java.lang.Long.compareUnsigned(
+                        fwdCt - pt, pt - backCt) < 0) fwdCand
+                      else backCand
+                  }
                 } else {
                   // FORWARD (earliest right ≥ pt): rows behind the key, and
                   // same-key rows with time < pt, are dead for every later
@@ -260,26 +315,47 @@ case class AsofJoinExec(
 final class AsofBroadcastIndex(
     buckets: java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[Long])],
     horizonMicros: Long,
-    forward: Boolean) {
+    direction: String) {
+
+  private val fwd = direction == AsofDirection.Forward
+  private val nearest = direction == AsofDirection.Nearest
 
   /** The as-of row for (key, pt), or null: backward = rightmost time ≤ pt
     * (duplicates resolve to the LAST sorted entry = max tie-break, matching
-    * the merge exec); forward = leftmost time ≥ pt (min tie-break). */
+    * the merge exec); forward = leftmost time ≥ pt (min tie-break);
+    * nearest = whichever neighbor is closer, distance ties and exact
+    * matches resolving backward (unsigned distance compare — each side's
+    * distance fits [0, 2^64) even with a saturated horizon). */
   def lookup(key: UnsafeRow, pt: Long): InternalRow = {
     val bucket = buckets.get(key)
     if (bucket == null) return null
     val rows = bucket._1
     val cts = bucket._2
-    if (!forward) {
+    if (!fwd) {
       var lo = 0
       var hi = cts.length // first index with ct > pt
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (cts(mid) <= pt) lo = mid + 1 else hi = mid
       }
-      if (lo > 0 && cts(lo - 1) > AsofBounds.lowBound(pt, horizonMicros))
-        rows(lo - 1)
-      else null
+      val back =
+        if (lo > 0 && cts(lo - 1) > AsofBounds.lowBound(pt, horizonMicros))
+          rows(lo - 1)
+        else null
+      if (!nearest) back
+      else {
+        // the forward neighbor is cts(lo) — strictly above pt (equal
+        // times sit below the upper bound and resolve backward)
+        val forward =
+          if (lo < cts.length &&
+              cts(lo) < AsofBounds.highBound(pt, horizonMicros)) rows(lo)
+          else null
+        if (back == null) forward
+        else if (forward == null) back
+        else if (java.lang.Long.compareUnsigned(
+          cts(lo) - pt, pt - cts(lo - 1)) < 0) forward
+        else back
+      }
     } else {
       var lo = 0
       var hi = cts.length // first index with ct >= pt
@@ -319,7 +395,7 @@ case class AsofJoinBroadcastExec(
     rightTieBreak: Seq[Expression],
     horizonMicros: Long,
     leftOuter: Boolean,
-    forward: Boolean,
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
@@ -370,7 +446,7 @@ case class AsofJoinBroadcastExec(
       val cts = rows.map(r => rtEval.eval(r).asInstanceOf[Long])
       index.put(e.getKey, (rows, cts))
     }
-    new AsofBroadcastIndex(index, horizonMicros, forward)
+    new AsofBroadcastIndex(index, horizonMicros, direction)
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -500,7 +576,7 @@ case class AsofJoinBroadcastExec(
   */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, tie, h, outer, strat, fwd, l, r) =>
+    case AsofJoin(lk, rk, lt, rt, tie, h, outer, strat, dir, l, r) =>
       val bcast = strat match {
         case "broadcast" => true
         case "merge" => false
@@ -510,10 +586,10 @@ object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
           threshold > 0 && r.stats.sizeInBytes <= threshold
       }
       if (bcast)
-        AsofJoinBroadcastExec(lk, rk, lt, rt, tie, h, outer, fwd,
+        AsofJoinBroadcastExec(lk, rk, lt, rt, tie, h, outer, dir,
           planLater(l), planLater(r)) :: Nil
       else
-        AsofJoinExec(lk, rk, lt, rt, tie, h, outer, fwd,
+        AsofJoinExec(lk, rk, lt, rt, tie, h, outer, dir,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -547,7 +623,10 @@ object AsofJoinOp {
     * rightTime ≤ leftTime (horizon below); "forward" attaches the
     * EARLIEST right row with rightTime ≥ leftTime (horizon above,
     * leftTime ≤ rightTime < leftTime + horizon; equal-time ties resolve
-    * to the MIN tie-break — the mirror of backward's max).
+    * to the MIN tie-break — the mirror of backward's max). "nearest"
+    * attaches whichever temporal neighbor is closer within the horizon on
+    * either side; exact matches and equidistant ties resolve to the
+    * backward side (then that side's own tie-break).
     *
     * Physical strategy: by default ("auto") the planner picks the
     * broadcast-index exec when the right side's plan statistics fall under
@@ -574,8 +653,8 @@ object AsofJoinOp {
         "if (key, time) is unique)")
     require(joinType == "inner" || joinType == "left",
       s"asof joinType must be inner or left, got $joinType")
-    require(direction == "backward" || direction == "forward",
-      s"asof direction must be backward or forward, got $direction")
+    require(AsofDirection.valid(direction),
+      s"asof direction must be backward, forward or nearest, got $direction")
     require(Set("auto", "merge", "broadcast").contains(strategy),
       s"asof strategy must be auto, merge or broadcast, got $strategy")
     val effStrategy = if (broadcastRight) "broadcast" else strategy
@@ -618,6 +697,6 @@ object AsofJoinOp {
     PlanBridge.ofRows(spark, AsofJoin(
       lk, rk, lt, rt,
       rightTieBreak.map(res(rp, _)), horizonMicros,
-      joinType == "left", effStrategy, direction == "forward", lp, rp))
+      joinType == "left", effStrategy, direction, lp, rp))
   }
 }

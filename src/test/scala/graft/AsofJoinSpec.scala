@@ -348,6 +348,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("nearest edges: exact match and equidistant ties go backward, both execs") {
+    val ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new Timestamp(ts0.getTime + min * 60000L)
+    // u1: equidistant (±10 min) → backward 101; u2: exact match at pt →
+    // 103 over the 1-min-away 104; u3: forward-only neighbor → 105;
+    // u4: both outside the 15-min horizon → unmatched
+    val l = Seq((1L, 1L, t(20)), (2L, 2L, t(20)), (3L, 3L, t(20)),
+      (4L, 4L, t(20))).toDF("p_id", "user_id", "p_ts")
+    val r = Seq(
+      (101L, 1L, t(10)), (102L, 1L, t(30)),
+      (103L, 2L, t(20)), (104L, 2L, t(21)),
+      (105L, 3L, t(25)),
+      (106L, 4L, t(1)), (107L, 4L, t(39))
+    ).toDF("c_id", "c_user", "c_ts")
+    for (strat <- Seq("merge", "broadcast")) {
+      val got = AsofJoinOp.asof(l, r, Seq("user_id"), Seq("c_user"),
+          "p_ts", "c_ts", Seq("c_id"), 15L * 60 * 1000000L,
+          joinType = "left", direction = "nearest", strategy = strat)
+        .select("p_id", "c_id").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      assert(got == Map(1L -> Some(101L), 2L -> Some(103L),
+        3L -> Some(105L), 4L -> None), s"strat=$strat got $got")
+    }
+  }
+
   test("codegen: broadcast as-of fuses into the fact-side pipeline") {
     val df = AsofJoinOp.asof(purchases, clicks, Seq("user_id"),
         Seq("c_user"), "p_ts", "c_ts", Seq("c_id"), H7D,

@@ -141,17 +141,31 @@ class PropertySpec extends SparkSpec {
         (1000L + i, key(), sec()))
       val hSec = 3L + arnd.nextInt(12)
 
-      def model(forward: Boolean): Map[Long, Option[Long]] =
+      def model(direction: String): Map[Long, Option[Long]] =
         lefts.flatMap { case (pid, ku, pts) =>
           (ku, pts) match {
             case (Some(u), Some(pt)) =>
               val cand = rights.collect {
                 case (cid, Some(cu), Some(ct)) if cu == u &&
-                  (if (!forward) ct <= pt && ct > pt - hSec
-                   else ct >= pt && ct < pt + hSec) => (ct, cid)
+                  (direction match {
+                    case "backward" => ct <= pt && ct > pt - hSec
+                    case "forward" => ct >= pt && ct < pt + hSec
+                    case "nearest" => ct > pt - hSec && ct < pt + hSec
+                  }) => (ct, cid)
               }
               Some(pid -> (if (cand.isEmpty) None
-                else Some(if (!forward) cand.max._2 else cand.min._2)))
+                else Some(direction match {
+                  case "backward" => cand.max._2
+                  case "forward" => cand.min._2
+                  case "nearest" =>
+                    // closer neighbor wins; exact matches and equidistant
+                    // ties go backward; within a side, that side's own
+                    // tie-break (backward max id, forward min id)
+                    cand.minBy { case (ct, cid) =>
+                      (math.abs(ct - pt), if (ct <= pt) 0 else 1,
+                        if (ct <= pt) -cid else cid)
+                    }._2
+                })))
             case _ => Some(pid -> None)
           }
         }.toMap
@@ -163,21 +177,22 @@ class PropertySpec extends SparkSpec {
         (i, k, s.map(x => new Timestamp(x * 1000))) }
         .toDF("c_id", "c_user", "c_ts")
 
-      for (bcast <- Seq(false, true); fwd <- Seq(false, true);
+      for (bcast <- Seq(false, true);
+           dir <- Seq("backward", "forward", "nearest");
            outer <- Seq(false, true)) {
         val got = AsofJoinOp.asof(lDf, rDf,
             Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
             horizonMicros = hSec * 1000000L,
             joinType = if (outer) "left" else "inner",
             strategy = if (bcast) "broadcast" else "merge",
-            direction = if (fwd) "forward" else "backward")
+            direction = dir)
           .select("p_id", "c_id").collect()
           .map(x => x.getLong(0) ->
             (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
-        val m = model(fwd)
+        val m = model(dir)
         val expect = if (outer) m else m.filter(_._2.isDefined)
         assert(got == expect,
-          s"round=$round bcast=$bcast fwd=$fwd outer=$outer:\n" +
+          s"round=$round bcast=$bcast dir=$dir outer=$outer:\n" +
             s"got    ${got.toSeq.sortBy(_._1)}\n" +
             s"expect ${expect.toSeq.sortBy(_._1)}")
       }
