@@ -111,6 +111,26 @@ object JoinQueries extends QueryModule {
         .orderBy("user_id", "event_id")
     }),
 
+    // Keyless interval-stab join on the THIRD custom operator
+    // (plans/RangeJoin.scala): which supplier credit bands contain each
+    // customer's balance — `v BETWEEN lo AND hi` with NO equi-key, the
+    // shape Spark plans as BroadcastNestedLoopJoin (O(facts × intervals)
+    // compares). The stab exec binary-searches sorted interval starts and
+    // walks the bounded overlap region: O(log m + depth) per fact row.
+    // Bounds are exact integer cents so the oracle compare is bit-exact.
+    "q_range_lookup" -> ((s, dir) => {
+      val facts = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_acctbal") * 100).cast("long").as("v"))
+      val bands = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("band_id"),
+          (col("s_acctbal") * 100).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 50000L)
+      graft.plans.RangeJoinOp.rangeLookup(facts, bands, "v", "lo", "hi")
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_bands"), min("band_id").as("first_band"))
+        .orderBy("c_custkey")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // For each purchase, the latest click by the same user at ts <= purchase
       // ts AND within a 7-day horizon. Equi-anchor on user_id; window rank
@@ -366,6 +386,18 @@ object JoinQueries extends QueryModule {
         |WHERE e1.event_type = 'click'
         |GROUP BY e1.user_id, e1.event_id
         |ORDER BY e1.user_id, e1.event_id""".stripMargin,
+
+    // integer-cents bounds keep the BETWEEN boundaries bit-exact across
+    // engines (decimal*100 → BIGINT on both sides)
+    "q_range_lookup" ->
+      """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_bands,
+        |       MIN(s_suppkey) AS first_band
+        |FROM customer c JOIN supplier s
+        |  ON CAST(c.c_acctbal * 100 AS BIGINT) >=
+        |     CAST(s.s_acctbal * 100 AS BIGINT)
+        | AND CAST(c.c_acctbal * 100 AS BIGINT) <=
+        |     CAST(s.s_acctbal * 100 AS BIGINT) + 50000
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p_id, user_id, asof_click, click_value FROM (

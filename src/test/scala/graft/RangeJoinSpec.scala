@@ -1,0 +1,139 @@
+package graft
+
+import scala.util.Random
+
+import graft.plans.RangeJoinOp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The custom interval-stab operator (plans/RangeJoin.scala) must be
+  * result-identical to the declarative nested-loop form while planning
+  * WITHOUT the BroadcastNestedLoopJoin Spark gives the keyless range
+  * predicate. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def facts: DataFrame =
+    table("customer").select(col("c_custkey"),
+      (col("c_acctbal") * 100).cast("long").as("v"))
+
+  private def bands: DataFrame =
+    table("supplier").select(col("s_suppkey").as("band_id"),
+      (col("s_acctbal") * 100).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 50000L)
+
+  private def declarative(outer: Boolean): DataFrame =
+    facts.join(bands,
+        col("v") >= col("lo") && col("v") <= col("hi"),
+        if (outer) "left" else "inner")
+      .select(col("c_custkey"), col("band_id"))
+      .orderBy(col("c_custkey"), col("band_id"))
+
+  private def custom(outer: Boolean): DataFrame =
+    RangeJoinOp.rangeLookup(facts, bands, "v", "lo", "hi",
+        joinType = if (outer) "left" else "inner")
+      .select(col("c_custkey"), col("band_id"))
+      .orderBy(col("c_custkey"), col("band_id"))
+
+  test("stab join equals the declarative nested-loop form, inner and left") {
+    for (outer <- Seq(false, true)) {
+      val a = declarative(outer).collect().map(_.toSeq)
+      val b = custom(outer).collect().map(_.toSeq)
+      assert(a.length == b.length && a.length > 50,
+        s"outer=$outer: counts ${a.length} vs ${b.length}")
+      assert(a.zip(b).forall { case (x, y) => x == y }, s"outer=$outer")
+    }
+  }
+
+  test("plan: no nested-loop join; declarative form proves Spark would use one") {
+    val d = declarative(false)
+    d.collect()
+    val dPlan = d.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(dPlan.contains("BroadcastNestedLoopJoin"),
+      s"baseline no longer nested-loop — reassess the operator:\n$dPlan")
+    val c = custom(false)
+    c.collect()
+    val cPlan = c.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(cPlan.contains("RangeLookupJoin"), s"custom exec missing:\n$cPlan")
+    assert(!cPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop leaked into the custom plan:\n$cPlan")
+    // fact side must not exchange: the only exchange is the broadcast
+    assert(!cPlan.contains("Exchange hashpartitioning"),
+      s"fact side shuffled:\n$cPlan")
+  }
+
+  test("property: random intervals (overlap/nulls/inverted/dups) match a model") {
+    val rnd = new Random(11)
+    (1 to 5).foreach { round =>
+      def v() = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong)
+      val fs = (1 to 30 + rnd.nextInt(20)).map(i => (i.toLong, v()))
+      val is = (1 to 15 + rnd.nextInt(15)).map { i =>
+        // mix of proper, inverted (empty), null-bounded, and giant
+        // intervals (the prefix-max worst case)
+        val a = v()
+        val b = if (rnd.nextInt(6) == 0) Some(99L) else v()
+        (100L + i, a, b)
+      }
+      val fDf = fs.toDF("fid", "v")
+      val iDf = is.toDF("iid", "lo", "hi")
+      for (loInc <- Seq(true, false); hiInc <- Seq(true, false);
+           outer <- Seq(false, true)) {
+        val got = RangeJoinOp.rangeLookup(fDf, iDf, "v", "lo", "hi",
+            joinType = if (outer) "left" else "inner",
+            loInclusive = loInc, hiInclusive = hiInc)
+          .select("fid", "iid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val model: Map[Long, Set[Option[Long]]] = fs.flatMap {
+          case (fid, Some(x)) =>
+            val hits = is.collect {
+              case (iid, Some(a), Some(b))
+                  if (if (loInc) a <= x else a < x) &&
+                     (if (hiInc) x <= b else x < b) => iid
+            }
+            if (hits.nonEmpty) Some(fid -> hits.map(Option(_)).toSet)
+            else if (outer) Some(fid -> Set(Option.empty[Long]))
+            else None
+          case (fid, None) =>
+            if (outer) Some(fid -> Set(Option.empty[Long])) else None
+        }.toMap
+        assert(got == model,
+          s"round=$round loInc=$loInc hiInc=$hiInc outer=$outer\n" +
+            s"got    ${got.toSeq.sortBy(_._1)}\nexpect " +
+            s"${model.toSeq.sortBy(_._1)}")
+      }
+    }
+  }
+
+  test("edges: empty interval side, all-null values") {
+    val fDf = Seq((1L, Option(5L)), (2L, Option.empty[Long]))
+      .toDF("fid", "v")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(RangeJoinOp.rangeLookup(fDf, empty, "v", "lo", "hi").count() == 0)
+    val leftAll = RangeJoinOp.rangeLookup(fDf, empty, "v", "lo", "hi",
+      joinType = "left")
+    assert(leftAll.count() == 2 &&
+      leftAll.filter(col("iid").isNull).count() == 2)
+  }
+
+  test("fails fast on bad arguments") {
+    val fDf = Seq((1L, 5L)).toDF("fid", "v")
+    val iDf = Seq((9L, 1L, 8L)).toDF("iid", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoinOp.rangeLookup(fDf,
+        iDf.withColumn("lo", col("lo").cast("int")), "v", "lo", "hi")
+    }
+    assert(e1.getMessage.contains("type mismatch"))
+    intercept[IllegalArgumentException] {
+      RangeJoinOp.rangeLookup(fDf, iDf, "no_col", "lo", "hi")
+    }
+    val base = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoinOp.rangeLookup(base, base, "a", "b", "c")
+    }
+    assert(e2.getMessage.contains("alias"))
+  }
+}
