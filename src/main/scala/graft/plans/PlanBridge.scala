@@ -23,6 +23,6 @@ object PlanBridge {
       .registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          "graft.plans.AsofSql", null, name, usage, ""),
+          "graft.plans", null, name, usage, ""),
         builder)
 }

@@ -119,6 +119,36 @@ class RangeJoinSpec extends SparkSpec {
       leftAll.filter(col("iid").isNull).count() == 2)
   }
 
+  test("sql: range_lookup TVF equals the DataFrame form") {
+    graft.plans.RangeSql.install(spark)
+    facts.createOrReplaceTempView("range_spec_facts")
+    bands.createOrReplaceTempView("range_spec_bands")
+    val sqlDf = spark.sql(
+      """SELECT c_custkey, band_id
+        |FROM range_lookup('range_spec_facts', 'range_spec_bands',
+        |                  'v', 'lo', 'hi')
+        |ORDER BY c_custkey, band_id""".stripMargin)
+    val a = custom(false).collect().map(_.toSeq)
+    val b = sqlDf.collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    assert(sqlDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0).contains("RangeLookupJoin"))
+    // optional args: exclusive bounds through SQL = exclusive through API
+    val sqlExcl = spark.sql(
+      """SELECT count(*) AS n
+        |FROM range_lookup('range_spec_facts', 'range_spec_bands',
+        |                  'v', 'lo', 'hi', 'inner', false, false)""".stripMargin)
+      .head().getLong(0)
+    val apiExcl = RangeJoinOp.rangeLookup(facts, bands, "v", "lo", "hi",
+      loInclusive = false, hiInclusive = false).count()
+    assert(sqlExcl == apiExcl)
+    // malformed: bad arity
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM range_lookup('range_spec_facts')")
+    }
+    assert(e.getMessage.contains("5-8"), e.getMessage)
+  }
+
   test("fails fast on bad arguments") {
     val fDf = Seq((1L, 5L)).toDF("fid", "v")
     val iDf = Seq((9L, 1L, 8L)).toDF("iid", "lo", "hi")
