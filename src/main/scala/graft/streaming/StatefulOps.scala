@@ -17,17 +17,31 @@ object StatefulOps {
 
   case class KeyCount(key: String, count: Long)
 
-  /** Running count per key across micro-batches (update mode). */
-  def runningCounts(spark: SparkSession, ds: Dataset[String]): Dataset[KeyCount] = {
+  /** Running count per key across micro-batches (update mode).
+    * `stateTtlMs > 0` evicts keys idle longer than the TTL (fMGWS
+    * ProcessingTimeTimeout; the count restarts from zero on the key's
+    * next appearance) — see [[AsofProcessor]] for the bounded-state
+    * rationale every long-running op here shares. */
+  def runningCounts(spark: SparkSession, ds: Dataset[String],
+                    stateTtlMs: Long = 0L): Dataset[KeyCount] = {
     import spark.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(identity)
       .flatMapGroupsWithState[Long, KeyCount](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         (key: String, rows: Iterator[String], state: GroupState[Long]) =>
-          val prev = state.getOption.getOrElse(0L)
-          val next = prev + rows.size
-          state.update(next)
-          Iterator(KeyCount(key, next))
+          if (stateTtlMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(0L)
+            val next = prev + rows.size
+            state.update(next)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator(KeyCount(key, next))
+          }
       }
   }
 
@@ -39,13 +53,15 @@ object StatefulOps {
     * ...state.RocksDBStateStoreProvider); the bundled rocksdbjni serves
     * local mode. Same 100 TB posture as the fMGWS form: state is per-key,
     * one long per key, partitioned by the grouping key. */
-  class RunningCountProcessor
+  class RunningCountProcessor(stateTtlMs: Long = 0L)
       extends StatefulProcessor[String, String, KeyCount] {
     @transient private var count: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       count = getHandle.getValueState[Long](
-        "count", Encoders.scalaLong, TTLConfig.NONE)
+        "count", Encoders.scalaLong,
+        if (stateTtlMs > 0) TTLConfig(Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[String],
                                  timerValues: TimerValues): Iterator[KeyCount] = {
@@ -55,13 +71,15 @@ object StatefulOps {
     }
   }
 
-  /** Running count per key via transformWithState (update mode). */
-  def runningCountsTws(spark: SparkSession,
-                       ds: Dataset[String]): Dataset[KeyCount] = {
+  /** Running count per key via transformWithState (update mode);
+    * `stateTtlMs > 0` = per-key TTL, count restarts after idle expiry. */
+  def runningCountsTws(spark: SparkSession, ds: Dataset[String],
+                       stateTtlMs: Long = 0L): Dataset[KeyCount] = {
     import spark.implicits._
     ds.groupByKey(identity)
-      .transformWithState(new RunningCountProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningCountProcessor(stateTtlMs),
+        if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   case class HourPoint(user: String, hour: Long, value: Double)
@@ -79,12 +97,28 @@ object StatefulOps {
     * in append mode.
     */
   def gapFill(spark: SparkSession,
-              ds: Dataset[HourPoint]): Dataset[FilledPoint] = {
+              ds: Dataset[HourPoint],
+              stateTtlMs: Long = 0L): Dataset[FilledPoint] = {
     import spark.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_.user)
       .flatMapGroupsWithState[FillState, FilledPoint](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (user, rows, state) =>
+          if (stateTtlMs > 0 && state.hasTimedOut) {
+            // the fill baseline expired: do NOT fill across an idle gap
+            // longer than the TTL — the key's next point re-seeds fresh
+            state.remove()
+            Iterator.empty
+          } else gapFillBatch(user, rows, state, stateTtlMs)
+      }
+  }
+
+  private def gapFillBatch(user: String, rows: Iterator[HourPoint],
+                           state: GroupState[FillState],
+                           stateTtlMs: Long): Iterator[FilledPoint] = {
           // one row per (user, hour), always: within a batch duplicate
           // hours collapse to the LAST occurrence (latest info wins);
           // an hour at or before the carried state is already emitted and
@@ -108,8 +142,8 @@ object StatefulOps {
             }
           }
           st.foreach(state.update)
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
           out.result().iterator
-      }
   }
 
   case class Point(key: String, seq: Long, x: Double)
@@ -124,13 +158,15 @@ object StatefulOps {
     * aggregate cannot do — StreamingSpec proves equality with a single
     * global fold over the concatenated input.
     */
-  class EwmaProcessor(alpha: Double)
+  class EwmaProcessor(alpha: Double, stateTtlMs: Long = 0L)
       extends StatefulProcessor[String, Point, EwmaPoint] {
     @transient private var ewma: ValueState[Double] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       ewma = getHandle.getValueState[Double](
-        "ewma", Encoders.scalaDouble, TTLConfig.NONE)
+        "ewma", Encoders.scalaDouble,
+        if (stateTtlMs > 0) TTLConfig(Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[Point],
                                  timerValues: TimerValues): Iterator[EwmaPoint] = {
@@ -148,13 +184,17 @@ object StatefulOps {
     }
   }
 
-  /** Streaming EWMA per key via transformWithState (update mode). */
+  /** Streaming EWMA per key via transformWithState (update mode).
+    * `stateTtlMs > 0`: a key idle past the TTL loses its smoothed value
+    * and the fold RESEEDS at the next observation (e = x) — don't smooth
+    * across an idle horizon. */
   def streamingEwma(spark: SparkSession, ds: Dataset[Point],
-                    alpha: Double): Dataset[EwmaPoint] = {
+                    alpha: Double, stateTtlMs: Long = 0L): Dataset[EwmaPoint] = {
     import spark.implicits._
     ds.groupByKey(_.key)
-      .transformWithState(new EwmaProcessor(alpha),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new EwmaProcessor(alpha, stateTtlMs),
+        if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   case class Scored(key: String, id: Long, score: Double)
@@ -170,13 +210,15 @@ object StatefulOps {
     */
   case class Board(ids: Array[Long], scores: Array[Double])
 
-  class TopKProcessor(k: Int)
+  class TopKProcessor(k: Int, stateTtlMs: Long = 0L)
       extends StatefulProcessor[String, Scored, Ranked] {
     @transient private var board: ValueState[Board] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       board = getHandle.getValueState[Board](
-        "board", Encoders.product[Board], TTLConfig.NONE)
+        "board", Encoders.product[Board],
+        if (stateTtlMs > 0) TTLConfig(Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[Scored],
                                  timerValues: TimerValues): Iterator[Ranked] = {
@@ -200,13 +242,16 @@ object StatefulOps {
     }
   }
 
-  /** Streaming per-key top-k via transformWithState (update mode). */
+  /** Streaming per-key top-k via transformWithState (update mode).
+    * `stateTtlMs > 0`: an idle key's leaderboard expires wholesale — the
+    * board tracks the recently-active key set, not all time. */
   def streamingTopK(spark: SparkSession, ds: Dataset[Scored],
-                    k: Int): Dataset[Ranked] = {
+                    k: Int, stateTtlMs: Long = 0L): Dataset[Ranked] = {
     import spark.implicits._
     ds.groupByKey(_.key)
-      .transformWithState(new TopKProcessor(k),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new TopKProcessor(k, stateTtlMs),
+        if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   case class AsofEvent(user: Long, ts: Long, isClick: Boolean, id: Long,

@@ -597,6 +597,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stateful TTL: idle ewma state expires; the fold reseeds at x") {
+    withRocksDb {
+      val TTL = 1500L
+      val in = MemoryStream[StatefulOps.Point]
+      sinkId += 1
+      val name = s"sink_$sinkId"
+      val cp = Files.createTempDirectory("graft-cp").toString
+      val q = StatefulOps.streamingEwma(spark, in.toDS, alpha = 0.5,
+          stateTtlMs = TTL)
+        .toDF.writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", cp).start()
+      try {
+        in.addData(StatefulOps.Point("a", 1, 10.0),
+          StatefulOps.Point("a", 2, 20.0))
+        assert(pollUntil(60000)(spark.table(name).count() >= 2),
+          "batch 1 output never arrived")
+        Thread.sleep(TTL + 2000)
+        // state expired: the next point RESEEDS (ewma = x), instead of
+        // folding 0.5*40 + 0.5*15 = 27.5 against the stale smoothed value
+        in.addData(StatefulOps.Point("a", 3, 40.0))
+        assert(pollUntil(60000)(spark.table(name).count() >= 3),
+          "batch 2 output never arrived")
+        val bySeq = spark.table(name).as[StatefulOps.EwmaPoint].collect()
+          .map(p => p.seq -> p.ewma).toMap
+        assert(bySeq(1L) == 10.0 && bySeq(2L) == 15.0 && bySeq(3L) == 40.0,
+          s"got $bySeq")
+      } finally q.stop()
+    }
+  }
+
+  test("s_stateful TTL: idle fMGWS count evicts; the count restarts at 1") {
+    val TTL = 1500L
+    val in = MemoryStream[String]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val cp = Files.createTempDirectory("graft-cp").toString
+    // continuous trigger so the key's timer fires during the idle gap
+    val q = StatefulOps.runningCounts(spark, in.toDS, stateTtlMs = TTL)
+      .toDF.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      in.addData("a", "a")
+      assert(pollUntil(60000)(spark.table(name).count() >= 1),
+        "batch 1 output never arrived")
+      Thread.sleep(TTL + 2000)
+      in.addData("a")
+      assert(pollUntil(60000)(spark.table(name)
+          .as[StatefulOps.KeyCount].collect().exists(_.count == 1L)),
+        "count did not restart after eviction: " +
+          spark.table(name).collect().mkString(","))
+    } finally q.stop()
+  }
+
   test("s_lsh TTL: idle band buckets are evicted; fresh docs still pair") {
     val TTL = 1500L
     val textA = "alpha beta gamma delta epsilon zeta"
