@@ -44,6 +44,12 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * strings) with Spark's own comparison semantics. NULL value / lo / hi
   * never match (the SQL BETWEEN convention); intervals with lo > hi are
   * empty and never match.
+  *
+  * STREAM-STATIC: a streaming fact side against a static interval table
+  * works as-is (spec-proven) — the exec is stateless per fact row, so
+  * each micro-batch re-plans it like any stream-static enrichment; the
+  * interval side re-broadcasts per batch, the usual stream-static
+  * contract.
   */
 case class RangeLookupJoin(
     value: Expression,

@@ -149,6 +149,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("5-8"), e.getMessage)
   }
 
+  test("stream-static: streaming facts stab a static interval table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val iDf = Seq((100L, 0L, 10L), (200L, 5L, 15L), (300L, 50L, 60L))
+      .toDF("iid", "lo", "hi")
+    val q = RangeJoinOp.rangeLookup(
+        in.toDF.toDF("fid", "v"), iDf, "v", "lo", "hi")
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L), (2L, 55L), (3L, 99L))
+      q.processAllAvailable()
+      val got = spark.table("range_stream").select("fid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 7 ∈ [0,10] and [5,15]; 55 ∈ [50,60]; 99 matches nothing
+      assert(got == Set((1L, 100L), (1L, 200L), (2L, 300L)), s"got $got")
+      // a second batch re-plans incrementally and still stabs correctly
+      in.addData((4L, 12L))
+      q.processAllAvailable()
+      val got2 = spark.table("range_stream").select("fid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == got + ((4L, 200L)), s"got $got2")
+    } finally q.stop()
+  }
+
   test("fails fast on bad arguments") {
     val fDf = Seq((1L, 5L)).toDF("fid", "v")
     val iDf = Seq((9L, 1L, 8L)).toDF("iid", "lo", "hi")
