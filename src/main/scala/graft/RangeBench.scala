@@ -21,10 +21,10 @@ object RangeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def facts = Tables.load(spark, sfDir, "customer").select(col("c_custkey"),
-      (col("c_acctbal") * 100).cast("long").as("v"))
+      floor(col("c_acctbal") * 100 + 0.5).as("v"))
     def bands = Tables.load(spark, sfDir, "supplier")
       .select(col("s_suppkey").as("band_id"),
-        (col("s_acctbal") * 100).cast("long").as("lo"))
+        floor(col("s_acctbal") * 100 + 0.5).as("lo"))
       .withColumn("hi", col("lo") + 50000L)
     def declarative = facts.join(bands,
       col("v") >= col("lo") && col("v") <= col("hi"))
@@ -35,11 +35,11 @@ object RangeBench {
     def bigBands = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey").as("band_id"),
-        (col("o_totalprice") * 100).cast("long").as("lo"))
+        floor(col("o_totalprice") * 100 + 0.5).as("lo"))
       .withColumn("hi", col("lo") + 50000L)
     def bigFacts = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"),
-        ((col("c_acctbal") + 1000) * 100 * 25).cast("long").as("v"))
+        floor((col("c_acctbal") + 1000) * 100 * 25 + 0.5).as("v"))
     def bigDeclarative = bigFacts.join(bigBands,
       col("v") >= col("lo") && col("v") <= col("hi"))
     def bigCustom = graft.plans.RangeJoinOp.rangeLookup(

@@ -117,13 +117,17 @@ object JoinQueries extends QueryModule {
     // shape Spark plans as BroadcastNestedLoopJoin (O(facts × intervals)
     // compares). The stab exec binary-searches sorted interval starts and
     // walks the bounded overlap region: O(log m + depth) per fact row.
-    // Bounds are exact integer cents so the oracle compare is bit-exact.
+    // Bounds are integer cents via the portable round FLOOR(x*100 + 0.5)
+    // — acctbal is DOUBLE in the fixture, so x*100 is often not an exact
+    // integer and a bare cast diverges cross-engine (Spark truncates,
+    // DuckDB rounds half-even); floor(+0.5) is the identical IEEE op
+    // sequence on both sides.
     "q_range_lookup" -> ((s, dir) => {
       val facts = t(s, dir, "customer").select(col("c_custkey"),
-        (col("c_acctbal") * 100).cast("long").as("v"))
+        floor(col("c_acctbal") * 100 + 0.5).as("v"))
       val bands = t(s, dir, "supplier")
         .select(col("s_suppkey").as("band_id"),
-          (col("s_acctbal") * 100).cast("long").as("lo"))
+          floor(col("s_acctbal") * 100 + 0.5).as("lo"))
         .withColumn("hi", col("lo") + 50000L)
       graft.plans.RangeJoinOp.rangeLookup(facts, bands, "v", "lo", "hi")
         .groupBy("c_custkey")
@@ -387,16 +391,17 @@ object JoinQueries extends QueryModule {
         |GROUP BY e1.user_id, e1.event_id
         |ORDER BY e1.user_id, e1.event_id""".stripMargin,
 
-    // integer-cents bounds keep the BETWEEN boundaries bit-exact across
-    // engines (decimal*100 → BIGINT on both sides)
+    // integer-cents bounds via the portable round FLOOR(x*100 + 0.5):
+    // identical IEEE ops both engines (a bare BIGINT cast truncates in
+    // Spark but rounds in DuckDB — off-by-a-cent boundary drift)
     "q_range_lookup" ->
       """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_bands,
         |       MIN(s_suppkey) AS first_band
         |FROM customer c JOIN supplier s
-        |  ON CAST(c.c_acctbal * 100 AS BIGINT) >=
-        |     CAST(s.s_acctbal * 100 AS BIGINT)
-        | AND CAST(c.c_acctbal * 100 AS BIGINT) <=
-        |     CAST(s.s_acctbal * 100 AS BIGINT) + 50000
+        |  ON CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) >=
+        |     CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT)
+        | AND CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) <=
+        |     CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) + 50000
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_join_asof" ->

@@ -15,11 +15,11 @@ class RangeJoinSpec extends SparkSpec {
 
   private def facts: DataFrame =
     table("customer").select(col("c_custkey"),
-      (col("c_acctbal") * 100).cast("long").as("v"))
+      floor(col("c_acctbal") * 100 + 0.5).as("v"))
 
   private def bands: DataFrame =
     table("supplier").select(col("s_suppkey").as("band_id"),
-      (col("s_acctbal") * 100).cast("long").as("lo"))
+      floor(col("s_acctbal") * 100 + 0.5).as("lo"))
       .withColumn("hi", col("lo") + 50000L)
 
   private def declarative(outer: Boolean): DataFrame =
