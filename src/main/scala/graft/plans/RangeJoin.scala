@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode, LazilyGeneratedOrdering}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** Keyless interval-stab join — the THIRD full custom-operator stack
@@ -119,7 +120,7 @@ case class RangeLookupJoinExec(
     hiInclusive: Boolean,
     leftOuter: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -198,6 +199,79 @@ case class RangeLookupJoinExec(
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (fact-side pipeline; multi-match inner loop,
+  // cf. BroadcastHashJoin with non-unique keys) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // a fact row can emit SEVERAL rows that share generated buffers — the
+  // non-unique-key BroadcastHashJoin rule: downstream must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val bcastRef = ctx.addReferenceObj("rangeBroadcast",
+      right.executeBroadcast[Array[InternalRow]]())
+    val thisPlan = ctx.addReferenceObj("rangePlan", this)
+    val indexVar = ctx.addMutableState(classOf[RangeStabIndex].getName,
+      "rangeIndex",
+      v => s"$v = $thisPlan.buildIndex((InternalRow[]) $bcastRef.value());",
+      forceInline = true)
+    val hitsVar = ctx.addMutableState("java.util.ArrayList<InternalRow>",
+      "rangeHits", v => s"$v = new java.util.ArrayList<InternalRow>();",
+      forceInline = true)
+
+    // the probe value as a 1-col UnsafeRow, from the exploded fact vars
+    ctx.currentVars = input
+    val vEv = GenerateUnsafeProjection.createCode(ctx,
+      Seq(BindReferences.bindReference(value, left.output)))
+    val matched = ctx.freshName("rangeMatched")
+    val n = ctx.freshName("rangeN")
+    val i = ctx.freshName("rangeI")
+
+    // right-side columns read from the matched row; under left-outer the
+    // loop's single no-match iteration passes matched == null → nulls
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val rightVars = right.output.zipWithIndex.map { case (a, idx) =>
+      val ev = BoundReference(idx, a.dataType, nullable = true).genCode(ctx)
+      if (!leftOuter) ev
+      else {
+        val isNull = ctx.freshName("rangeIsNull")
+        val v = ctx.freshName("rangeValue")
+        val javaType = CodeGenerator.javaType(a.dataType)
+        ExprCode(
+          code"""
+            |boolean $isNull = true;
+            |$javaType $v = ${CodeGenerator.defaultValue(a.dataType)};
+            |if ($matched != null) {
+            |  ${ev.code}
+            |  $isNull = ${ev.isNull};
+            |  $v = ${ev.value};
+            |}""".stripMargin,
+          JavaCode.isNullVariable(isNull),
+          JavaCode.variable(v, a.dataType))
+      }
+    }
+
+    val bound = if (leftOuter) s"java.lang.Math.max($n, 1)" else n
+    s"""
+       |${vEv.code}
+       |$hitsVar.clear();
+       |int $n = ${vEv.value}.isNullAt(0)
+       |  ? 0 : $indexVar.stab(${vEv.value}, $hitsVar);
+       |for (int $i = 0; $i < $bound; $i++) {
+       |  InternalRow $matched = $i < $n
+       |    ? (InternalRow) $hitsVar.get($i) : null;
+       |  ${consume(ctx, input ++ rightVars)}
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -62,6 +62,10 @@ class RangeJoinSpec extends SparkSpec {
     // fact side must not exchange: the only exchange is the broadcast
     assert(!cPlan.contains("Exchange hashpartitioning"),
       s"fact side shuffled:\n$cPlan")
+    // and the probe fuses into the fact-side codegen span (a *(n) prefix)
+    assert(cPlan.linesIterator.exists(l =>
+      l.contains("RangeLookupJoin") && l.contains("*(")),
+      s"stab probe not codegen-fused:\n$cPlan")
   }
 
   test("property: random intervals (overlap/nulls/inverted/dups) match a model") {
