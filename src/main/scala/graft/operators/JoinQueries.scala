@@ -135,6 +135,26 @@ object JoinQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // The SAME relation on the PARTITIONED scale path: grid-bucket the
+    // cents domain (width = the band width, so each interval replicates
+    // to ≤ 2 buckets), then EQUI-join on the bucket + range residual — a
+    // plain shuffled hash join with no broadcast ceiling and no nested
+    // loop. The plan for an interval side too large to broadcast;
+    // oracle-gated against the identical DuckDB relation.
+    "q_range_bucket" -> ((s, dir) => {
+      val facts = t(s, dir, "customer").select(col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).as("v"))
+      val bands = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("band_id"),
+          floor(col("s_acctbal") * 100 + 0.5).as("lo"))
+        .withColumn("hi", col("lo") + 50000L)
+      graft.plans.RangeJoinOp.rangeLookupPartitioned(facts, bands,
+          "v", "lo", "hi", bucketWidth = 50000L)
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_bands"), min("band_id").as("first_band"))
+        .orderBy("c_custkey")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // For each purchase, the latest click by the same user at ts <= purchase
       // ts AND within a 7-day horizon. Equi-anchor on user_id; window rank
@@ -395,6 +415,18 @@ object JoinQueries extends QueryModule {
     // identical IEEE ops both engines (a bare BIGINT cast truncates in
     // Spark but rounds in DuckDB — off-by-a-cent boundary drift)
     "q_range_lookup" ->
+      """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_bands,
+        |       MIN(s_suppkey) AS first_band
+        |FROM customer c JOIN supplier s
+        |  ON CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) >=
+        |     CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT)
+        | AND CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) <=
+        |     CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) + 50000
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    // identical relation to q_range_lookup — the oracle doesn't care
+    // which physical plan produced it
+    "q_range_bucket" ->
       """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_bands,
         |       MIN(s_suppkey) AS first_band
         |FROM customer c JOIN supplier s

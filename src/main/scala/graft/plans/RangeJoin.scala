@@ -308,6 +308,57 @@ object RangeJoinOp {
     * compares raw values), and overlapping attribute ids between sides
     * (alias a self-derived interval table).
     */
+  /** Scale path for an interval side TOO LARGE to broadcast: grid-bucket
+    * the value domain with a caller-supplied width. Each interval
+    * replicates to every bucket it overlaps (replication factor ≈ mean
+    * interval width / bucketWidth + 1 — pick the width near the typical
+    * interval size); each fact lands in exactly ONE bucket, so no output
+    * dedup is needed. The join is then EQUI on the bucket + range
+    * residual — a plain shuffled hash join Catalyst plans and AQE tunes,
+    * with no broadcast-size ceiling and no nested loop. This is the
+    * interval analog of the grid-salted self-joins used by the dedup
+    * family; [[rangeLookup]]'s broadcast stab exec remains the fast path
+    * for dimension-sized interval tables.
+    *
+    * Long-typed value/lo/hi only (the grid needs exact integer floor
+    * division; scale decimals to integer units first, as q_range_lookup
+    * does with cents). Bounds inclusive (SQL BETWEEN).
+    */
+  def rangeLookupPartitioned(
+      facts: DataFrame, intervals: DataFrame,
+      valueCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"rangeLookupPartitioned joinType must be inner or left, got $joinType")
+    import org.apache.spark.sql.functions.{col, explode, expr, sequence}
+    def checkLong(df: DataFrame, n: String): Unit = {
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${df.columns.mkString(", ")}]"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"rangeLookupPartitioned needs BIGINT columns; $n is ${f.dataType}")
+    }
+    checkLong(facts, valueCol); checkLong(intervals, loCol)
+    checkLong(intervals, hiCol)
+    // exact FLOOR division on longs (correct for negatives, no double
+    // round-trip): (x - pmod(x, w)) is the nearest multiple of w at or
+    // below x and pmod is nonnegative, so integer `div` is exact
+    def bucketExpr(n: String) =
+      expr(s"($n - pmod($n, $bucketWidth)) div $bucketWidth")
+    val f = facts.withColumn("__graft_bucket", bucketExpr(valueCol))
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__graft_ibucket",
+        explode(sequence(bucketExpr(loCol), bucketExpr(hiCol))))
+    f.join(iv,
+        col("__graft_bucket") === col("__graft_ibucket")
+          && col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol),
+        joinType)
+      .drop("__graft_bucket", "__graft_ibucket")
+  }
+
   def rangeLookup(
       facts: DataFrame, intervals: DataFrame,
       valueCol: String, loCol: String, hiCol: String,

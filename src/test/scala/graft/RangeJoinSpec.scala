@@ -153,6 +153,49 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("5-8"), e.getMessage)
   }
 
+  test("partitioned grid path equals the stab exec, and plans a hash join") {
+    for (outer <- Seq(false, true)) {
+      val part = RangeJoinOp.rangeLookupPartitioned(facts, bands,
+          "v", "lo", "hi", bucketWidth = 50000L,
+          joinType = if (outer) "left" else "inner")
+        .select(col("c_custkey"), col("band_id"))
+        .orderBy(col("c_custkey"), col("band_id"))
+      val a = custom(outer).collect().map(_.toSeq)
+      val b = part.collect().map(_.toSeq)
+      assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+        s"outer=$outer: ${a.length} vs ${b.length}")
+    }
+    // the point of the grid path: an EQUI join (hash/broadcast-able by
+    // Catalyst, AQE-tunable), never a nested loop — at any interval scale
+    val p = RangeJoinOp.rangeLookupPartitioned(facts, bands,
+      "v", "lo", "hi", bucketWidth = 50000L)
+    p.collect()
+    val plan = p.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"grid path fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+    // odd grid width (buckets misaligned with band edges) — same rows
+    val odd = RangeJoinOp.rangeLookupPartitioned(facts, bands,
+        "v", "lo", "hi", bucketWidth = 7777L)
+      .select(col("c_custkey"), col("band_id"))
+      .orderBy(col("c_custkey"), col("band_id")).collect().map(_.toSeq)
+    assert(odd.toSeq == custom(false).collect().map(_.toSeq).toSeq)
+  }
+
+  test("partitioned grid path: negative values bucket correctly (floor div)") {
+    // negative domain straddling zero — a truncating division would put
+    // -1 and 1 in the same bucket and lose the [-10,-2] match
+    val fDf = Seq((1L, -5L), (2L, 3L), (3L, -100L)).toDF("fid", "v")
+    val iDf = Seq((10L, -10L, -2L), (20L, 0L, 9L), (30L, -200L, -50L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoinOp.rangeLookupPartitioned(fDf, iDf,
+        "v", "lo", "hi", bucketWidth = 8L)
+      .select("fid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), s"got $got")
+  }
+
   test("stream-static: streaming facts stab a static interval table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
