@@ -6,9 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional trailing args: restrict the dump to the named queries (dev
-    // loop; the driver passes none and gets the full registry)
+    // loop; the driver passes none and gets the full registry). A name
+    // not in the registry is a hard error — a typo would otherwise dump
+    // nothing and exit 0, looking like a clean run against stale output.
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -243,24 +243,17 @@ object AnalyticsQueries extends QueryModule {
     // q_editdist_pairs: the blocking key is the scale lever, the verify
     // is per-pair O(len²)-ish and embarrassingly parallel. Nouns are a
     // bounded Zipfian vocabulary, so the self-join is grid-salted exactly
-    // like q_ngram_jaccard: each row takes a hash-derived grid coordinate
-    // and replicates across the other axis, so pair (x, y) meets in
-    // EXACTLY cell (cell(x), cell(y)) — identical result set, while a hot
-    // noun bucket's |B|² verify work spreads over S² shuffle partitions.
+    // like q_ngram_jaccard — via the shared GridSalt helper (identical
+    // result set; a hot noun bucket's |B|² verify work spreads over S²
+    // shuffle cells).
     "q_fuzzy_pairs" -> ((s, dir) => {
       graft.functions.NativeJaro.register(s)
       val names = t(s, dir, "part").select("p_name").distinct()
         .withColumn("noun", element_at(split(col("p_name"), " "), -1))
-      val S = 4
-      val a = names.withColumn("ga", pmod(xxhash64(col("p_name")), lit(S)))
-        .withColumn("gb", explode(sequence(lit(0), lit(S - 1))))
-        .alias("a")
-      val b = names.withColumn("gb", pmod(xxhash64(col("p_name")), lit(S)))
-        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
-        .alias("b")
+      val (a, b) = graft.functions.GridSalt.sides(names, col("p_name"))
       a.join(b,
           col("a.noun") === col("b.noun") &&
-            col("a.ga") === col("b.ga") && col("a.gb") === col("b.gb") &&
+            graft.functions.GridSalt.cellMatch &&
             col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
           pround4(expr("jaro_winkler(a.p_name, b.p_name)")).as("jw"))

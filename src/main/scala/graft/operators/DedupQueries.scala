@@ -76,21 +76,10 @@ object DedupQueries extends QueryModule {
         .transform(graft.functions.Materialize(_))
       // Grid-salted self-join (1-bucket theta-join partitioning): the
       // blocking key (lang, first token) is Zipfian — at 100× one hot
-      // bucket lands on one reducer and goes quadratic. Give each row a
-      // hash-derived grid coordinate and replicate it across the other
-      // axis: pair (x, y) meets in EXACTLY cell (cell(x), cell(y)), so
-      // results are identical to the unsalted join while a hot bucket's
-      // |B|² work spreads over S² shuffle partitions. S is fixed here;
-      // production sizes it from blocking-key stats (AQE's skew-join
-      // split is the runtime safety net for SMJ, but explicit salting
-      // also bounds the build side of a shuffled-hash join).
-      val S = 4
-      val a = g.withColumn("ga", pmod(xxhash64(col("doc_id")), lit(S)))
-        .withColumn("gb", explode(sequence(lit(0), lit(S - 1))))
-        .alias("a")
-      val b = g.withColumn("gb", pmod(xxhash64(col("doc_id")), lit(S)))
-        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
-        .alias("b")
+      // bucket lands on one reducer and goes quadratic. GridSalt spreads
+      // a hot bucket's |B|² work over S² shuffle cells with an identical
+      // result set (the meets-in-exactly-one-cell invariant lives there).
+      val (a, b) = graft.functions.GridSalt.sides(g, col("doc_id"))
       // native codegen set-jaccard: one hash-set pass per candidate pair
       // instead of two interpreted array_intersects. Inputs are distinct
       // arrays, so the value is the same |A∩B|/(|A|+|B|-|A∩B|) integer
@@ -99,7 +88,7 @@ object DedupQueries extends QueryModule {
       val jac = call_function(graft.functions.NativeJaccard.name,
         col("a.grams"), col("b.grams"))
       a.join(b, col("a.lang") === col("b.lang") && col("a.ft") === col("b.ft")
-          && col("a.ga") === col("b.ga") && col("a.gb") === col("b.gb")
+          && graft.functions.GridSalt.cellMatch
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           jac.as("jac_raw"))

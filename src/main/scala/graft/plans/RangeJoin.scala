@@ -295,19 +295,6 @@ object RangeJoinOp {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeLookupStrategy
 
-  /** Interval-stab join: for each `facts` row, every `intervals` row whose
-    * [lo, hi] contains the fact's `valueCol` (bounds inclusive by default
-    * — SQL BETWEEN). joinType "inner" drops unmatched facts; "left" keeps
-    * them with a null interval side.
-    *
-    * The intervals side broadcasts whole (it is dimension-sized by the
-    * operator's nature); see [[RangeLookupJoin]] for the complexity story
-    * vs the BroadcastNestedLoopJoin Spark would otherwise plan.
-    *
-    * Fails fast on: mismatched value/lo/hi dataTypes (ordering-based stab
-    * compares raw values), and overlapping attribute ids between sides
-    * (alias a self-derived interval table).
-    */
   /** Scale path for an interval side TOO LARGE to broadcast: grid-bucket
     * the value domain with a caller-supplied width. Each interval
     * replicates to every bucket it overlaps (replication factor ≈ mean
@@ -323,16 +310,25 @@ object RangeJoinOp {
     * Long-typed value/lo/hi only (the grid needs exact integer floor
     * division; scale decimals to integer units first, as q_range_lookup
     * does with cents). Bounds inclusive (SQL BETWEEN).
+    *
+    * `maxReplication` guards the replication blow-up this path is prone
+    * to: an interval spanning more than that many buckets (a catch-all
+    * sentinel row, or a bucketWidth far below the interval scale) raises
+    * a runtime error NAMING the offending interval instead of silently
+    * materializing millions of replicas (or overflowing sequence()'s
+    * array limit). Raise the width or pre-split such intervals.
     */
   def rangeLookupPartitioned(
       facts: DataFrame, intervals: DataFrame,
       valueCol: String, loCol: String, hiCol: String,
       bucketWidth: Long,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      maxReplication: Long = 10000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxReplication > 0, "maxReplication must be positive")
     require(joinType == "inner" || joinType == "left",
       s"rangeLookupPartitioned joinType must be inner or left, got $joinType")
-    import org.apache.spark.sql.functions.{col, explode, expr, sequence}
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, raise_error, sequence, when, concat}
     def checkLong(df: DataFrame, n: String): Unit = {
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
@@ -342,16 +338,35 @@ object RangeJoinOp {
     }
     checkLong(facts, valueCol); checkLong(intervals, loCol)
     checkLong(intervals, hiCol)
+    // both frames join with unqualified column references below — shared
+    // names would bind ambiguously (the same reason rangeLookup rejects
+    // overlapping attribute ids)
+    val shared = facts.columns.map(_.toLowerCase)
+      .intersect(intervals.columns.map(_.toLowerCase))
+    require(shared.isEmpty,
+      s"fact and interval sides share column names ${shared.mkString(", ")}" +
+        " — alias the interval side's columns")
     // exact FLOOR division on longs (correct for negatives, no double
     // round-trip): (x - pmod(x, w)) is the nearest multiple of w at or
-    // below x and pmod is nonnegative, so integer `div` is exact
-    def bucketExpr(n: String) =
-      expr(s"($n - pmod($n, $bucketWidth)) div $bucketWidth")
+    // below x and pmod is nonnegative, so the integer `div` is exact.
+    // Names are backquoted so any legal column name survives expr().
+    def bucketExpr(n: String) = {
+      val q = s"`${n.replace("`", "``")}`"
+      expr(s"($q - pmod($q, $bucketWidth)) div $bucketWidth")
+    }
     val f = facts.withColumn("__graft_bucket", bucketExpr(valueCol))
+    val span = bucketExpr(hiCol) - bucketExpr(loCol) + lit(1L)
     val iv = intervals
       .where(col(loCol) <= col(hiCol))
       .withColumn("__graft_ibucket",
-        explode(sequence(bucketExpr(loCol), bucketExpr(hiCol))))
+        explode(when(span <= maxReplication,
+            sequence(bucketExpr(loCol), bucketExpr(hiCol)))
+          .otherwise(raise_error(concat(
+            lit(s"rangeLookupPartitioned: interval ["), col(loCol),
+            lit(", "), col(hiCol),
+            lit(s"] spans more than $maxReplication buckets at width " +
+              s"$bucketWidth — raise bucketWidth/maxReplication or " +
+              "pre-split the interval"))))))
     f.join(iv,
         col("__graft_bucket") === col("__graft_ibucket")
           && col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol),
@@ -359,6 +374,19 @@ object RangeJoinOp {
       .drop("__graft_bucket", "__graft_ibucket")
   }
 
+  /** Interval-stab join: for each `facts` row, every `intervals` row whose
+    * [lo, hi] contains the fact's `valueCol` (bounds inclusive by default
+    * — SQL BETWEEN). joinType "inner" drops unmatched facts; "left" keeps
+    * them with a null interval side.
+    *
+    * The intervals side broadcasts whole (it is dimension-sized by the
+    * operator's nature); see [[RangeLookupJoin]] for the complexity story
+    * vs the BroadcastNestedLoopJoin Spark would otherwise plan.
+    *
+    * Fails fast on: mismatched value/lo/hi dataTypes (ordering-based stab
+    * compares raw values), and overlapping attribute ids between sides
+    * (alias a self-derived interval table).
+    */
   def rangeLookup(
       facts: DataFrame, intervals: DataFrame,
       valueCol: String, loCol: String, hiCol: String,

@@ -98,6 +98,22 @@ class FunctionsLibSpec extends SparkSpec {
     assert(kept == Seq(1L, 7L, 10L))
   }
 
+  // MUST run before the reliable-checkpoint test below: SparkContext has
+  // no API to UNSET a checkpoint dir, so once that test configures one on
+  // the JVM-shared session it stays configured — running this first is
+  // what keeps the fail-fast contract actually exercised in a full-suite
+  // run (assume() makes any ordering violation visible, not vacuous).
+  test("DedupClusters: reliable mode without a checkpoint dir fails fast") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "a checkpoint dir is already configured on the shared session — " +
+        "this contract needs a fresh session to be testable")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      DedupClusters.connectedComponents(pairs, reliable = true).collect()
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+  }
+
   test("DedupClusters: reliable-checkpoint mode reaches the same fixpoint") {
     // the fault-tolerant 100 TB mode: per-round materialization goes to a
     // durable checkpoint dir instead of executor-pinned blocks — identical
@@ -122,16 +138,6 @@ class FunctionsLibSpec extends SparkSpec {
         assert(viaConf == local)
       } finally spark.conf.unset(graft.functions.Materialize.confKey)
     } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
-  }
-
-  test("DedupClusters: reliable mode without a checkpoint dir fails fast") {
-    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val e = intercept[IllegalArgumentException] {
-        DedupClusters.connectedComponents(pairs, reliable = true).collect()
-      }
-      assert(e.getMessage.contains("setCheckpointDir"))
-    }
   }
 
   test("DedupClusters: end-to-end with MinHash pairs on planted dups") {

@@ -196,6 +196,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), s"got $got")
   }
 
+  test("partitioned grid path: catch-all interval fails fast, named") {
+    val fDf = Seq((1L, 5L)).toDF("fid", "v")
+    // a sentinel "everything" row would otherwise replicate to ~2e14
+    // buckets (or overflow sequence's array limit) — the guard must name
+    // the offending interval instead
+    val iDf = Seq((10L, 0L, Long.MaxValue / 2)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoinOp.rangeLookupPartitioned(fDf, iDf, "v", "lo", "hi",
+        bucketWidth = 8L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("spans more than")),
+      s"guard message missing: ${msgs(e)}")
+    // shared column names rejected (ambiguous unqualified references)
+    val shared = Seq((1L, 2L, 3L)).toDF("v", "lo", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoinOp.rangeLookupPartitioned(fDf.withColumnRenamed("fid", "lo"),
+        shared, "v", "lo", "hi", bucketWidth = 8L)
+    }
+    assert(e2.getMessage.contains("alias"))
+  }
+
   test("stream-static: streaming facts stab a static interval table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

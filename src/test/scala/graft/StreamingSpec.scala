@@ -670,9 +670,16 @@ class StreamingSpec extends SparkSpec {
       assert(pollUntil(60000)(
         q.recentProgress.map(_.numInputRows).sum >= 1),
         "doc 1 was never consumed")
-      // idle past the TTL — the continuous trigger fires the timers and
-      // evicts doc 1's buckets
-      Thread.sleep(TTL + 2000)
+      // idle past the TTL — fMGWS eviction happens when a TIMER-FIRING
+      // batch runs, so don't just sleep: wait until an EMPTY batch has
+      // completed after the TTL deadline (the continuous trigger runs
+      // them because a timeout is registered). Injecting doc 3 before
+      // that batch would race the eviction and pair 3 with stale 1.
+      Thread.sleep(TTL + 500)
+      val batchesBefore = q.recentProgress.map(_.batchId).maxOption.getOrElse(-1L)
+      assert(pollUntil(60000)(q.recentProgress.exists(p =>
+          p.batchId > batchesBefore && p.numInputRows == 0)),
+        "no timer-firing empty batch ran after the TTL deadline")
       // identical docs 3 and 4: 3 must NOT pair with the evicted 1;
       // 3↔4 pairs immediately, proving the bucket works post-eviction
       in.addData((3L, textA))
