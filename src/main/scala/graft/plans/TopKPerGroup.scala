@@ -1,15 +1,20 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual, NamedExpression, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.expressions.AttributeSet
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Grouped top-k as a FIRST-CLASS operator — the full custom-operator
   * stack (logical node → optimizer rewrite → planner strategy → physical
@@ -49,15 +54,25 @@ import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode}
   * MEMORY MODEL (the operator's cardinality assumption): each task holds
   * one k-row heap per distinct group key seen in its partition — O(groups
   * × k) rows, i.e. the same envelope as the operator's own OUTPUT per
-  * partition, with no spill path (the native Window instead external-sorts
-  * with spilling). That is the right trade whenever k·|groups| is
+  * partition. That is the right trade whenever k·|groups| is
   * result-set-sized — the top-k-per-group queries this rewrite targets.
   * For a pathological key (row_number over a near-unique partition key,
-  * |groups| ≈ |rows|) the heap map approaches input size: keep the native
-  * plan there (don't install the rewrite, or uninstall around the query).
-  * The production hardening lever, if that shape ever matters, is the
-  * HashAggregateExec precedent: an UnsafeFixedWidthAggregationMap-style
-  * spill-to-sort fallback.
+  * |groups| ≈ |rows|) the heap map would approach input size, so the
+  * buffer carries the HashAggregateExec-style SORT FALLBACK: when the
+  * number of retained rows (k · live groups) crosses
+  * `spark.graft.topk.maxHeapRows` (default 2^20 per task), the heaps are
+  * drained into a spillable [[UnsafeExternalRowSorter]] ordered by
+  * (group keys, sort keys), every further input row goes straight to the
+  * sorter, and the result is the streaming first-k-per-group walk of the
+  * sorted (and possibly disk-spilled) run. Rows a heap already evicted
+  * are safe to drop: k better same-group rows were retained, so the
+  * evicted row can never re-enter the top k. The fallback makes the
+  * degenerate key no worse than the native Window (one external sort,
+  * spilling), while the common result-set-sized case keeps the heap's
+  * O(n log k) no-sort path. Each fallback increments the `sortFallbacks`
+  * SQLMetric, visible in the Spark UI. Because the fallback sorts by the
+  * group expressions, the rewrite only fires when every partition key is
+  * an orderable type (non-orderable keys keep the native Window plan).
   */
 case class GroupedTopK(
     groupExprs: Seq[Expression],
@@ -83,15 +98,31 @@ final class TopKHeapBuffer(
     ord: Ordering[InternalRow],
     k: Int,
     partial: Boolean,
-    outProj: UnsafeProjection) {
+    outProj: UnsafeProjection,
+    maxGroups: Int,
+    childSchema: StructType,
+    fullOrd: Ordering[InternalRow],
+    toUnsafe: UnsafeProjection,
+    fallbackMetric: SQLMetric) {
 
   private val heaps =
     new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
 
+  // Sort fallback: non-null once the live-group count crossed maxGroups.
+  // From then on every row (and everything the heaps retained) lives in
+  // this spillable sorter, ordered (group keys, sort keys).
+  private var sorter: UnsafeExternalRowSorter = null
+
   def insert(row: InternalRow): Unit = {
+    if (sorter != null) { sorter.insertRow(toUnsafe(row)); return }
     val key = keyProj(row)
     var heap = heaps.get(key)
     if (heap == null) {
+      if (heaps.size() >= maxGroups) {
+        switchToSort()
+        sorter.insertRow(toUnsafe(row))
+        return
+      }
       heap = new java.util.PriorityQueue[InternalRow](
         math.min(k, 16) + 1, ord.reverse)
       heaps.put(key.copy(), heap)
@@ -102,9 +133,39 @@ final class TopKHeapBuffer(
     }
   }
 
+  /** Degrade to the external sort: drain every heap's retained rows into a
+    * spillable sorter and clear the map. Rows the heaps already EVICTED
+    * need no resurrection — k better same-group rows are in the sorter, so
+    * an evicted row can never rank ≤ k. */
+  private def switchToSort(): Unit = {
+    if (fallbackMetric != null) fallbackMetric.add(1)
+    sorter = UnsafeExternalRowSorter.create(
+      childSchema, fullOrd, PrefixComparators.LONG,
+      new UnsafeExternalRowSorter.PrefixComputer {
+        // constant prefix: all comparisons go through fullOrd. Correct for
+        // any type mix; radix is off below so the prefix is never trusted.
+        private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+        override def computePrefix(row: InternalRow)
+            : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+          p.isNull = false; p.value = 0L; p
+        }
+      },
+      SparkEnv.get.memoryManager.pageSizeBytes,
+      /* canUseRadixSort = */ false)
+    val it = heaps.values().iterator()
+    while (it.hasNext) {
+      val hi = it.next().iterator()
+      while (hi.hasNext) sorter.insertRow(toUnsafe(hi.next()))
+    }
+    heaps.clear()
+  }
+
   /** Drains every heap in rank order; the final phase attaches rn. Emitted
     * rows go through outProj (downstream operators require UnsafeRow). */
-  def result(): Iterator[InternalRow] = {
+  def result(): Iterator[InternalRow] =
+    if (sorter != null) sortedResult() else heapResult()
+
+  private def heapResult(): Iterator[InternalRow] = {
     val it = heaps.values().iterator()
     new Iterator[InternalRow] {
       private var current: Iterator[InternalRow] = Iterator.empty
@@ -124,6 +185,39 @@ final class TopKHeapBuffer(
         current.hasNext
       }
       override def next(): InternalRow = { hasNext; current.next() }
+    }
+  }
+
+  /** Streaming first-k-per-group over the (group, order)-sorted run —
+    * O(1) state: the current group key and its emit count. */
+  private def sortedResult(): Iterator[InternalRow] = {
+    val sorted = sorter.sort()
+    new Iterator[InternalRow] {
+      private var curKey: UnsafeRow = null
+      private var emitted = 0
+      private var out: InternalRow = null
+      private def advance(): Unit = {
+        out = null
+        while (out == null && sorted.hasNext) {
+          val row = sorted.next()
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy(); emitted = 0
+          }
+          if (emitted < k) {
+            emitted += 1
+            out =
+              if (partial) outProj(row)
+              else outProj(new JoinedRow(row,
+                new GenericInternalRow(Array[Any](emitted))))
+          }
+        }
+      }
+      override def hasNext: Boolean = { if (out == null) advance(); out != null }
+      override def next(): InternalRow = {
+        if (out == null) advance()
+        val r = out; out = null; r
+      }
     }
   }
 }
@@ -146,6 +240,7 @@ case class TopKPerGroupExec(
     k: Int,
     rnAttr: Attribute,
     partial: Boolean,
+    maxHeapGroups: Int,
     child: SparkPlan)
   extends UnaryExecNode
   with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
@@ -160,28 +255,53 @@ case class TopKPerGroupExec(
     else if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "partitions degraded to external sort"))
+
+  /** Sort keys for the fallback sorter: group keys first (any consistent
+    * direction — only adjacency matters), then the window's own order. */
+  private def fullSortOrders: Seq[SortOrder] =
+    groupExprs.map(SortOrder(_, Ascending)) ++ sortOrders
+
   /** Fresh per-task state; called from doExecute AND from generated code
     * (the plan node rides the codegen references array, like SortExec's
-    * createSorter). */
-  def createBuffer(): TopKHeapBuffer = new TopKHeapBuffer(
+    * createSorter). The metric is passed in rather than looked up so the
+    * lazy `metrics` map is never materialized executor-side. */
+  def createBuffer(metric: SQLMetric): TopKHeapBuffer = new TopKHeapBuffer(
     UnsafeProjection.create(groupExprs, child.output),
     new LazilyGeneratedOrdering(sortOrders, child.output),
     k, partial,
-    UnsafeProjection.create(output, output))
+    UnsafeProjection.create(output, output),
+    maxHeapGroups,
+    StructType(child.output.map(a => StructField(a.name, a.dataType, a.nullable))),
+    new LazilyGeneratedOrdering(fullSortOrders, child.output),
+    UnsafeProjection.create(child.output, child.output),
+    metric)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groups = groupExprs
     val orders = sortOrders
+    val fullOrders = fullSortOrders
     val kk = k
     val isPartial = partial
+    val maxG = maxHeapGroups
     val childOutput = child.output
+    val childSchema =
+      StructType(childOutput.map(a => StructField(a.name, a.dataType, a.nullable)))
     val outAttrs = output
+    val metric = longMetric("sortFallbacks")
     child.execute().mapPartitions { iter =>
       val buf = new TopKHeapBuffer(
         UnsafeProjection.create(groups, childOutput),
         new LazilyGeneratedOrdering(orders, childOutput),
         kk, isPartial,
-        UnsafeProjection.create(outAttrs, outAttrs))
+        UnsafeProjection.create(outAttrs, outAttrs),
+        maxG,
+        childSchema,
+        new LazilyGeneratedOrdering(fullOrders, childOutput),
+        UnsafeProjection.create(childOutput, childOutput),
+        metric)
       while (iter.hasNext) buf.insert(iter.next())
       buf.result()
     }
@@ -198,8 +318,9 @@ case class TopKPerGroupExec(
     val needInput = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
       "topkNeedInput", v => s"$v = true;")
     val thisPlan = ctx.addReferenceObj("topkPlan", this)
+    val metric = metricTerm(ctx, "sortFallbacks")
     bufferVar = ctx.addMutableState(classOf[TopKHeapBuffer].getName,
-      "topkBuffer", v => s"$v = $thisPlan.createBuffer();",
+      "topkBuffer", v => s"$v = $thisPlan.createBuffer($metric);",
       forceInline = true)
     val outputIter = ctx.addMutableState(
       "scala.collection.Iterator<InternalRow>", "topkOutput",
@@ -257,7 +378,11 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
           WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order, _)), _)), _, _, child, _)) =>
       limitOf(cond, a.toAttribute) match {
-        case Some(k) if k > 0 =>
+        // orderable partition keys only: the heap exec's sort fallback
+        // orders by (group keys, sort keys), so a non-orderable group type
+        // (map) keeps the native Window plan.
+        case Some(k) if k > 0 &&
+            part.forall(p => RowOrdering.isOrderable(p.dataType)) =>
           // if Spark's InferWindowGroupLimit already wrapped the child in
           // its sort-based pre-bound, strip it: the heap phases subsume it
           // (same bound, no sort) and stacking both doubles the work.
@@ -282,13 +407,23 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
   }
 }
 
-/** Plans the logical node as partial → (exchange) → final. */
+/** Plans the logical node as partial → (exchange) → final. The heap→sort
+  * fallback threshold is expressed in RETAINED ROWS per task
+  * (`spark.graft.topk.maxHeapRows`, default 2^20) and divided by k at
+  * planning time, so a large k proportionally lowers the group budget. */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  val MaxHeapRowsKey = "spark.graft.topk.maxHeapRows"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopK(g, o, k, rn, child) =>
+      val maxRows =
+        SQLConf.get.getConfString(MaxHeapRowsKey, (1 << 20).toString).toLong
+      val maxGroups = math.max(1L, maxRows / math.max(1, k))
+        .min(Int.MaxValue).toInt
       val partialExec = TopKPerGroupExec(g, o, k, rn, partial = true,
-        planLater(child))
-      TopKPerGroupExec(g, o, k, rn, partial = false, partialExec) :: Nil
+        maxGroups, planLater(child))
+      TopKPerGroupExec(g, o, k, rn, partial = false, maxGroups,
+        partialExec) :: Nil
     case _ => Nil
   }
 }

@@ -30,8 +30,9 @@ class TopKPlanSpec extends SparkSpec {
       val lines = plan.linesIterator.toSeq
       val topks = lines.filter(_.contains("TopKPerGroup "))
       assert(topks.length == 2, s"expected partial+final, got:\n$plan")
-      assert(topks.exists(_.trim.endsWith("true")) &&
-        topks.exists(_.trim.endsWith("false")), plan)
+      // arg order: ..., partial flag, maxHeapGroups — flag is mid-line now
+      assert(topks.exists(_.contains(" true, ")) &&
+        topks.exists(_.contains(" false, ")), plan)
       assert(plan.contains("Exchange hashpartitioning(o_orderpriority"), plan)
       // the Window plan AND Spark's sort-based WindowGroupLimit pre-bound
       // are both gone; the heap phases read the bare scan with NO Sort
@@ -145,6 +146,58 @@ class TopKPlanSpec extends SparkSpec {
     TopKPerGroup.install(spark)
     try assert(run.sameElements(baseline))
     finally TopKPerGroup.uninstall(spark)
+  }
+
+  test("sort fallback: near-unique key past the group budget stays row-identical") {
+    // o_orderkey is unique at sf0.001 → |groups| = |rows|, the exact shape
+    // the heap map must NOT be allowed to mirror input on. A 20-row budget
+    // (k=2 → 10 groups) forces BOTH phases through the external-sort path.
+    val w = Window.partitionBy("o_orderkey").orderBy(col("o_totalprice"))
+    def q = table("orders").withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("o_orderkey", "rn", "o_totalprice")
+      .orderBy("o_orderkey", "rn")
+    val baseline = q.collect().map(_.toSeq)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // collectable plan
+    spark.conf.set(graft.plans.TopKStrategy.MaxHeapRowsKey, "20")
+    TopKPerGroup.install(spark)
+    try {
+      val df = q
+      val got = df.collect().map(_.toSeq)
+      assert(got.sameElements(baseline))
+      val execs = df.queryExecution.executedPlan
+        .collect { case e: TopKPerGroupExec => e }
+      assert(execs.length == 2, df.queryExecution.executedPlan.toString)
+      assert(execs.forall(_.maxHeapGroups == 10))
+      val fallbacks = execs.map(_.metrics("sortFallbacks").value).sum
+      assert(fallbacks > 0, "expected at least one heap→sort degrade")
+    } finally {
+      TopKPerGroup.uninstall(spark)
+      spark.conf.unset(graft.plans.TopKStrategy.MaxHeapRowsKey)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("sort fallback attaches exact ranks (k>1, grouped key, codegen off)") {
+    // codegen-off exercises the doExecute buffer path through the sorter;
+    // ranks must be the same 1..k the heap path and Window produce.
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    def q = table("orders").withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .orderBy("o_orderpriority", "rn")
+    val baseline = q.collect().map(_.toSeq)
+    spark.conf.set(key, "false")
+    spark.conf.set(graft.plans.TopKStrategy.MaxHeapRowsKey, "3") // 1 group
+    TopKPerGroup.install(spark)
+    try assert(q.collect().map(_.toSeq).sameElements(baseline))
+    finally {
+      TopKPerGroup.uninstall(spark)
+      spark.conf.unset(graft.plans.TopKStrategy.MaxHeapRowsKey)
+      spark.conf.set(key, prev)
+    }
   }
 
   test("heap exec output survives codegen-off paths (UnsafeRow contract)") {
