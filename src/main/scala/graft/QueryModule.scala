@@ -46,19 +46,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
-    * a timestamp. Sessions set spark.sql.legacy.parquet.nanosAsLong=true so
-    * it arrives as a long, and we truncate ns→µs here (integer DIV — no
-    * double round-trip, epoch-nanos exceed double's 53-bit mantissa). DuckDB
-    * reads the same column as TIMESTAMP(µs) by truncation, so both engines
-    * see identical values.
+  /** events.ts precision is fixture-dependent, so adapt to the LOADED type:
+    *   - TIMESTAMP(NANOS) parquet: Spark 4 refuses to read it as a timestamp;
+    *     sessions set spark.sql.legacy.parquet.nanosAsLong=true so it arrives
+    *     as a LongType of epoch-nanos, and we truncate ns→µs here (integer
+    *     DIV — no double round-trip, epoch-nanos exceed double's 53-bit
+    *     mantissa). DuckDB reads the same column as TIMESTAMP(µs) by
+    *     truncation, so both engines see identical values.
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=false parquet (the current
+    *     fixtures): Spark infers TimestampNTZType. Cast to TimestampType —
+    *     every engine session pins spark.sql.session.timeZone=UTC, so the
+    *     cast is the identity on the epoch-micros payload, and downstream
+    *     consumers (as-of joins, time windows, the driver's DuckDB compare)
+    *     see the same TimestampType they were proven against.
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=true: TimestampType — pass through.
+    * Branching on the loaded dtype keeps all fixture generations working.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Register every fixture as a temp view so modules can use spark.sql. */
