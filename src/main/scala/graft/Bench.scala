@@ -1,16 +1,31 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line (the driver's contract) and ALSO
+  * writes the identical JSON to BENCH_LOCAL.json in the working directory:
+  * the driver captures a bounded stdout tail, which clipped the r03/r04
+  * artifacts mid-object ("parsed": null), so the file is the durable copy.
+  *
+  * Each query runs `spark.graft.bench.runs` times (default 3) and reports
+  * the per-query MEDIAN — single-shot timings on a shared machine conflate
+  * GC pauses / page cache state / concurrent load with the plan's cost
+  * (r04's 100x phantom regressions on untouched queries). Failures are
+  * reported in a separate "errors" map instead of being silently folded
+  * into the timings as time-to-exception.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the driver benches at local[32] with shuffle.partitions=32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) parquet; see Tables.load
+      // events.ts may be TIMESTAMP(NANOS) parquet; see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,16 +33,43 @@ object Bench {
     // footers, scheduler spin-up) — run the flagship once untimed so the
     // first measured query isn't charged ~5s of one-time cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Deterministic order for round-over-round comparability.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          None
+        }
+      }.sorted
+      // median of the successful runs; -1 marks a query with zero successes
+      // (never a timing — consumers can filter on the sign).
+      val median =
+        if (times.isEmpty) -1.0
+        else times(times.length / 2)
+      name -> median
+    }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":${jstr(sfDir)},"runs":$runs,"stat":"median","errors":$errJson}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }
