@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *   - partition by a content-hash bucket of the id, never by raw file
   *     path (hot-spot avoidance when one crawl dominates).
   *
-  * Decode is STUBBED (no image/audio codecs in this environment): the
-  * `???`-equivalent is [[FakeCodec]], a deterministic byte-level parser
-  * that stands in for a JNI/library decoder. The Spark-side plumbing —
-  * schema, mapPartitions batch shape, per-partition codec init — is real
-  * and is the part a production codec would drop into.
+  * Metadata decode is REAL: [[ImageHeaderCodec]] parses PNG IHDR, JPEG
+  * SOFn, and GIF logical-screen headers directly from payload bytes (no
+  * image library needed — container headers are a few dozen bytes of
+  * documented big/little-endian fields). Full pixel decode (which WOULD
+  * need a codec library absent from this environment) is out of scope;
+  * everything metadata-shaped is parsed for real, and unrecognized or
+  * truncated payloads yield `valid=false` rather than fake dimensions.
   */
 object MultimodalOps {
 
@@ -29,23 +31,92 @@ object MultimodalOps {
   case class DecodedMeta(id: Long, format: String, width: Int, height: Int,
                          n_bytes: Long, valid: Boolean)
 
-  /** STUB decoder: deterministic fake standing in for a real codec
-    * (e.g. libjpeg via JNI). Derives "dimensions" from payload bytes so
-    * tests are stable; a real implementation replaces ONLY this object. */
-  object FakeCodec {
+  /** Pure-JVM image header parser. Formats:
+    *   - PNG: 8-byte signature then the IHDR chunk (must be first per the
+    *     PNG spec): length=13, type "IHDR", width/height as 4-byte
+    *     big-endian at offsets 16/20.
+    *   - JPEG: SOI (FFD8) then a marker walk; frame dimensions live in the
+    *     SOFn segment (C0-CF minus DHT C4 / JPG C8 / DAC CC) as big-endian
+    *     height,width after the 1-byte precision. Stops at SOS/EOI —
+    *     dimensionless-until-DNL streams are treated as invalid.
+    *   - GIF: "GIF87a"/"GIF89a" then little-endian width,height.
+    * Anything else — including null, truncated, or non-image bytes —
+    * returns (0, 0, false). Detection is by magic bytes, not the declared
+    * format column, so a mislabeled payload still decodes correctly.
+    */
+  object ImageHeaderCodec {
     /** Per-partition "codec handle" — real codecs are expensive to init,
-      * so the contract is one init per partition, not per row. */
-    def open(): FakeCodec = new FakeCodec
+      * so the contract is one init per partition, not per row. (This
+      * parser is stateless, but callers must keep the per-partition shape
+      * so swapping in a JNI decoder stays a one-object change.) */
+    def open(): ImageHeaderCodec = new ImageHeaderCodec
   }
-  final class FakeCodec {
-    def decodeMeta(payload: Array[Byte]): (Int, Int, Boolean) = {
-      if (payload == null || payload.length < 4) (0, 0, false)
-      else {
-        // fake: fold the first/last bytes into bounded "dimensions"
-        val w = 64 + (java.lang.Byte.toUnsignedInt(payload(0)) % 64) * 16
-        val h = 64 + (java.lang.Byte.toUnsignedInt(payload(payload.length - 1)) % 64) * 16
-        (w, h, true)
+  final class ImageHeaderCodec {
+    private def u8(b: Array[Byte], i: Int): Int = java.lang.Byte.toUnsignedInt(b(i))
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+    private def png(b: Array[Byte]): (Int, Int, Boolean) = {
+      // signature(8) + chunk len(4) + "IHDR"(4) + width(4) + height(4)
+      if (b.length < 24) return (0, 0, false)
+      if (be32(b, 8) != 13L) return (0, 0, false) // IHDR payload is exactly 13 bytes
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+        return (0, 0, false)
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      // PNG caps dimensions at 2^31-1; zero is invalid per spec
+      if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) (0, 0, false)
+      else (w.toInt, h.toInt, true)
+    }
+
+    private def jpeg(b: Array[Byte]): (Int, Int, Boolean) = {
+      var i = 2 // past SOI
+      while (i + 1 < b.length) {
+        if (u8(b, i) != 0xFF) return (0, 0, false) // lost marker sync
+        var j = i
+        while (j + 1 < b.length && u8(b, j + 1) == 0xFF) j += 1 // fill bytes
+        if (j + 1 >= b.length) return (0, 0, false)
+        val marker = u8(b, j + 1)
+        marker match {
+          case 0xD8 | 0x01 => i = j + 2 // SOI/TEM: no payload
+          case m if m >= 0xD0 && m <= 0xD7 => i = j + 2 // RSTn: no payload
+          case 0xD9 | 0xDA => return (0, 0, false) // EOI / scan before any SOF
+          case m if m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+            // SOFn: len(2) precision(1) height(2) width(2)
+            if (j + 9 >= b.length || be16(b, j + 2) < 8) return (0, 0, false)
+            val h = be16(b, j + 5)
+            val w = be16(b, j + 7)
+            return if (w > 0 && h > 0) (w, h, true) else (0, 0, false)
+          case _ =>
+            if (j + 3 >= b.length) return (0, 0, false)
+            val len = be16(b, j + 2)
+            if (len < 2) return (0, 0, false)
+            i = j + 2 + len
+        }
       }
+      (0, 0, false)
+    }
+
+    private def gif(b: Array[Byte]): (Int, Int, Boolean) = {
+      if (b.length < 10) return (0, 0, false)
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w > 0 && h > 0) (w, h, true) else (0, 0, false)
+    }
+
+    /** (width, height, valid); (0,0,false) for anything unrecognized. */
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Boolean) = {
+      val b = payload
+      if (b == null || b.length < 10) (0, 0, false)
+      else if ((0 until 8).forall(k => u8(b, k) == PngSig(k))) png(b)
+      else if (u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) jpeg(b)
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+               (b(4) == '7' || b(4) == '9') && b(5) == 'a') gif(b)
+      else (0, 0, false)
     }
   }
 
@@ -71,7 +142,7 @@ object MultimodalOps {
   def decodeMeta(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      val codec = FakeCodec.open() // once per partition
+      val codec = ImageHeaderCodec.open() // once per partition
       it.map { r =>
         val (w, h, ok) = codec.decodeMeta(r.media)
         DecodedMeta(r.id, r.format, w, h,

@@ -26,23 +26,77 @@ class MultimodalSpec extends SparkSpec {
       s"metadata projection still reads payload:\n$plan")
   }
 
-  test("decodeMeta: mapPartitions decode produces valid bounded dims") {
-    val metas = MultimodalOps.decodeMeta(spark, mediaDs).collect()
-    assert(metas.length == table("documents").count())
+  // ---- planted real image bytes (hand-built to the container specs) ----
+
+  /** Minimal well-formed PNG prefix: signature + IHDR chunk. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(Array[Byte](8, 6, 0, 0, 0)) // bit depth, color type, ...
+    out.putInt(0) // CRC (not validated by a header parser)
+    out.array()
+  }
+
+  /** Minimal JPEG: SOI, APP0(JFIF), SOFn carrying the dims, EOI. */
+  private def jpegBytes(w: Int, h: Int, sofMarker: Int = 0xC0): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 18 + 13 + 2)
+    out.put(0xFF.toByte).put(0xD8.toByte)                  // SOI
+    out.put(0xFF.toByte).put(0xE0.toByte).putShort(16)     // APP0, len 16
+    out.put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+    out.put(0xFF.toByte).put(sofMarker.toByte).putShort(11)// SOFn, len 11
+    out.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    out.put(1.toByte).put(Array[Byte](1, 0x11, 0))         // 1 component
+    out.put(0xFF.toByte).put(0xD9.toByte)                  // EOI
+    out.array()
+  }
+
+  /** Minimal GIF89a logical screen descriptor. */
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(new Array[Byte](3))
+    out.array()
+  }
+
+  test("decodeMeta parses planted PNG / JPEG / progressive-JPEG / GIF dims") {
+    val planted = Seq(
+      MediaRecord(1L, pngBytes(640, 480), "png"),
+      MediaRecord(2L, jpegBytes(800, 600), "jpeg"),
+      MediaRecord(3L, jpegBytes(1920, 1080, sofMarker = 0xC2), "jpeg"), // SOF2
+      MediaRecord(4L, gifBytes(320, 200), "gif"))
+    val metas = MultimodalOps.decodeMeta(spark, planted.toDS())
+      .collect().map(m => m.id -> ((m.width, m.height, m.valid))).toMap
+    assert(metas(1L) == ((640, 480, true)))
+    assert(metas(2L) == ((800, 600, true)))
+    assert(metas(3L) == ((1920, 1080, true)))
+    assert(metas(4L) == ((320, 200, true)))
+  }
+
+  test("decodeMeta rejects non-image, truncated, and dimensionless payloads") {
+    val bad = Seq(
+      MediaRecord(1L, "just some document text".getBytes("UTF-8"), "txt"),
+      MediaRecord(2L, pngBytes(640, 480).take(12), "png"),          // truncated
+      MediaRecord(3L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte), "jpeg"), // SOI+EOI, no SOF
+      MediaRecord(4L, pngBytes(0, 480), "png"),                     // zero width
+      MediaRecord(5L, null, "png"))
+    val metas = MultimodalOps.decodeMeta(spark, bad.toDS()).collect()
+    assert(metas.length == 5)
     metas.foreach { m =>
-      assert(m.valid)
-      assert(m.width >= 64 && m.width < 64 + 64 * 16)
-      assert(m.height >= 64 && m.height < 64 + 64 * 16)
-      assert(m.n_bytes > 0)
+      assert(!m.valid, s"id=${m.id} should be invalid")
+      assert(m.width == 0 && m.height == 0)
     }
   }
 
-  test("decodeMeta is deterministic across runs") {
+  test("decodeMeta over the fixture corpus: text payloads all invalid, deterministic") {
     val a = MultimodalOps.decodeMeta(spark, mediaDs).collect()
-      .map(m => m.id -> (m.width, m.height)).toMap
+    assert(a.length == table("documents").count())
+    a.foreach(m => assert(!m.valid && m.n_bytes > 0)) // text bytes are not images
     val b = MultimodalOps.decodeMeta(spark, mediaDs).collect()
-      .map(m => m.id -> (m.width, m.height)).toMap
-    assert(a == b)
+    assert(a.map(m => m.id -> ((m.width, m.height, m.valid))).toMap ==
+      b.map(m => m.id -> ((m.width, m.height, m.valid))).toMap)
   }
 
   test("byteHistogram: 64 bins, L1-normalized") {
