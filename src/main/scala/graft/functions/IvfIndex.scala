@@ -32,10 +32,22 @@ object IvfIndex {
     s
   }
 
-  /** Lloyd's k-means over `min(sampleN, corpus)` vectors on the driver. */
+  /** Lloyd's k-means over `min(sampleN, corpus)` vectors on the driver.
+    *
+    * The sample is the sampleN rows with the smallest seeded xxhash64 of
+    * the vector — a uniform pseudo-random draw over the WHOLE corpus, not
+    * a `limit(n)` prefix (a prefix follows storage order, so a corpus
+    * sorted or clustered by source/topic would train centroids on one
+    * region of the space and recall collapses elsewhere). orderBy+limit
+    * plans as TakeOrdered: each partition keeps its own top-sampleN by
+    * hash in a bounded heap and the driver merges — no full sort, no
+    * extra shuffle, and the collect stays capped at sampleN rows at any
+    * corpus size. Seed-fixed for reproducibility. */
   def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
             sampleN: Int = 1000, iters: Int = 5): Model = {
-    val sample: Array[Array[Float]] = df.select(col(vecCol)).limit(sampleN)
+    val sample: Array[Array[Float]] = df.select(col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(vecCol)).asc)
+      .limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val rnd = new Random(seed)

@@ -53,6 +53,37 @@ class IvfSpec extends SparkSpec {
     assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("training sample is unbiased on a sorted corpus (prefix-limit is not)") {
+    import spark.implicits._
+    // Corpus clustered by storage order: ids 0-199 near (10,0), 200-399
+    // near (0,10) — the layout a source/topic-sorted table produces.
+    val vecs = (0 until 400).map { i =>
+      val base = if (i < 200) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 13) * 0.01f })
+    }
+    val corpus = vecs.toDF("vec_id", "embedding").coalesce(1)
+    def regions(m: IvfIndex.Model): Set[String] =
+      m.centroids.map(c => if (c(0) > c(1)) "A" else "B").toSet
+    // Old prefix behavior (train sees only the first 100 storage rows):
+    // every centroid lands in region A — region-B recall collapses.
+    val prefix = IvfIndex.train(corpus.limit(100), "embedding", k = 4, sampleN = 100)
+    assert(regions(prefix) == Set("A"),
+      s"prefix sample unexpectedly escaped the storage prefix: ${regions(prefix)}")
+    // Hash-gated sample draws uniformly over the whole corpus: both
+    // regions are represented in the centroids despite the sorted layout.
+    val hashed = IvfIndex.train(corpus, "embedding", k = 4, sampleN = 100)
+    assert(regions(hashed) == Set("A", "B"),
+      s"hash sample failed to cover both regions: ${regions(hashed)}")
+  }
+
+  test("training sample plans as TakeOrdered (no full sort, bounded collect)") {
+    val plan = table("embeddings").select(col("embedding"))
+      .orderBy(xxhash64(lit(42L), col("embedding")).asc).limit(1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hash-sample should plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("search touches only probed cells (candidate count bounded)") {
     NativeCosine.register(spark)
     val e = table("embeddings").select("vec_id", "embedding")
