@@ -374,6 +374,44 @@ object RangeJoinOp {
       .drop("__graft_bucket", "__graft_ibucket")
   }
 
+  /** Strategy-selecting front door for the interval family, mirroring
+    * [[AsofJoinStrategy]]'s auto rule: "auto" broadcasts (the stab exec —
+    * zero fact-side shuffle) when the interval side's optimized-plan
+    * statistics fall at or under spark.sql.autoBroadcastJoinThreshold
+    * (disabled when the threshold is ≤ 0), and otherwise grid-partitions
+    * ([[rangeLookupPartitioned]] — no broadcast-size ceiling). Callers
+    * with a reference-sized band table get the fast path without a hint;
+    * a 100 TB-scale interval side degrades to the shuffle path instead of
+    * OOMing the driver on a broadcast build.
+    *
+    * The intersection contract both paths support: inclusive bounds (SQL
+    * BETWEEN), BIGINT value/lo/hi (the grid needs exact integer floor
+    * division), inner/left join, no shared column names across sides.
+    * `strategy` forces "broadcast" or "partitioned" explicitly.
+    */
+  def rangeLookupAuto(
+      facts: DataFrame, intervals: DataFrame,
+      valueCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long,
+      joinType: String = "inner",
+      maxReplication: Long = 10000L,
+      strategy: String = "auto"): DataFrame = {
+    require(Set("auto", "broadcast", "partitioned").contains(strategy),
+      s"strategy must be auto|broadcast|partitioned, got $strategy")
+    val bcast = strategy match {
+      case "broadcast" => true
+      case "partitioned" => false
+      case _ => // auto: same signal BroadcastHashJoin planning uses
+        val threshold = facts.sparkSession.sessionState.conf
+          .autoBroadcastJoinThreshold
+        threshold > 0 &&
+          intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    }
+    if (bcast) rangeLookup(facts, intervals, valueCol, loCol, hiCol, joinType)
+    else rangeLookupPartitioned(facts, intervals, valueCol, loCol, hiCol,
+      bucketWidth, joinType, maxReplication)
+  }
+
   /** Interval-stab join: for each `facts` row, every `intervals` row whose
     * [lo, hi] contains the fact's `valueCol` (bounds inclusive by default
     * — SQL BETWEEN). joinType "inner" drops unmatched facts; "left" keeps

@@ -183,6 +183,45 @@ class RangeJoinSpec extends SparkSpec {
     assert(odd.toSeq == custom(false).collect().map(_.toSeq).toSeq)
   }
 
+  test("auto strategy: broadcast stab under the threshold, grid when disabled") {
+    def planOf(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    def auto(): DataFrame = RangeJoinOp.rangeLookupAuto(facts, bands,
+        "v", "lo", "hi", bucketWidth = 50000L)
+      .select(col("c_custkey"), col("band_id"))
+      .orderBy(col("c_custkey"), col("band_id"))
+    val expected = custom(false).collect().map(_.toSeq).toSeq
+    // default threshold (10 MB): the supplier-sized interval side fits —
+    // auto must pick the broadcast stab exec (zero fact-side shuffle)
+    val bPlan = planOf(auto())
+    assert(bPlan.contains("RangeLookupJoin"),
+      s"auto under threshold should broadcast-stab:\n$bPlan")
+    assert(auto().collect().map(_.toSeq).toSeq == expected)
+    // broadcast disabled: auto must degrade to the partitioned grid —
+    // an equi hash join, never the stab exec's driver-side build
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gPlan = planOf(auto())
+      assert(!gPlan.contains("RangeLookupJoin"),
+        s"auto with broadcast disabled still chose the stab exec:\n$gPlan")
+      assert(!gPlan.contains("BroadcastNestedLoopJoin"),
+        s"auto degraded to a nested loop:\n$gPlan")
+      assert(gPlan.contains("HashJoin") || gPlan.contains("SortMergeJoin"),
+        s"expected an equi join in the grid plan:\n$gPlan")
+      assert(auto().collect().map(_.toSeq).toSeq == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // explicit forcing bypasses the stats signal in both directions
+    val forcedGrid = planOf(RangeJoinOp.rangeLookupAuto(facts, bands,
+      "v", "lo", "hi", bucketWidth = 50000L, strategy = "partitioned"))
+    assert(!forcedGrid.contains("RangeLookupJoin"))
+    val forcedBcast = planOf(RangeJoinOp.rangeLookupAuto(facts, bands,
+      "v", "lo", "hi", bucketWidth = 50000L, strategy = "broadcast"))
+    assert(forcedBcast.contains("RangeLookupJoin"))
+  }
+
   test("partitioned grid path: negative values bucket correctly (floor div)") {
     // negative domain straddling zero — a truncating division would put
     // -1 and 1 in the same bucket and lose the [-10,-2] match
