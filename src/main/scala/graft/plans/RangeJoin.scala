@@ -27,18 +27,17 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   *
   * This operator broadcasts the interval side (dimension-sized by nature),
   * and each task builds ONE stab index over it: intervals sorted by lo,
-  * with a running prefix-maximum of hi. A fact row then binary-searches
-  * the last interval with lo ≤ v and walks left, emitting intervals with
-  * hi ≥ v, stopping the moment the prefix-max hi drops below v — after
-  * the O(log m) search, work is proportional to the local OVERLAP DEPTH,
-  * not to m. Non-overlapping intervals (IP blocks) stab in O(log m + 1).
-  * The fact side never shuffles and never materializes a candidate pair
-  * it doesn't emit.
-  *
-  * Degenerate case, documented: one giant interval spanning everything
-  * keeps the prefix-max high and re-linearizes the walk — an interval
-  * TREE fixes that shape if it ever matters; real band/block tables have
-  * small bounded overlap.
+  * overlaid with a segment-max tree on hi (an implicit augmented interval
+  * tree). A fact row binary-searches the last interval with lo ≤ v, then
+  * descends the tree over the eligible prefix, pruning every subtree
+  * whose max hi < v — so after the O(log m) search, work is O(log m) per
+  * EMITTED match, output-sensitive at any overlap shape. In particular
+  * the former degenerate — one giant spanning interval holding a running
+  * prefix-max high above thousands of non-matching narrow intervals — now
+  * skips the non-matches in whole subtrees instead of walking them one by
+  * one. Non-overlapping intervals (IP blocks) stab in O(log m + 1). The
+  * fact side never shuffles and never materializes a candidate pair it
+  * doesn't emit.
   *
   * Bounds are evaluated as single-column rows compared by a generated
   * ordering, so any orderable type works (longs, decimals, timestamps,
@@ -69,42 +68,80 @@ case class RangeLookupJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** The per-task stab index: intervals sorted by lo with a prefix-max of
-  * hi. `stab` appends every containing interval's row to `out` in lo-sort
-  * order (ties by right tie-sort = build order after sort, deterministic
-  * because the sort is stable and rows carry a full ordering downstream).
+/** The per-task stab index: intervals sorted by lo, augmented with a
+  * segment-max tree over hi (implicit interval tree: node k covers leaves
+  * [2k, 2k+1] recursively; `segMax(k)` is the subtree's max hi, null for
+  * padding). `stab` appends every containing interval's row to `out` in
+  * DESCENDING lo order (ties = build order after the stable sort),
+  * deterministic because downstream rows carry a full ordering.
   */
 final class RangeStabIndex(
     loRows: Array[UnsafeRow],          // sorted ascending
     hiRows: Array[UnsafeRow],          // parallel to loRows
-    prefixMaxHi: Array[UnsafeRow],     // running max of hiRows(0..i)
     rows: Array[InternalRow],          // parallel payload rows
     ord: Ordering[InternalRow],
     loInclusive: Boolean,
     hiInclusive: Boolean) {
 
+  // leaves sit at [leafBase, leafBase + n); leafBase is the next power of
+  // two ≥ n so every internal node has a fixed two-child shape
+  private val n = loRows.length
+  private val leafBase: Int = {
+    var p = 1
+    while (p < n) p <<= 1
+    p
+  }
+  private val segMax: Array[UnsafeRow] = {
+    val t = new Array[UnsafeRow](leafBase * 2)
+    var i = 0
+    while (i < n) { t(leafBase + i) = hiRows(i); i += 1 }
+    var k = leafBase - 1
+    while (k >= 1) {
+      val l = t(2 * k); val r = t(2 * k + 1)
+      t(k) =
+        if (l == null) r
+        else if (r == null) l
+        else if (ord.compare(l, r) >= 0) l else r
+      k -= 1
+    }
+    t
+  }
+
+  /** max hi in the subtree fails the match bound → the whole subtree has
+    * no containing interval. */
+  private def pruned(maxHi: UnsafeRow, v: UnsafeRow): Boolean = {
+    if (maxHi == null) return true
+    val c = ord.compare(maxHi, v)
+    c < 0 || (!hiInclusive && c == 0)
+  }
+
+  /** Emit matching leaves of `node` (covering [nodeLo, nodeLo + width))
+    * whose index < bound, right child first so output stays in descending
+    * lo order. Depth is log2(leafBase) ≤ 31. */
+  private def collect(node: Int, nodeLo: Int, width: Int, bound: Int,
+                      v: UnsafeRow, out: java.util.ArrayList[InternalRow]): Int = {
+    if (nodeLo >= bound || pruned(segMax(node), v)) 0
+    else if (width == 1) { out.add(rows(nodeLo)); 1 } // leaf: lo ok (< bound), hi ok (not pruned)
+    else {
+      val half = width >>> 1
+      val fromRight = collect(2 * node + 1, nodeLo + half, half, bound, v, out)
+      fromRight + collect(2 * node, nodeLo, half, bound, v, out)
+    }
+  }
+
   /** Number of intervals containing v; matching rows are appended to out. */
   def stab(v: UnsafeRow, out: java.util.ArrayList[InternalRow]): Int = {
+    if (n == 0) return 0
     // last index with lo <= v (inclusive) / lo < v (exclusive)
     var loIdx = 0
-    var hiIdx = loRows.length
+    var hiIdx = n
     while (loIdx < hiIdx) {
       val mid = (loIdx + hiIdx) >>> 1
       val c = ord.compare(loRows(mid), v)
       if (c < 0 || (loInclusive && c == 0)) loIdx = mid + 1 else hiIdx = mid
     }
-    var i = loIdx - 1
-    var n = 0
-    while (i >= 0) {
-      val cMax = ord.compare(prefixMaxHi(i), v)
-      if (cMax < 0 || (!hiInclusive && cMax == 0)) i = -1 // no more matches left of here
-      else {
-        val c = ord.compare(hiRows(i), v)
-        if (c > 0 || (hiInclusive && c == 0)) { out.add(rows(i)); n += 1 }
-        i -= 1
-      }
-    }
-    n
+    if (loIdx == 0) 0
+    else collect(1, 0, leafBase, loIdx, v, out)
   }
 }
 
@@ -155,17 +192,7 @@ case class RangeLookupJoinExec(
     val loRows = sorted.map(_._1)
     val hiRows = sorted.map(_._2)
     val rows = sorted.map(_._3)
-    val prefix = new Array[UnsafeRow](sorted.length)
-    var i = 0
-    while (i < sorted.length) {
-      prefix(i) =
-        if (i == 0) hiRows(0)
-        else if (ord.compare(hiRows(i), prefix(i - 1)) >= 0) hiRows(i)
-        else prefix(i - 1)
-      i += 1
-    }
-    new RangeStabIndex(loRows, hiRows, prefix, rows, ord,
-      loInclusive, hiInclusive)
+    new RangeStabIndex(loRows, hiRows, rows, ord, loInclusive, hiInclusive)
   }
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -183,6 +183,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(odd.toSeq == custom(false).collect().map(_.toSeq).toSeq)
   }
 
+  test("spanning-interval shape: tree prunes non-matches, rows still exact") {
+    // The pre-tree walk's worst case: one interval covering everything
+    // keeps a running prefix-max high, forcing a linear scan over every
+    // narrow non-matching interval to its left. Correctness here pins the
+    // segment-max descent on exactly that shape (matches are the spanning
+    // row plus at most one narrow row per fact).
+    val fDf = (0L until 2000L).map(i => (i, i * 10L)).toDF("fid", "v")
+    val narrow = (0L until 2000L).map(i => (i, i * 10L + 1, i * 10L + 3))
+    val iDf = (narrow :+ ((9999L, -1000000L, 1000000L)))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoinOp.rangeLookup(fDf, iDf, "v", "lo", "hi")
+      .select("fid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // narrow bands [10i+1, 10i+3] never contain v = 10i → only the
+    // spanning interval matches, once per fact
+    assert(got == (0L until 2000L).map(i => (i, 9999L)).toSet)
+    // and a shape where narrow bands DO match: v = 10i+2
+    val fDf2 = (0L until 2000L).map(i => (i, i * 10L + 2)).toDF("fid", "v")
+    val got2 = RangeJoinOp.rangeLookup(fDf2, iDf, "v", "lo", "hi")
+      .select("fid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == (0L until 2000L).flatMap(i =>
+      Seq((i, i), (i, 9999L))).toSet)
+  }
+
   test("auto strategy: broadcast stab under the threshold, grid when disabled") {
     def planOf(df: DataFrame): String = {
       df.collect()
