@@ -135,6 +135,31 @@ class ScaleSpec extends SparkSpec {
       s"dedup shuffled $shuffled bytes vs $textBytes bytes of text")
   }
 
+  test("measured shuffle bytes: dedup tail stays sketch-sized, never text-sized") {
+    // The LSH/simhash/cluster/curation family's scale contract: exchanges
+    // carry SKETCHES (signatures, band keys, hashes, ids, labels), never
+    // the document bodies. Budgets are pinned at ~2x the measured healthy
+    // value at this SF — a regression that starts shuffling text (or fans
+    // out candidate pairs) overshoots 2x immediately, while normal noise
+    // (metric accounting, partition counts) stays well inside it.
+    val textBytes = table("documents")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    val budgets = Seq(   // query -> max shuffled bytes as a multiple of text
+      "q_minhash_lsh" -> 0.10,       // measured 0.045: signatures + band keys
+      "q_simhash_dedup" -> 0.02,     // measured 0.009: one 64-bit sketch/doc
+      "q_dedup_cluster" -> 0.02,     // measured 0.007: edges + labels
+      "q_curation_pipeline" -> 0.60) // measured 0.286: capstone keeps kept-doc ids + stats
+
+    budgets.foreach { case (name, mult) =>
+      val shuffled = shuffleDataSize(q(name))
+      info(f"$name%-20s shuffled=$shuffled%9d text=$textBytes%9d ratio=${shuffled.toDouble / textBytes}%.3f")
+      assert(shuffled > 0, s"$name: expected at least one executed shuffle")
+      assert(shuffled < (textBytes * mult).toLong,
+        s"$name shuffled $shuffled bytes vs budget ${(textBytes * mult).toLong} " +
+          s"(${mult}x of $textBytes text bytes)")
+    }
+  }
+
   test("measured shuffle bytes: partial aggregation shrinks the exchange to group scale") {
     // lineitem is ~6k rows at this SF; after map-side partial aggregation
     // the exchange carries (groups × partitions) rows — a few KB, orders
