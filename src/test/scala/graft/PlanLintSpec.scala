@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, ProjectExec, SortExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+/** Registry-wide physical-plan lint: every SparkEntry query's plan at
+  * sf0.001 is walked for the three scale-killers a green row hash can't
+  * see — a cartesian product, a nested-loop join, and a global sort that
+  * should have fused with its limit into TakeOrderedAndProject. Documented
+  * exceptions are allowlisted BY NAME with the reason; anything new fails
+  * the suite, so a plan regression (join key dropped, rewrite rule stops
+  * firing, broadcast threshold missed) surfaces as a red spec instead of a
+  * silent 100x at scale.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries allowed a CartesianProduct, with why. */
+  private val cartesianOk: Map[String, String] = Map(
+    "q_join_cross" -> "the query IS a deliberate small-dim cross join")
+
+  /** Queries allowed a BroadcastNestedLoopJoin, with why. The common
+    * thread: the broadcast side is BOUNDED by construction (a dim, a
+    * probe set, a calendar), so the loop is O(facts x small-constant)
+    * with zero fact-side shuffle — the documented design, with the
+    * quadratic-at-scale variants pointing at their LSH/IVF scale paths. */
+  private val bnljOk: Map[String, String] = Map(
+    "q_join_theta" -> "deliberate non-equi theta join of two small dims",
+    "q_join_cross" -> "deliberate cross join; Spark may pick BNLJ over CP",
+    "q_cosine_topk" -> "single-probe attach: broadcast side filtered to one vec_id",
+    "q_knn_join" -> "documented small-probe brute-force form; IvfIndex/CosineLsh are the scale paths",
+    "q_embed_neardup" -> "bounded 500-row probe corpus all-pairs; CosineLsh.nearDuplicatePairs is the scale path",
+    "q_wau" -> "7-day band join against the distinct-days side — calendar-bounded broadcast")
+
+  /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
+  private val sortLimitOk: Map[String, String] = Map.empty
+
+  /** The scalar-subquery-as-join shape: a BNLJ whose broadcast side is a
+    * global (no-grouping) aggregate — exactly one row attached map-side
+    * with zero shuffle. That is how "col / total" and "ts vs global max"
+    * queries SHOULD plan; only a BNLJ with a non-scalar inner side is a
+    * scale-killer. */
+  private def scalarBuildSide(b: BroadcastNestedLoopJoinExec): Boolean = {
+    def singleRow(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case t: TakeOrderedAndProjectExec => t.limit <= 1
+      case g: GlobalLimitExec => g.limit <= 1
+      case _: org.apache.spark.sql.execution.LocalTableScanExec =>
+        p.asInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]
+          .rows.lengthCompare(1) <= 0
+      case other if other.children.size == 1 => singleRow(other.children.head)
+      case a: AdaptiveSparkPlanExec => singleRow(a.executedPlan)
+      case _ => false
+    }
+    val build = b.buildSide match {
+      case BuildLeft  => b.left
+      case BuildRight => b.right
+    }
+    singleRow(build)
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec        => flatten(s.plan)
+      case other                    => Seq(other)
+    }
+    self ++ p.children.flatMap(flatten) ++
+      p.subqueries.flatMap(flatten)
+  }
+
+  /** A GlobalLimit directly over a global Sort (through projections /
+    * exchanges) — the shape TakeOrderedAndProject exists to replace. */
+  private def limitOverSort(p: SparkPlan): Boolean = {
+    def sortBelow(c: SparkPlan): Boolean = c match {
+      case s: SortExec              => s.global
+      case pr: ProjectExec          => sortBelow(pr.child)
+      case e: Exchange              => sortBelow(e.child)
+      case a: AdaptiveSparkPlanExec => sortBelow(a.executedPlan)
+      case s: QueryStageExec        => sortBelow(s.plan)
+      case _                        => false
+    }
+    p match {
+      case g: GlobalLimitExec => sortBelow(g.child)
+      case _                  => false
+    }
+  }
+
+  test("no registry plan cartesians, nested-loops, or unfused sort+limit") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val nodes = flatten(plan)
+        val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+            !cartesianOk.contains(name)) bad += s"$name: CartesianProduct"
+        if (nodes.exists {
+              case b: BroadcastNestedLoopJoinExec => !scalarBuildSide(b)
+              case _ => false
+            } && !bnljOk.contains(name)) bad += s"$name: BroadcastNestedLoopJoin"
+        if (nodes.exists(limitOverSort) &&
+            !nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]) &&
+            !sortLimitOk.contains(name)) bad += s"$name: GlobalLimit over global Sort (expected TakeOrderedAndProject)"
+        bad
+    }
+    assert(violations.isEmpty,
+      s"plan lint violations:\n  ${violations.mkString("\n  ")}")
+  }
+
+  test("allowlist entries still exhibit their documented shape (no stale rows)") {
+    (cartesianOk.keySet ++ bnljOk.keySet ++ sortLimitOk.keySet).toSeq.sorted
+      .foreach { name =>
+        assert(SparkEntry.queries.contains(name),
+          s"allowlisted query $name no longer in the registry")
+        val nodes = flatten(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan)
+        val hasShape =
+          (cartesianOk.contains(name) && nodes.exists(_.isInstanceOf[CartesianProductExec])) ||
+          (bnljOk.contains(name) && nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])) ||
+          (sortLimitOk.contains(name) && nodes.exists(limitOverSort))
+        assert(hasShape,
+          s"$name is allowlisted but its plan no longer shows the documented shape — remove the entry")
+      }
+  }
+}
