@@ -24,6 +24,13 @@ object GridSalt {
     * side "b" mirrors. */
   def sides(df: DataFrame, id: Column, s: Int = 4): (DataFrame, DataFrame) = {
     require(s > 0, "grid size must be positive")
+    // the grid coordinates are added under fixed names; a caller frame
+    // that already carries ga/gb would be silently clobbered and the
+    // meets-in-exactly-one-cell invariant broken
+    require(!df.columns.exists(c =>
+        c.equalsIgnoreCase("ga") || c.equalsIgnoreCase("gb")),
+      s"GridSalt.sides: input already has a ga/gb column " +
+        s"[${df.columns.mkString(", ")}] — rename it before salting")
     val a = df.withColumn("ga", pmod(xxhash64(id), lit(s)))
       .withColumn("gb", explode(sequence(lit(0), lit(s - 1))))
       .alias("a")

@@ -17,6 +17,14 @@ import org.apache.spark.sql.DataFrame
   * persists to storage and survives executor loss, at the cost of one
   * write+read round-trip — exactly the "write the derived relation to
   * storage" production pattern the dedup-family scale notes describe.
+  *
+  * Reliable checkpoints are NOT auto-deleted: Spark removes a superseded
+  * checkpoint only under `spark.cleaner.referenceTracking.cleanCheckpoints
+  * =true` (and only when the RDD is garbage-collected). A long fixpoint
+  * loop — DedupClusters label propagation materializes the labels relation
+  * every round — otherwise accumulates one full copy per round in the
+  * checkpoint dir. For long reliable runs set that cleaner conf, or point
+  * setCheckpointDir at a per-job path and delete it after the job.
   */
 object Materialize {
 

@@ -69,8 +69,13 @@ case class AsofJoin(
 /** Window-bound arithmetic on micros longs. horizonMicros is caller-
   * supplied: a huge horizon against an extreme timestamp would wrap Long
   * arithmetic and silently INVERT the window predicate. Saturating at the
-  * Long range instead means "unbounded on that side" — the semantics a
-  * too-large horizon asks for.
+  * Long range instead keeps the predicate monotone — effectively
+  * unbounded for any real timestamp. Edge note: the window checks stay
+  * STRICT (ct > lowBound / ct < highBound), so a right time exactly equal
+  * to the saturated sentinel (Long.MinValue backward / Long.MaxValue
+  * forward) is still excluded; ±292,000-year epoch-micros sentinels don't
+  * occur in real data, and excluding them beats special-casing the
+  * comparison per probe.
   */
 private[plans] object AsofDirection {
   val Backward = "backward"

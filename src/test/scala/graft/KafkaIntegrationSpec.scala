@@ -56,13 +56,19 @@ class KafkaIntegrationSpec extends SparkSpec {
           .newInstance(topic, Int.box(1), Short.box(1.toShort))
         val result = adminCls.getMethod("createTopics", classOf[java.util.Collection[_]])
           .invoke(admin, java.util.Collections.singleton(newTopic))
-        // block for completion; TopicExistsException is success
-        try result.getClass.getMethod("all").invoke(result) match {
-          case f: java.util.concurrent.Future[_] => f.get()
-        } catch {
-          case e: java.util.concurrent.ExecutionException
-              if e.getCause != null &&
-                e.getCause.getClass.getSimpleName == "TopicExistsException" => ()
+        // block for completion via reflective get(): KafkaFuture only
+        // implements java.util.concurrent.Future in kafka-clients >= 3.0,
+        // so a typed match would MatchError on an older connector-bundled
+        // client. TopicExistsException anywhere in the cause chain is
+        // success (the reflective invoke wraps it in
+        // InvocationTargetException -> ExecutionException).
+        val fut = result.getClass.getMethod("all").invoke(result)
+        def causes(t: Throwable): Iterator[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        try fut.getClass.getMethod("get").invoke(fut)
+        catch {
+          case e: Exception if causes(e).exists(
+            _.getClass.getSimpleName == "TopicExistsException") => ()
         }
       } finally adminCls.getMethod("close").invoke(admin)
     } catch {
