@@ -44,10 +44,24 @@ object RangeBench {
       col("v") >= col("lo") && col("v") <= col("hi"))
     def bigCustom = graft.plans.RangeJoinOp.rangeLookup(
       bigFacts, bigBands, "v", "lo", "hi")
+    // scenario 3: the spanning-interval degenerate — one catch-all band
+    // over the 15k narrow ones. The pre-r5 prefix-max walk re-linearized
+    // here (every probe walked all ~15k narrower intervals below the
+    // spanning row's high prefix-max); the segment-max tree prunes the
+    // non-matching subtrees, so stab stays near scenario 2's time.
+    def spanBands = bigBands.unionByName(
+      spark.range(1).select(lit(-1L).as("band_id"),
+        lit(Long.MinValue / 4).as("lo"), lit(Long.MaxValue / 4).as("hi")))
+    def spanDeclarative = bigFacts.join(spanBands,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+    def spanCustom = graft.plans.RangeJoinOp.rangeLookup(
+      bigFacts, spanBands, "v", "lo", "hi")
     for ((label, df) <- Seq("bnlj" -> (() => declarative),
         "stab" -> (() => custom),
         "bnlj-15k-bands" -> (() => bigDeclarative),
-        "stab-15k-bands" -> (() => bigCustom))) {
+        "stab-15k-bands" -> (() => bigCustom),
+        "bnlj-spanning" -> (() => spanDeclarative),
+        "stab-spanning" -> (() => spanCustom))) {
       df().count() // warm
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
