@@ -21,6 +21,54 @@ class TopKPlanSpec extends SparkSpec {
       .orderBy("o_orderpriority", "rn")
   }
 
+  test("sql: topk_per_group TVF equals the DataFrame form and plans the heap exec") {
+    graft.plans.TopKSql.install(spark)
+    try {
+      table("orders").createOrReplaceTempView("orders_v")
+      val tvf = spark.sql(
+        """SELECT o_orderpriority, rn, o_orderkey
+          |FROM topk_per_group('orders_v', 'o_orderpriority',
+          |  'o_totalprice DESC, o_orderkey', 3)
+          |ORDER BY o_orderpriority, rn""".stripMargin)
+      assert(tvf.collect().map(_.toSeq).toSeq ==
+        topkDf.collect().map(_.toSeq).toSeq)
+      val plan = tvf.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup "),
+        s"TVF did not plan the heap exec:\n$plan")
+      assert(!plan.contains("WindowExec"), plan)
+      // custom rank column name
+      val named = spark.sql(
+        """SELECT o_orderpriority, rank_in_group
+          |FROM topk_per_group('orders_v', 'o_orderpriority',
+          |  'o_totalprice DESC, o_orderkey', 3, 'rank_in_group')""".stripMargin)
+      assert(named.collect().forall(_.getAs[Int]("rank_in_group") <= 3))
+    } finally TopKPerGroup.uninstall(spark)
+  }
+
+  test("sql: topk_per_group TVF rejects malformed calls at analysis time") {
+    graft.plans.TopKSql.install(spark)
+    try {
+      table("orders").createOrReplaceTempView("orders_v")
+      def bad(sql: String, frag: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql).collect())
+        def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+          .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains(frag)),
+          s"expected '$frag' in: ${msgs(e)}")
+      }
+      bad("SELECT * FROM topk_per_group('orders_v', 'o_orderpriority')",
+        "expects 4-5 arguments")
+      bad("SELECT * FROM topk_per_group('orders_v', 'o_orderpriority', 'o_totalprice', 0)",
+        "positive integer")
+      bad("SELECT * FROM topk_per_group('orders_v', 'o_orderpriority', 'o_totalprice SIDEWAYS', 3)",
+        "bad order entry")
+      bad("SELECT * FROM topk_per_group('orders_v', '', 'o_totalprice', 3)",
+        "at least one column")
+      bad("SELECT * FROM topk_per_group('orders_v', 'o_orderpriority', 'o_totalprice', 3, 'o_orderkey')",
+        "collides")
+    } finally TopKPerGroup.uninstall(spark)
+  }
+
   test("rewrite fires: two heap phases straddle one exchange, no sorts below") {
     TopKPerGroup.install(spark)
     try {
