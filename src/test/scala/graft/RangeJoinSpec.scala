@@ -309,6 +309,30 @@ class RangeJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static: the partitioned grid path also streams (scale twin)") {
+    // same contract as the stab stream test but through the
+    // no-broadcast-ceiling path: the static interval side pre-explodes to
+    // grid buckets and each micro-batch equi-joins on bucket + residual —
+    // the shape a too-big-to-broadcast interval table needs.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val iDf = Seq((100L, 0L, 10L), (200L, 5L, 15L), (300L, 50L, 60L))
+      .toDF("iid", "lo", "hi")
+    val q = RangeJoinOp.rangeLookupPartitioned(
+        in.toDF.toDF("fid", "v"), iDf, "v", "lo", "hi", bucketWidth = 8L)
+      .writeStream.format("memory").queryName("range_grid_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L), (2L, 55L), (3L, 99L), (4L, 12L))
+      q.processAllAvailable()
+      val got = spark.table("range_grid_stream").select("fid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (1L, 200L), (2L, 300L), (4L, 200L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("fails fast on bad arguments") {
     val fDf = Seq((1L, 5L)).toDF("fid", "v")
     val iDf = Seq((9L, 1L, 8L)).toDF("iid", "lo", "hi")
