@@ -105,9 +105,17 @@ object IvfIndex {
   /** Approximate top-k: probes search only their nProbe nearest cells.
     * Output: (probe_id, rn, vec_id, cos). */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
-           vecCol: String, m: Model, k: Int, nProbe: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      assign(col(vecCol), m).as("cell"))
+           vecCol: String, m: Model, k: Int, nProbe: Int = 2): DataFrame =
+    topKAssigned(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        assign(col(vecCol), m).as("cell")),
+      probes, idCol, vecCol, m, k, nProbe)
+
+  /** [[topK]] over a corpus already carrying (vec_id, cv, cell) — shared
+    * by the in-memory and on-disk paths. */
+  private def topKAssigned(c: DataFrame, probes: DataFrame, idCol: String,
+                           vecCol: String, m: Model, k: Int,
+                           nProbe: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
       explode(probeCells(col(vecCol), m, nProbe)).as("cell"))
     val w = Window.partitionBy("probe_id")
@@ -121,4 +129,25 @@ object IvfIndex {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
   }
+
+  /** Materialize the on-disk IVF index: the corpus written PARTITIONED BY
+    * cell id. The "index" is nothing but a directory layout — it inherits
+    * parquet's durability/compaction story, any engine can read it, and
+    * at 100 TB each cell is a directory a planner can skip wholesale. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Model, path: String): Unit =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        assign(col(vecCol), m).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search an on-disk index written by [[writeIndex]]: the equi-join on
+    * the PARTITION column `cell` lets the planner prune every non-probed
+    * cell's files (dynamic partition pruning from the small probe side),
+    * so the scan touches ~nProbe/k of the corpus — the point of IVF at
+    * scale. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  probes: DataFrame, idCol: String, vecCol: String,
+                  m: Model, k: Int, nProbe: Int = 2): DataFrame =
+    topKAssigned(spark.read.parquet(path), probes, idCol, vecCol, m, k,
+      nProbe)
 }

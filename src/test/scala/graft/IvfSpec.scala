@@ -84,6 +84,32 @@ class IvfSpec extends SparkSpec {
       s"hash-sample should plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("on-disk index: cell-partitioned layout, pruned scan, same results") {
+    NativeCosine.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val e = table("embeddings").select("vec_id", "embedding")
+    IvfIndex.writeIndex(e, "vec_id", "embedding", model, dir)
+    // layout: one directory per cell (the index IS the partitioning)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell= partition directories")
+    val probes = e.filter(col("vec_id") < 5)
+    val indexed = IvfIndex.topKIndexed(spark, dir, probes,
+      "vec_id", "embedding", model, k = 3, nProbe = 2)
+    // identical results to the in-memory assignment path
+    val direct = IvfIndex.topK(e, probes, "vec_id", "embedding", model,
+      k = 3, nProbe = 2)
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // and the scan is PRUNABLE on the partition key: the planner sees the
+    // cell join key as a partition filter (dynamic pruning from the probe
+    // side) rather than reading every cell's files unconditionally
+    val plan = indexed.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("partitionfilters: [isnotnull(cell"),
+      s"no partition pruning on the cell key:\n$plan")
+  }
+
   test("search touches only probed cells (candidate count bounded)") {
     NativeCosine.register(spark)
     val e = table("embeddings").select("vec_id", "embedding")
