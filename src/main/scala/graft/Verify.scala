@@ -20,7 +20,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) parquet; see Tables.load
+      // events.ts may be TIMESTAMP(NANOS) parquet; see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
