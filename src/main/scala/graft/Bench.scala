@@ -35,8 +35,18 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // flaky queries (0 < successes < runs) get their success count recorded
+    // so a partially-failed median is distinguishable from a clean one —
+    // errors alone can't tell them apart from all-failed (-1) queries.
+    val partial = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // optional subset (comma-separated names) for stress/scale runs on one
+    // query family; unset = the full registry, the driver's contract.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Deterministic order for round-over-round comparability.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -46,6 +56,7 @@ object Bench {
           None
         }
       }.sorted
+      if (times.nonEmpty && times.length < runs) partial(name) = times.length
       // median of the successful runs; -1 marks a query with zero successes
       // (never a timing — consumers can filter on the sign).
       val median =
@@ -64,11 +75,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val partialJson = partial.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":${jstr(sfDir)},"runs":$runs,"stat":"median","errors":$errJson}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+      s""""sf":${jstr(sfDir)},"runs":$runs,"stat":"median",""" +
+      s""""partialRuns":$partialJson,"errors":$errJson}"""
+    // a filtered run must never masquerade as the durable full-registry
+    // artifact the driver (and round-over-round comparisons) read
+    val outFile =
+      if (filter.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"
+    Files.writeString(Paths.get(outFile), json + "\n")
     println(json)
     spark.stop()
   }

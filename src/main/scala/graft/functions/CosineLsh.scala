@@ -32,6 +32,45 @@ object CosineLsh {
     * fold and collapses every row into one degenerate bucket. */
   val DefaultDim = 64
 
+  /** Default per-bucket vector cap for [[nearDuplicatePairs]] — same role
+    * (and same chain-or-drop semantics) as MinHashDedup.DefaultMaxBucket:
+    * a bucket of c vectors is c²/2 cosine verifications, the quadratic
+    * hazard of the pipeline. */
+  val DefaultMaxBucket: Int = 4096
+
+  /** Size nPlanes from the corpus: the smallest plane count (≥ 2) whose
+    * uniform-hash expected bucket size, count / 2^nPlanes, is at or under
+    * `targetBucketSize` — per-bucket candidate volume then stays
+    * ~targetBucketSize × corpus instead of corpus²/16 at the old fixed
+    * default. Capped at 24 planes (16M buckets — enough for any corpus
+    * whose per-bucket work matters; beyond it the multi-probe fan-out,
+    * 1 + nPlanes keys/vector, dominates). Sign-LSH bucket occupancy is
+    * NOT uniform on real embedding corpora (correlated dimensions fill
+    * some cells far past the expectation), which is why the cap in
+    * [[nearDuplicatePairs]] exists alongside this sizing — size for the
+    * expectation, cap the outliers, watch [[bucketStats]]. */
+  def planesForCount(count: Long, targetBucketSize: Long = 1024L): Int = {
+    require(count >= 0, s"negative corpus count $count")
+    require(targetBucketSize > 0, s"bad targetBucketSize $targetBucketSize")
+    var n = 2
+    while (n < 24 && (count >> n) > targetBucketSize) n += 1
+    n
+  }
+
+  /** Per-bucket vector counts of the (multi-probed) keyed relation — the
+    * monitoring relation for the hot-bucket cap, mirroring
+    * MinHashDedup.hotBuckets: buckets with n_vecs > maxBucket are chained
+    * or dropped by [[nearDuplicatePairs]]; inspect them here so the
+    * truncation is visible, never silent. */
+  def bucketStats(df: DataFrame, vecCol: String, nPlanes: Int = 4,
+                  seed: Long = 42L, dim: Int = DefaultDim,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ps = planes(dim, nPlanes, seed)
+    df.select(explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxBucket)
+  }
+
   /** dot(vec, literal hyperplane) as a codegen'd fold. */
   private def dotLit(vec: Column, plane: Array[Double]): Column =
     aggregate(
@@ -69,18 +108,51 @@ object CosineLsh {
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):
     * all (a,b) with cosine >= threshold, found ONLY inside shared LSH
     * buckets — the all-pairs comparison never materializes. One-bit-flip
-    * multi-probing keeps recall for pairs split by a hyperplane. */
+    * multi-probing keeps recall for pairs split by a hyperplane.
+    *
+    * Hot-bucket cap (same semantics as MinHashDedup.candidatePairs): a
+    * bucket over `maxBucket` vectors contributes its sorted id-chain of
+    * c−1 candidate edges instead of the c²/2 clique
+    * (`chainHotBuckets=true`, default — identical-vector mega-clusters,
+    * the dominant cause, verify at cosine 1 along the whole chain, so
+    * connected-component dedup still collapses them) or is dropped
+    * (`false`). [[bucketStats]] is the monitoring relation; size nPlanes
+    * with [[planesForCount]] so the cap only bites outliers. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int = 4,
-                         seed: Long = 42L, dim: Int = DefaultDim): DataFrame = {
+                         seed: Long = 42L, dim: Int = DefaultDim,
+                         maxBucket: Int = DefaultMaxBucket,
+                         chainHotBuckets: Boolean = true): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
     val ps = planes(dim, nPlanes, seed)
-    val keyed = df.select(col(idCol).as("nd_id"), col(vecCol).as("nd_v"),
-      explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
-    val a = keyed.alias("a")
-    val b = keyed.alias("b")
-    a.join(b, col("a.bkt") === col("b.bkt") && col("a.nd_id") < col("b.nd_id"))
+    // three consumers (bucket counts + both self-join sides)
+    val keyed = Materialize(
+      df.select(col(idCol).as("nd_id"), col(vecCol).as("nd_v"),
+        explode(multiProbeBuckets(col(vecCol), ps)).as("bkt")))
+    // over-cap bucket keys are ≤ (1+nPlanes)·corpus/maxBucket by
+    // construction — broadcastable, so the cap never reshuffles `keyed`
+    val hot = keyed.groupBy("bkt").agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxBucket).select("bkt")
+    val kept = keyed.join(broadcast(hot), Seq("bkt"), "left_anti")
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    val clique = a.join(b,
+        col("a.bkt") === col("b.bkt") && col("a.nd_id") < col("b.nd_id"))
       .select(col("a.nd_id").as("a_id"), col("b.nd_id").as("b_id"),
         cosine(col("a.nd_v"), col("b.nd_v")).as("cos"))
+    val cands =
+      if (!chainHotBuckets) clique
+      else {
+        val w = Window.partitionBy("bkt").orderBy("nd_id")
+        val chains = keyed.join(broadcast(hot), Seq("bkt"), "left_semi")
+          .withColumn("nxt_id", lead("nd_id", 1).over(w))
+          .withColumn("nxt_v", lead("nd_v", 1).over(w))
+          .filter(col("nxt_id").isNotNull)
+          .select(col("nd_id").as("a_id"), col("nxt_id").as("b_id"),
+            cosine(col("nd_v"), col("nxt_v")).as("cos"))
+        clique.unionAll(chains)
+      }
+    cands
       .filter(col("cos") >= threshold)
       .groupBy("a_id", "b_id").agg(max("cos").as("cos")) // dedup multi-probe hits
   }

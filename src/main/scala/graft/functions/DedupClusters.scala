@@ -46,7 +46,8 @@ object DedupClusters {
                           bCol: String = "b_id",
                           maxIter: Int = 20,
                           hopsPerRound: Int = 1,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val rel = reliable || Materialize.reliableRequested(pairs)
     val edges = Materialize( // reused every round — cut it off the source plan
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -71,7 +72,90 @@ object DedupClusters {
       prevSum = s
       i += 1
     }
+    roundsOut.foreach(_.set(i))
     labels
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * standard O(log n)-round MapReduce CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014; public algorithm).
+    * Label propagation needs O(component diameter) rounds: a 1M-hop chain
+    * component (pathological but real in fuzzy-threshold dedup graphs) is
+    * 1M checkpointed joins. The star operations instead REWRITE the edge
+    * set toward min-centered stars — each large-star hop halves long
+    * paths, so convergence is logarithmic in component size regardless of
+    * diameter. Per round: two grouped-min aggregates + two equi-joins on
+    * node id, nothing driver-sized; same fixpoint contract as
+    * [[connectedComponents]] ((id, cluster = component-min), one row per
+    * node appearing in `pairs`), proven equal in FunctionsLibSpec on
+    * chains, islands, self-pairs and the LSH pair graph.
+    *
+    * large-star(u): every neighbor v > u re-attaches to m(u) = min of
+    * u's closed neighborhood; small-star(u): every neighbor v ≤ u (and u
+    * itself) attaches to m(u). Both preserve connectivity; alternating
+    * them converges to stars centered at component minima. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "a_id",
+                              bCol: String = "b_id",
+                              maxIter: Int = 30,
+                              reliable: Boolean = false,
+                              roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+    val rel = reliable || Materialize.reliableRequested(pairs)
+    def sym(df: DataFrame): DataFrame =
+      df.unionAll(df.select(col("v").as("u"), col("u").as("v")))
+    def minsOf(e: DataFrame): DataFrame =
+      e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    var edges = Materialize(
+      sym(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .where(col("u") =!= col("v"))).distinct(), rel)
+    // set-equality probe: count + two independently-seeded order-invariant
+    // hash sums. Labels are not monotone under edge REWRITING (unlike
+    // propagation), so the sum-of-labels trick doesn't apply; an unchanged
+    // probe is the fixpoint (the edge set stopped changing). Sums run in
+    // DECIMAL(38,0) over mod-1e9 hash values — a raw BIGINT sum of 64-bit
+    // hashes overflows (ANSI error) past ~1e9 edges; two seeds put a
+    // sham-convergence collision at ~1e-18 per round, and the spec pins
+    // label equality against the propagation variant regardless.
+    def checksum(e: DataFrame): (Long, String, String) = {
+      def hsum(seed: Int) = sum(
+        pmod(xxhash64(lit(seed), col("u"), col("v")), lit(1000000007L))
+          .cast("decimal(38,0)"))
+      val r = e.agg(count(lit(1)), hsum(1), hsum(2)).head()
+      (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)))
+    }
+    var prev = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: symmetric edge list means every undirected edge shows
+      // up in its smaller endpoint's list as a larger neighbor — (v, m)
+      // with m ≤ u < v, so no self-loops to drop
+      val m1 = minsOf(edges)
+      val large = edges.join(m1, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = Materialize(sym(large).distinct(), rel)
+      // small-star: smaller-or-equal neighbors plus u itself onto m(u)
+      val m2 = minsOf(afterLarge)
+      val small = afterLarge.where(col("v") <= col("u")).join(m2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+      edges = Materialize(sym(small).distinct(), rel)
+      val s = checksum(edges)
+      converged = s == prev
+      prev = s
+      i += 1
+    }
+    roundsOut.foreach(_.set(i))
+    // stars: every node's closed-neighborhood min IS its component min;
+    // self-pair-only nodes (filtered with the u≠v guard) label themselves,
+    // matching the propagation variant's output exactly
+    val labels = minsOf(edges).select(col("u").as("id"), col("m").as("cluster"))
+    val selfOnly = pairs.where(col(aCol) === col(bCol))
+      .select(col(aCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    labels.unionAll(selfOnly)
   }
 
   /** Collapse a corpus to canonical survivors: for every component keep

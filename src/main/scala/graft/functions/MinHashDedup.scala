@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection (SURVEY.md §2.3 J, q_minhash_dedup;
@@ -18,12 +19,31 @@ import org.apache.spark.sql.functions._
   *   5. verify: exact Jaccard on the shingle sets of candidate pairs only.
   *
   * At 100 TB: step 4's shuffle is proportional to B × corpus (small, fixed
-  * B), and bucket sizes are bounded by hash uniformity; a pathological hot
-  * bucket (e.g., empty documents) should be salted or dropped by a bucket-
-  * size cap upstream. Jaccard-similar pairs collide in ≥1 band with
-  * probability 1-(1-s^R)^B (the standard S-curve).
+  * B), and bucket sizes are bounded by hash uniformity for DISTINCT
+  * content — but boilerplate corpora break uniformity: one band key shared
+  * by c near-identical documents yields c²/2 clique candidates, the one
+  * quadratic hazard of the pipeline. `maxBucket` bounds it: a bucket over
+  * the cap contributes a sorted id-chain of c−1 edges instead of the
+  * clique (`chainHotBuckets=true`, default) or is dropped outright
+  * (`false`). The chain preserves CONNECTED-COMPONENT reachability — every
+  * member of an over-cap bucket still reaches every other through the
+  * chain, so `dedup`/DedupClusters still collapse the whole cluster, which
+  * for the dominant mega-bucket cause (exact/near-exact boilerplate, every
+  * chain edge verifies at Jaccard ≈ 1) is result-identical to the clique —
+  * while individual PAIR recall inside an over-cap bucket is reduced when
+  * a chain edge fails the verify threshold (the documented trade; the
+  * clique's c² verify work is unpayable at corpus scale either way).
+  * Truncation is never silent: `hotBuckets` is the monitoring relation.
+  * Jaccard-similar pairs collide in ≥1 band with probability 1-(1-s^R)^B
+  * (the standard S-curve).
   */
 object MinHashDedup {
+
+  /** Default per-(band, bucket) document cap. Hash-uniform buckets stay in
+    * the low single digits even at 100 TB, so anything over this is
+    * boilerplate/degenerate content, not a statistical accident; the cap
+    * bounds per-bucket candidate volume at maxBucket × c instead of c². */
+  val DefaultMaxBucket: Int = 4096
 
   /** Distinct token n-gram shingles of a text column. Documents shorter
     * than n tokens yield an empty shingle set (guarded: Spark's
@@ -42,9 +62,9 @@ object MinHashDedup {
   def signature(sh: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
 
-  /** Candidate near-dup pairs (idCol pairs, a < b) via banded LSH. */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int = 2, bands: Int = 4, rows: Int = 4): DataFrame = {
+  /** The banded (mh_id, band_idx, band_hash) LSH key relation. */
+  private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, bands: Int, rows: Int): DataFrame = {
     val k = bands * rows
     // docs with no shingles (shorter than the shingle width) can't be
     // near-dup candidates — and would otherwise collide into one hot
@@ -53,29 +73,79 @@ object MinHashDedup {
         shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("mh_id"), signature(col("sh"), k).as("sig"))
-    val banded = sig.select(col("mh_id"),
+    sig.select(col("mh_id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((slice(col("sig"), b * rows + 1, rows) +: Seq(lit(b))): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
+  }
+
+  /** Over-cap band buckets (band_idx, band_hash, n_docs) — the truncation
+    * monitoring relation. `candidatePairs` chains or drops exactly these
+    * buckets; count/inspect them so the cap is observable, never silent.
+    * By construction ≤ corpus/maxBucket rows — always broadcastable. */
+  def hotBuckets(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 2, bands: Int = 4, rows: Int = 4,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedKeys(df, idCol, textCol, shingleN, bands, rows)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** Candidate near-dup pairs (idCol pairs, a < b) via banded LSH, with
+    * the hot-bucket cap applied (see the object scaladoc). */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 2, bands: Int = 4, rows: Int = 4,
+                     maxBucket: Int = DefaultMaxBucket,
+                     chainHotBuckets: Boolean = true): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
+    // three consumers (bucket counts + both self-join sides): materialize
+    // once — the production analog writes the banded relation to storage.
+    val banded = Materialize(
+      bandedKeys(df, idCol, textCol, shingleN, bands, rows))
+    // the over-cap key set is tiny by construction (≤ corpus/maxBucket),
+    // so both the anti-join and the chain semi-join broadcast it; the
+    // full banded relation is never shuffled a second time for the cap.
+    val hot = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") > maxBucket)
+      .select("band_idx", "band_hash")
+    val kept = banded.join(broadcast(hot), Seq("band_idx", "band_hash"),
+      "left_anti")
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    val clique = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.mh_id") < col("b.mh_id"))
       .select(col("a.mh_id").as("a_id"), col("b.mh_id").as("b_id"))
-      .distinct()
+    if (!chainHotBuckets) clique.distinct()
+    else {
+      // over-cap buckets: emit the sorted id-chain (c−1 edges) — linear
+      // candidate volume, full component reachability. The per-bucket sort
+      // is c·log c on one reducer (vs the clique's c² verify), and the
+      // bucket count is ≤ corpus/maxBucket, so chains parallelize across
+      // buckets.
+      val w = Window.partitionBy("band_idx", "band_hash").orderBy("mh_id")
+      val chains = banded
+        .join(broadcast(hot), Seq("band_idx", "band_hash"), "left_semi")
+        .withColumn("nxt", lead("mh_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("mh_id").as("a_id"), col("nxt").as("b_id"))
+      clique.unionAll(chains).distinct()
+    }
   }
 
   /** Verified near-duplicate pairs: LSH candidates filtered by exact
     * Jaccard >= threshold on the shingle sets. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleN: Int = 2,
-                         bands: Int = 4, rows: Int = 4): DataFrame = {
+                         bands: Int = 4, rows: Int = 4,
+                         maxBucket: Int = DefaultMaxBucket,
+                         chainHotBuckets: Boolean = true): DataFrame = {
     val sh = df.select(col(idCol).as("sh_id"),
       shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val cands = candidatePairs(df, idCol, textCol, shingleN, bands, rows)
+    val cands = candidatePairs(df, idCol, textCol, shingleN, bands, rows,
+      maxBucket, chainHotBuckets)
     NativeJaccard.register(df.sparkSession)
     val jac = call_function(NativeJaccard.name, col("sa.sh"), col("sb.sh"))
     cands
@@ -90,8 +160,9 @@ object MinHashDedup {
     * components; at 100 TB chains longer than one hop are rare for high
     * thresholds and can be closed by re-running to a fixpoint.) */
   def dedup(df: DataFrame, idCol: String, textCol: String,
-            threshold: Double): DataFrame = {
-    val dupIds = nearDuplicatePairs(df, idCol, textCol, threshold)
+            threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val dupIds = nearDuplicatePairs(df, idCol, textCol, threshold,
+      maxBucket = maxBucket)
       .select(col("b_id").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

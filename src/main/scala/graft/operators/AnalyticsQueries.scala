@@ -218,13 +218,20 @@ object AnalyticsQueries extends QueryModule {
     // predicate rides the JOIN and prunes candidates before any DP runs;
     // and the threshold form levenshtein(a,b,20) runs the banded O(n·20)
     // DP instead of the full O(n·m) table, returning -1 past the bound.
+    // Boilerplate-prefix corpora make the blocking key Zipfian (every
+    // scraped page opening with the same 24 chars lands in one block), so
+    // the self-join is grid-salted exactly like q_ngram_jaccard/
+    // q_fuzzy_pairs — identical result set, a hot block's |B|² DP work
+    // spread over S² shuffle cells.
     "q_editdist_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 24).as("blk"), col("text"),
           length(col("text")).as("len"))
-      d.as("a").join(d.as("b"),
+      val (a, b) = graft.functions.GridSalt.sides(d, col("doc_id"))
+      a.join(b,
           col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
+            && graft.functions.GridSalt.cellMatch
             && col("a.doc_id") < col("b.doc_id")
             && abs(col("a.len") - col("b.len")) <= 20)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -296,8 +296,23 @@ object DedupQueries extends QueryModule {
               (0 to 3).map(r => col(s"m${4 * b + r}")): _*).as("bk"))): _*))
           .as("s"))
         .select(col("doc_id"), col("s.band").as("band"), col("s.bk").as("bk"))
-        .transform(graft.functions.Materialize(_)) // both self-join sides; 4 narrow rows per doc
-      val cand = bands.as("a").join(bands.as("b"),
+        .transform(graft.functions.Materialize(_)) // hot-bucket count + both self-join sides; 4 narrow rows per doc
+      // hot-bucket cap, oracle-mirrored (HAVING <= cap in minhashCtes):
+      // a band bucket of c docs is c²/2 candidate pairs — the one
+      // quadratic hazard of the pipeline. Buckets over the cap are
+      // dropped on BOTH engines, so the candidate sets stay identical by
+      // construction; 512 is ~3x the largest fixture bucket (173 at
+      // sf0.1), so fixture results are unchanged and the cap only bites
+      // on degenerate boilerplate corpora. The over-cap key set is tiny
+      // by construction (≤ corpus/cap) → broadcast anti-join, no second
+      // shuffle of the banded relation. The library path
+      // (functions.MinHashDedup) additionally offers chain-edge semantics
+      // that keep over-cap clusters dedup-able; the oracle twin uses
+      // plain drop because DuckDB must replicate the choice exactly.
+      val hot = bands.groupBy("band", "bk").agg(count(lit(1)).as("n"))
+        .filter(col("n") > minhashMaxBucket).select("band", "bk")
+      val kept = bands.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+      val cand = kept.as("a").join(kept.as("b"),
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -319,6 +334,12 @@ object DedupQueries extends QueryModule {
         .select(col("id_a"), col("id_b"), pround4(col("jac_raw")).as("jac"))
         .orderBy("id_a", "id_b")
   }
+
+  /** Hot-band-bucket cap shared by the Spark body and the oracle CTE —
+    * must stay above every fixture bucket size (max measured: 173 at
+    * sf0.1) so the cap is semantics-preserving at test scale; the planted
+    * mega-bucket spec in FunctionsLibSpec exercises the over-cap path. */
+  private[graft] val minhashMaxBucket = 512
 
   /** Shared oracle CTE chain for the MinHash-LSH family; ends at
     * `pairs(id_a, id_b, jac)` — the verified near-dup pair list. */
@@ -354,8 +375,11 @@ object DedupQueries extends QueryModule {
         |    CAST(m8 AS VARCHAR) || '|' || m9 || '|' || m10 || '|' || m11,
         |    CAST(m12 AS VARCHAR) || '|' || m13 || '|' || m14 || '|' || m15
         |  ]) AS bk FROM mins),
+        |keptb AS (SELECT band, bk FROM bands GROUP BY band, bk
+        |  HAVING COUNT(*) <= """.stripMargin + minhashMaxBucket + """),
+        |kept AS (SELECT bands.* FROM bands JOIN keptb USING (band, bk)),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
+        |  FROM kept a JOIN kept b
         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter

@@ -602,6 +602,10 @@ object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 object AsofJoinOp {
 
+  private val SaltL = "__asof_salt_l"
+  private val SaltR = "__asof_salt_r"
+  private val HotFlag = "__asof_hot"
+
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
@@ -640,6 +644,98 @@ object AsofJoinOp {
     * otherwise. strategy = "merge" / "broadcast" forces a side;
     * broadcastRight = true is the legacy spelling of "broadcast".
     */
+  /** Sampled dominant-key detection for [[asofSkewSalted]]: the keys whose
+    * share of a `fraction` sample of `df` is at least `minShare`. The
+    * result is bounded by construction (at most 1/minShare keys), so it is
+    * always broadcastable; running it is one tiny sampled aggregate job —
+    * an explicit, caller-visible probe, because AQE's runtime skew-join
+    * splitting only rewrites Spark's own SMJ/SHJ and can never re-plan a
+    * custom exec's exchange. */
+  def detectHotKeys(df: DataFrame, keys: Seq[String],
+                    fraction: Double = 0.01,
+                    minShare: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fraction > 0 && fraction <= 1, s"bad sample fraction $fraction")
+    require(minShare > 0 && minShare <= 1, s"bad minShare $minShare")
+    val sampled = df.select(keys.map(col): _*)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .sample(fraction)
+    val counted = sampled.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__asof_n"))
+    // one driver-side scalar (the sample size) — bounded by design
+    val total = counted.agg(sum(col("__asof_n"))).head().getLong(0)
+    counted.filter(col("__asof_n") >= lit(math.max(1.0, total * minShare)))
+      .select(keys.map(col): _*)
+  }
+
+  /** Skew-safe as-of: identical semantics to [[asof]], with the DOMINANT
+    * keys' merge work spread over `saltBuckets` reducers. A custom exec's
+    * ClusteredDistribution exchange sends every row of a key to ONE
+    * reducer and AQE's skew-join splitting cannot rewrite it, so one
+    * mega-key (a bot user in an event stream) serializes the merge. The
+    * classic skew salt fixes it inside the SAME exec: left rows of a hot
+    * key take a deterministic time-hash salt in [0, saltBuckets); right
+    * rows of a hot key replicate into EVERY salt bucket; all other keys
+    * ride salt 0 unreplicated. Joining on keys + salt then gives every
+    * left row a complete copy of its key's right rows in its own bucket —
+    * the per-(key, salt) merge sees exactly the rows the per-key merge
+    * would, so the result set is identical by construction (AsofJoinSpec
+    * proves it row-for-row on a 90%-one-key fact side), while the hot
+    * key's O(n) probe work and sort spread across saltBuckets partitions.
+    * Replication cost is saltBuckets × (hot keys' right rows) ONLY — the
+    * non-skewed corpus is never copied, which is what makes this the
+    * 100 TB path: `hotKeys` is a tiny relation (from [[detectHotKeys]] or
+    * operator knowledge), broadcast into both sides as a membership flag.
+    *
+    * `hotKeys` must carry exactly `leftKeys`-named columns. Callers who
+    * want detection + salting in one call use strategy = "skewsalt" on
+    * [[asof]]. */
+  def asofSkewSalted(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String],
+      horizonMicros: Long,
+      hotKeys: DataFrame,
+      joinType: String = "inner",
+      direction: String = "backward",
+      saltBuckets: Int = 8): DataFrame = {
+    // NOT functions._ — the wildcard would shadow the left/right params
+    import org.apache.spark.sql.functions.{array, broadcast, col, explode,
+      lit, pmod, sequence, when, xxhash64}
+    require(saltBuckets >= 2, s"saltBuckets must be ≥ 2, got $saltBuckets")
+    require(hotKeys.columns.toSeq.sorted == leftKeys.sorted,
+      s"hotKeys columns [${hotKeys.columns.mkString(", ")}] must match " +
+        s"leftKeys [${leftKeys.mkString(", ")}]")
+    Seq(SaltL, SaltR, HotFlag).foreach { reserved =>
+      require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase(reserved)),
+        s"input already carries the reserved column $reserved — rename it")
+    }
+    val hkL = broadcast(
+      hotKeys.select(leftKeys.map(col): _*).distinct()
+        .withColumn(HotFlag, lit(1)))
+    val hkR = broadcast(
+      hotKeys.select(leftKeys.map(col): _*).distinct()
+        .toDF(rightKeys: _*).withColumn(HotFlag, lit(1)))
+    // deterministic left salt (time-hash): hot-key rows spread evenly and
+    // reproducibly; everything else lands in bucket 0 with no replication
+    val leftS = left.join(hkL, leftKeys, "left")
+      .withColumn(SaltL, when(col(HotFlag).isNotNull,
+        pmod(xxhash64(col(leftTime)), lit(saltBuckets.toLong)))
+        .otherwise(lit(0L)))
+      .drop(HotFlag)
+    val rightS = right.join(hkR, rightKeys, "left")
+      .withColumn(SaltR, explode(when(col(HotFlag).isNotNull,
+        sequence(lit(0L), lit(saltBuckets.toLong - 1)))
+        .otherwise(array(lit(0L)))))
+      .drop(HotFlag)
+    asof(leftS, rightS,
+      leftKeys :+ SaltL, rightKeys :+ SaltR,
+      leftTime, rightTime, rightTieBreak, horizonMicros,
+      joinType, direction = direction, strategy = "merge")
+      .drop(SaltL, SaltR)
+  }
+
   def asof(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
@@ -660,9 +756,22 @@ object AsofJoinOp {
       s"asof joinType must be inner or left, got $joinType")
     require(AsofDirection.valid(direction),
       s"asof direction must be backward, forward or nearest, got $direction")
-    require(Set("auto", "merge", "broadcast").contains(strategy),
-      s"asof strategy must be auto, merge or broadcast, got $strategy")
+    require(Set("auto", "merge", "broadcast", "skewsalt").contains(strategy),
+      s"asof strategy must be auto, merge, broadcast or skewsalt, got $strategy")
     val effStrategy = if (broadcastRight) "broadcast" else strategy
+    if (effStrategy == "skewsalt") {
+      // sampled dominant-key probe, then the salted rewrite over the SAME
+      // merge exec; a skew-free sample falls back to auto (a small right
+      // side should still broadcast — that path has no skew to begin with)
+      val hot = detectHotKeys(left, leftKeys)
+      return if (hot.isEmpty)
+        asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+          rightTieBreak, horizonMicros, joinType,
+          direction = direction, strategy = "auto")
+      else
+        asofSkewSalted(left, right, leftKeys, rightKeys, leftTime, rightTime,
+          rightTieBreak, horizonMicros, hot, joinType, direction)
+    }
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed

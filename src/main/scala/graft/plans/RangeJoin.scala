@@ -425,6 +425,24 @@ object RangeJoinOp {
       strategy: String = "auto"): DataFrame = {
     require(Set("auto", "broadcast", "partitioned").contains(strategy),
       s"strategy must be auto|broadcast|partitioned, got $strategy")
+    // validate the cross-path BIGINT contract up front: the broadcast stab
+    // accepts any orderable bound type, but the partitioned grid needs
+    // exact integer floor division — without this check a non-BIGINT
+    // caller WORKS while the interval side sits under the broadcast
+    // threshold, then breaks (or silently mis-buckets) the day its stats
+    // grow past it. Fail at plan time, deterministically, on every path.
+    Seq(valueCol -> facts, loCol -> intervals, hiCol -> intervals)
+      .foreach { case (n, df) =>
+        val hits = df.schema.fields.filter(_.name.equalsIgnoreCase(n))
+        require(hits.nonEmpty,
+          s"column $n not in [${df.columns.mkString(", ")}]")
+        hits.foreach(f => require(
+          f.dataType == org.apache.spark.sql.types.LongType,
+          s"rangeLookupAuto: $n must be BIGINT (the partitioned fallback's " +
+            s"grid math requires it), got ${f.dataType.simpleString} — " +
+            "cast explicitly, or call rangeLookup directly for " +
+            "orderable-typed broadcast-only stabs"))
+      }
     val bcast = strategy match {
       case "broadcast" => true
       case "partitioned" => false

@@ -34,7 +34,23 @@ object TopKSql {
   private val usage: String =
     s"""$name(table, groupCols, orderSpec, k [, rankCol]) —
        |string-literal names (groupCols/orderSpec comma-separated; order
-       |entries take an optional ASC|DESC suffix), integer-literal k""".stripMargin
+       |entries take an optional ASC|DESC suffix), integer-literal k.
+       |Column names must be plain identifiers ([A-Za-z_][A-Za-z0-9_]*):
+       |backticks, dots and embedded commas are not supported here — use
+       |the DataFrame form (TopKPerGroup.topKPerGroup) for such names""".stripMargin
+
+  private val PlainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** The comma/whitespace split above can't represent backticked names,
+    * dotted names (col() would parse them as struct access) or names with
+    * commas — reject them HERE with the TVF's own message instead of
+    * letting a confusing downstream resolution error surface. */
+  private def ident(c: String, what: String): String = c match {
+    case PlainIdent() => c
+    case _ => fail(s"$what entry '$c' is not a plain identifier " +
+      "([A-Za-z_][A-Za-z0-9_]*) — backticks/dots/commas are not supported " +
+      "in the TVF surface; use the DataFrame form for such names")
+  }
 
   /** Idempotent: registers the TVF and installs the top-k rewrite. */
   def install(spark: SparkSession): Unit = {
@@ -56,13 +72,14 @@ object TopKSql {
         s"got ${other.sql}")
     }
     val groupCols = str(1, "groupCols").split(",").map(_.trim).filter(_.nonEmpty)
+      .map(ident(_, "groupCols"))
     if (groupCols.isEmpty) fail("groupCols must name at least one column")
     val orderCols = str(2, "orderSpec").split(",").map(_.trim).filter(_.nonEmpty)
       .map { spec =>
         spec.split("\\s+") match {
-          case Array(c)       => col(c).asc
-          case Array(c, dir) if dir.equalsIgnoreCase("asc")  => col(c).asc
-          case Array(c, dir) if dir.equalsIgnoreCase("desc") => col(c).desc
+          case Array(c)       => col(ident(c, "orderSpec")).asc
+          case Array(c, dir) if dir.equalsIgnoreCase("asc")  => col(ident(c, "orderSpec")).asc
+          case Array(c, dir) if dir.equalsIgnoreCase("desc") => col(ident(c, "orderSpec")).desc
           case _ => fail(s"bad order entry '$spec' — use <col> [ASC|DESC]")
         }
       }

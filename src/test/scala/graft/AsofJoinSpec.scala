@@ -491,4 +491,94 @@ class AsofJoinSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("no_col"), e3.getMessage)
   }
+
+  // ---- hot-key skew salt (asofSkewSalted / strategy = "skewsalt") ----
+
+  /** 90%-one-key fact side: user 1 dominates; plus a sprinkle of normal
+    * users, null keys and null times to pin the edge semantics through
+    * the salted rewrite. */
+  private def skewedFact: DataFrame = {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-10 00:00:00").getTime
+    val rows = (0 until 1800).map(i =>
+      (i.toLong, Option(1L), Option(new java.sql.Timestamp(ts0 + i * 60000L)))) ++
+      (0 until 190).map(i =>
+        (5000L + i, Option(2L + (i % 19)),
+          Option(new java.sql.Timestamp(ts0 + i * 90000L)))) ++
+      Seq((9000L, None: Option[Long],
+            Option(new java.sql.Timestamp(ts0 + 1000L))),
+          (9001L, Option(1L), None: Option[java.sql.Timestamp]))
+    import spark.implicits._
+    rows.toDF("p_id", "user_id", "p_ts")
+  }
+
+  private def skewedDim: DataFrame = {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-10 00:00:00").getTime
+    val rows = (0 until 400).map(i =>
+      (100000L + i, Option(1L + (i % 25)),
+        Option(new java.sql.Timestamp(ts0 + i * 173000L))))
+    import spark.implicits._
+    rows.toDF("c_id", "c_user", "c_ts")
+  }
+
+  test("skew salt: 90%-one-key fact side is row-identical to the plain merge, all directions") {
+    import spark.implicits._
+    val hot = Seq(1L).toDF("user_id")
+    for (dir <- Seq("backward", "forward", "nearest");
+         jt <- Seq("inner", "left")) {
+      val plain = AsofJoinOp.asof(skewedFact, skewedDim,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+          H7D, joinType = jt, direction = dir, strategy = "merge")
+        .select("p_id", "c_id").orderBy("p_id")
+        .collect().map(_.toSeq).toSeq
+      val salted = AsofJoinOp.asofSkewSalted(skewedFact, skewedDim,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+          H7D, hotKeys = hot, joinType = jt, direction = dir,
+          saltBuckets = 4)
+        .select("p_id", "c_id").orderBy("p_id")
+        .collect().map(_.toSeq).toSeq
+      assert(plain.nonEmpty, s"$dir/$jt produced no rows")
+      assert(salted == plain, s"$dir/$jt diverged under the salt")
+    }
+  }
+
+  test("skew salt: plan keeps the merge exec, exchanges carry the salt, hot key spreads") {
+    import spark.implicits._
+    val hot = Seq(1L).toDF("user_id")
+    val df = AsofJoinOp.asofSkewSalted(skewedFact, skewedDim,
+      Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+      H7D, hotKeys = hot, saltBuckets = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin") && !plan.contains("AsofJoinBroadcast"),
+      s"salted rewrite left the merge exec:\n$plan")
+    assert(plan.contains("__asof_salt_l") && plan.contains("__asof_salt_r"),
+      s"salt columns missing from the exchanges:\n$plan")
+    // the hot key's left rows really occupy every salt bucket
+    val spread = skewedFact.filter(col("user_id") === 1L)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("p_ts")),
+        org.apache.spark.sql.functions.lit(4L)).as("salt"))
+      .distinct().count()
+    assert(spread == 4L, s"hot key only landed in $spread of 4 salt buckets")
+  }
+
+  test("skew salt: strategy=skewsalt detects the dominant key end-to-end") {
+    val viaStrategy = AsofJoinOp.asof(skewedFact, skewedDim,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        H7D, strategy = "skewsalt")
+      .select("p_id", "c_id").orderBy("p_id")
+      .collect().map(_.toSeq).toSeq
+    val plain = AsofJoinOp.asof(skewedFact, skewedDim,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+        H7D, strategy = "merge")
+      .select("p_id", "c_id").orderBy("p_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaStrategy == plain)
+    // and the detector itself flags exactly the planted key at full sample
+    val hot = AsofJoinOp.detectHotKeys(skewedFact, Seq("user_id"),
+      fraction = 1.0, minShare = 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot == Seq(1L), s"detector found $hot")
+  }
 }

@@ -39,6 +39,63 @@ class FunctionsLibSpec extends SparkSpec {
     assert(!kept.contains(9002L))
   }
 
+  /** documents plus a planted 50-doc mega-bucket (identical boilerplate
+    * text) — every pair of the 50 collides in EVERY band, the degenerate
+    * shape the hot-bucket cap exists for. */
+  private lazy val megaBucket = {
+    val docs = table("documents").select("doc_id", "text")
+    val boiler = (0 until 50).map(i =>
+      (9100L + i, "lorem ipsum boilerplate footer text repeated verbatim"))
+      .toDF("doc_id", "text")
+    docs.unionByName(boiler)
+  }
+
+  test("hot-bucket cap: chain mode bounds candidates, keeps the cluster connected") {
+    val planted = (9100L until 9150L).toSet
+    val cands = MinHashDedup
+      .candidatePairs(megaBucket, "doc_id", "text", maxBucket = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val inBucket = cands.filter(p => planted(p._1) && planted(p._2))
+    // clique would be 50*49/2 = 1225 pairs; the chain is exactly 49 —
+    // same 49 consecutive-id edges from every band, collapsed by distinct
+    assert(inBucket.length == 49,
+      s"expected the 49-edge chain, got ${inBucket.length} pairs")
+    assert(inBucket.toSet == (9100L until 9149L).map(i => (i, i + 1)).toSet)
+    // reachability: dedup collapses the whole cluster through the chain
+    val kept = MinHashDedup.dedup(megaBucket, "doc_id", "text", 0.5,
+      maxBucket = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(planted) == Set(9100L),
+      s"chain should leave one survivor, kept ${kept.intersect(planted)}")
+  }
+
+  test("hot-bucket cap: drop mode excludes the bucket and hotBuckets reports it") {
+    val planted = (9100L until 9150L).toSet
+    val cands = MinHashDedup
+      .candidatePairs(megaBucket, "doc_id", "text", maxBucket = 8,
+        chainHotBuckets = false)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(!cands.exists(p => planted(p._1) && planted(p._2)),
+      "over-cap bucket pairs must be dropped in drop mode")
+    // the truncation is visible, not silent: all 4 bands report the bucket
+    val hot = MinHashDedup.hotBuckets(megaBucket, "doc_id", "text",
+      maxBucket = 8).collect()
+    assert(hot.length == 4, s"expected 4 hot band buckets, got ${hot.length}")
+    assert(hot.forall(_.getAs[Long]("n_docs") == 50L))
+  }
+
+  test("hot-bucket cap above all bucket sizes is a no-op") {
+    val base = MinHashDedup
+      .candidatePairs(planted, "doc_id", "text", maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = MinHashDedup
+      .candidatePairs(planted, "doc_id", "text", maxBucket = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == capped)
+  }
+
   test("MinHash signature is deterministic and length B*R") {
     val sig = planted.select(MinHashDedup.signature(
       MinHashDedup.shingles(col("text"), 2), 16).as("s"))
@@ -96,6 +153,42 @@ class FunctionsLibSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     // one survivor per component + the untouched singleton 7
     assert(kept == Seq(1L, 7L, 10L))
+  }
+
+  test("DedupClusters: star variant equals propagation; fewer rounds at diameter") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // 16-hop chain (the diameter shape propagation pays O(D) rounds for),
+    // an island, a self-pair-only node, and a triangle
+    val pairs = ((1L to 16L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 101L), (200L, 200L), (50L, 51L), (51L, 52L), (50L, 52L)))
+      .toDF("a_id", "b_id")
+    val propRounds = new AtomicInteger
+    val starRounds = new AtomicInteger
+    val prop = DedupClusters
+      .connectedComponents(pairs, maxIter = 40, roundsOut = Some(propRounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = DedupClusters
+      .connectedComponentsStar(pairs, roundsOut = Some(starRounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, s"star diverged: $star vs $prop")
+    assert((1L to 16L).forall(star(_) == 1L))
+    assert(star(200L) == 200L && star(101L) == 100L && star(52L) == 50L)
+    // the O(log) claim, measured: propagation needs ~diameter rounds on
+    // the chain; the star alternation collapses it in a logarithmic few
+    assert(starRounds.get < propRounds.get,
+      s"star took ${starRounds.get} rounds vs propagation's ${propRounds.get}")
+    assert(starRounds.get <= 8,
+      s"expected O(log n) rounds on a 16-chain, got ${starRounds.get}")
+  }
+
+  test("DedupClusters: star variant matches propagation on the LSH pair graph") {
+    val pairs = MinHashDedup.nearDuplicatePairs(planted, "doc_id", "text", 0.5)
+      .select(col("a_id"), col("b_id"))
+    val prop = DedupClusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = DedupClusters.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
   }
 
   // MUST run before the reliable-checkpoint test below: SparkContext has
@@ -263,6 +356,58 @@ class FunctionsLibSpec extends SparkSpec {
     assert(top.length == 1)
     assert(top(0).getAs[Long]("vec_id") == 7L)
     assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("CosineLsh.planesForCount: sized to the target expected bucket, clamped") {
+    assert(CosineLsh.planesForCount(1000, 1024) == 2) // floor: never < 2
+    assert(CosineLsh.planesForCount(1L << 30, 1024L) == 20) // 2^30/2^20 = 1024
+    assert(CosineLsh.planesForCount(1L << 31, 1024L) == 21)
+    assert(CosineLsh.planesForCount(Long.MaxValue, 1L) == 24) // hard clamp
+    assert(CosineLsh.planesForCount(0, 1024) == 2)
+  }
+
+  test("CosineLsh: hot-bucket cap bounds candidates while planted recall holds") {
+    // controlled dim-8 corpus: 12 spread basis vectors, one isolated
+    // near-dup pair (200, 9007), and a 100-clone mega-cluster — the
+    // degenerate bucket shape the cap exists for
+    val dim = 8
+    def vec(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    val spread = (0 until 12).map { i =>
+      val v = Array.fill(dim)(0f); v(i % dim) = if (i < dim) 1f else -1f
+      (i.toLong, v)
+    }
+    val v200 = vec(0.6, 0.8, 0, 0, 0, 0, 0, 0)
+    val v9007 = vec(0.6 + 1e-6, 0.8, 0, 0, 0, 0, 0, 0)
+    val vm = vec(0, 0, 0, 0, 0, 0, 0.8, 0.6)
+    val mega = (0 until 100).map(i => (95000L + i, vm))
+    val corpus = (spread ++ Seq((200L, v200), (9007L, v9007)) ++ mega)
+      .toDF("vec_id", "embedding")
+    val np = CosineLsh.planesForCount(corpus.count(), targetBucketSize = 8)
+    assert(np == 4, s"expected 4 planes for 114 vecs @ target 8, got $np")
+
+    val pairs = CosineLsh.nearDuplicatePairs(corpus, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = np, dim = dim, maxBucket = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: the isolated near-dup pair lives in a small bucket → found
+    assert(pairs.contains((200L, 9007L)), s"planted pair lost in $pairs")
+    // boundedness: the mega-cluster contributes its 99-edge chain (every
+    // edge cosine 1, so the cluster stays one connected component), never
+    // the 4 950-pair clique
+    val megaPairs = pairs.filter(p => p._1 >= 95000L && p._2 >= 95000L)
+    assert(megaPairs == (95000L until 95099L).map(i => (i, i + 1)).toSet,
+      s"expected the 99-edge chain, got ${megaPairs.size} pairs")
+    // the truncation is observable, never silent
+    val hot = CosineLsh.bucketStats(corpus, "embedding", nPlanes = np,
+      dim = dim, maxBucket = 40).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("n_vecs") >= 100L),
+      s"bucketStats missed the mega bucket: ${hot.toSeq}")
+    // drop mode: mega pairs vanish, the isolated pair stays
+    val dropped = CosineLsh.nearDuplicatePairs(corpus, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = np, dim = dim, maxBucket = 40,
+        chainHotBuckets = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.contains((200L, 9007L)))
+    assert(!dropped.exists(p => p._1 >= 95000L && p._2 >= 95000L))
   }
 
   test("CosineLsh recall vs brute force is nonzero and buckets bound work") {

@@ -29,6 +29,13 @@ import graft.streaming.KafkaPipelines.KafkaConfig
   * reflection so this file compiles without kafka-clients on the build
   * classpath (it rides in with the connector at run time). A broker with
   * `auto.create.topics.enable` works even if the admin call is unavailable.
+  *
+  * Infra blocker, re-verified in the sandbox: no Kafka broker binaries
+  * anywhere on the image, no `spark-sql-kafka`/`kafka-clients` jar under
+  * /opt/spark/jars, and the resolver runs COURSIER_MODE=offline with zero
+  * egress — neither a broker nor the connector can be obtained in-sandbox,
+  * so the env gate above is the correct permanent posture here; the recipe
+  * block is the exact command for any environment that has both.
   */
 class KafkaIntegrationSpec extends SparkSpec {
   import spark.implicits._

@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
       s"grid-salt coordinates missing from the join keys:\n$plan")
   }
 
+  test("q_editdist_pairs: prefix-block self-join is grid-salted (bounded fan-out)") {
+    // the (lang, 24-char prefix) blocking key is Zipfian on boilerplate
+    // corpora — the self-join must carry the S×S grid coordinates so a
+    // hot prefix block's |B|² banded-DP work spreads over S² shuffle
+    // cells instead of serializing on one reducer
+    val plan = executed("q_editdist_pairs")
+    assert(plan.contains("ga#") && plan.contains("gb#"),
+      s"grid-salt coordinates missing from the join keys:\n$plan")
+  }
+
   test("q_scalar_subquery: the aggregate joins in as a broadcast, not a shuffle") {
     val plan = executed("q_scalar_subquery")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),

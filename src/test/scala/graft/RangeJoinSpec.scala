@@ -350,4 +350,25 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("alias"))
   }
+
+  test("auto strategy validates the BIGINT contract up front, on every path") {
+    // a timestamp/int-bound caller must fail at PLAN time even while the
+    // interval side would broadcast — not months later when its stats
+    // grow past the threshold and the grid fallback meets types its
+    // integer math can't handle
+    val fDf = Seq((1L, 5)).toDF("fid", "v") // v: INT, not BIGINT
+    val iDf = Seq((9L, 1L, 8L)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoinOp.rangeLookupAuto(fDf, iDf, "v", "lo", "hi",
+        bucketWidth = 10L)
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+    // the broadcast-only front door still takes orderable non-BIGINT types
+    val ok = RangeJoinOp.rangeLookup(
+      fDf.withColumn("v", col("v").cast("double")),
+      iDf.select(col("iid"), col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi")),
+      "v", "lo", "hi")
+    assert(ok.count() == 1)
+  }
 }

@@ -160,6 +160,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("measured candidate volume: LSH hot-bucket cap keeps the verify-join input linear") {
+    // The one quadratic hazard of the MinHash pipeline: c docs sharing a
+    // band bucket = c²/2 candidate pairs. Plant a 200-doc boilerplate
+    // bucket and measure the verify-join input (candidate count) directly:
+    // capped, the bucket contributes its 199-edge id-chain; uncapped it
+    // contributes the 19 900-pair clique. The cap must hold the TOTAL
+    // candidate volume to the base corpus' pairs + a linear remainder.
+    import spark.implicits._
+    val docs = table("documents").select("doc_id", "text")
+    val boiler = (0 until 200).map(i =>
+      (91000L + i, "shared boilerplate banner text on every mirrored page"))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(boiler)
+    val base = functions.MinHashDedup
+      .candidatePairs(docs, "doc_id", "text").count()
+    val capped = functions.MinHashDedup
+      .candidatePairs(corpus, "doc_id", "text", maxBucket = 16).count()
+    val clique = 200L * 199 / 2
+    // small slack: a fixture doc hash-colliding into the planted bucket
+    // lengthens the chain by one
+    assert(capped - base <= 205,
+      s"capped corpus added ${capped - base} candidates over the base " +
+        s"$base — expected the ~199-edge chain, not the $clique-pair clique")
+  }
+
   test("measured shuffle bytes: partial aggregation shrinks the exchange to group scale") {
     // lineitem is ~6k rows at this SF; after map-side partial aggregation
     // the exchange carries (groups × partitions) rows — a few KB, orders

@@ -66,6 +66,13 @@ class TopKPlanSpec extends SparkSpec {
         "at least one column")
       bad("SELECT * FROM topk_per_group('orders_v', 'o_orderpriority', 'o_totalprice', 3, 'o_orderkey')",
         "collides")
+      // non-plain identifiers fail with the TVF's own message, not a
+      // confusing downstream resolution error (backticks would otherwise
+      // feed col() verbatim; dots would parse as struct access)
+      bad("SELECT * FROM topk_per_group('orders_v', '`o_orderpriority`', 'o_totalprice', 3)",
+        "plain identifier")
+      bad("SELECT * FROM topk_per_group('orders_v', 'o_orderpriority', 'my.col DESC', 3)",
+        "plain identifier")
     } finally TopKPerGroup.uninstall(spark)
   }
 
