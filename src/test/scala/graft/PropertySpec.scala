@@ -177,22 +177,34 @@ class PropertySpec extends SparkSpec {
         (i, k, s.map(x => new Timestamp(x * 1000))) }
         .toDF("c_id", "c_user", "c_ts")
 
-      for (bcast <- Seq(false, true);
+      for (strat <- Seq("merge", "broadcast", "salted");
            dir <- Seq("backward", "forward", "nearest");
            outer <- Seq(false, true)) {
-        val got = AsofJoinOp.asof(lDf, rDf,
-            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
-            horizonMicros = hSec * 1000000L,
-            joinType = if (outer) "left" else "inner",
-            strategy = if (bcast) "broadcast" else "merge",
-            direction = dir)
+        // "salted" = the hot-key skew rewrite with EVERY key declared hot
+        // (all keys replicated across salt buckets — the strongest
+        // exercise of the salt's result-identity), pinned against the
+        // same independent model as the plain execs
+        val jt = if (outer) "left" else "inner"
+        val df =
+          if (strat == "salted")
+            AsofJoinOp.asofSkewSalted(lDf, rDf,
+              Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+              horizonMicros = hSec * 1000000L,
+              hotKeys = Seq(1L, 2L, 3L).toDF("user_id"),
+              joinType = jt, direction = dir, saltBuckets = 3)
+          else
+            AsofJoinOp.asof(lDf, rDf,
+              Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("c_id"),
+              horizonMicros = hSec * 1000000L,
+              joinType = jt, strategy = strat, direction = dir)
+        val got = df
           .select("p_id", "c_id").collect()
           .map(x => x.getLong(0) ->
             (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
         val m = model(dir)
         val expect = if (outer) m else m.filter(_._2.isDefined)
         assert(got == expect,
-          s"round=$round bcast=$bcast dir=$dir outer=$outer:\n" +
+          s"round=$round strat=$strat dir=$dir outer=$outer:\n" +
             s"got    ${got.toSeq.sortBy(_._1)}\n" +
             s"expect ${expect.toSeq.sortBy(_._1)}")
       }

@@ -99,6 +99,26 @@ class TpchGatedSpec extends SparkSpec {
     }
   }
 
+  test("plan lint: no cartesian; BNLJ only with a provably single-row side") {
+    // the PlanLintSpec contract extended to the gated registry (it only
+    // walks SparkEntry.queries): no CartesianProduct anywhere; a
+    // BroadcastNestedLoopJoin is legal only when one side is a global
+    // aggregate (Q11's one-row 0.0001-threshold broadcast), never a
+    // data-sized relation
+    extDir
+    for (name <- TpchGatedQueries.queries.keys.toSeq.sorted) {
+      val df = TpchGatedQueries.queries(name)(spark, extDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian:\n$plan")
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        assert(name == "q_tpch_q11" && plan.contains("Aggregate"),
+          s"$name has an unexpected BNLJ:\n$plan")
+    }
+  }
+
   test("parameter coverage: the planted fixture keeps the queries non-vacuous") {
     extDir
     for (name <- Seq("q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
