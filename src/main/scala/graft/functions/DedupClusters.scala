@@ -72,6 +72,15 @@ object DedupClusters {
       prevSum = s
       i += 1
     }
+    // a maxIter exit without convergence returns NON-MINIMAL labels —
+    // on a high-diameter component (propagation needs O(diameter)
+    // rounds) that is silently wrong clustering, so say so loudly; the
+    // star variant converges in O(log n) rounds on the same graph
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited at maxIter=$maxIter UNCONVERGED — " +
+          "labels may not be component minima; raise maxIter or use " +
+          "connectedComponentsStar (O(log n) rounds) for high-diameter graphs")
     roundsOut.foreach(_.set(i))
     labels
   }
@@ -146,6 +155,11 @@ object DedupClusters {
       prev = s
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar exited at maxIter=$maxIter UNCONVERGED — " +
+          "labels may not be component minima (should not happen below " +
+          "~2^30-node components; raise maxIter)")
     roundsOut.foreach(_.set(i))
     // stars: every node's closed-neighborhood min IS its component min;
     // self-pair-only nodes (filtered with the u≠v guard) label themselves,
