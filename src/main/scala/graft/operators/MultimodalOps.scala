@@ -120,6 +120,132 @@ object MultimodalOps {
     }
   }
 
+  case class AvMeta(id: Long, kind: String, duration_ms: Long,
+                    sample_rate: Int, channels: Int, n_bytes: Long,
+                    valid: Boolean)
+
+  /** Pure-JVM audio/video container header parser — the audio/video leg of
+    * the multimodal contract, same philosophy as [[ImageHeaderCodec]]:
+    * container headers are documented fixed-endian fields, so duration /
+    * sample-rate / channel metadata parses for real without any media
+    * library; sample decode stays out of scope.
+    *
+    * Formats:
+    *   - WAV (RIFF spec): "RIFF" + size + "WAVE", then even-padded chunks
+    *     of (id(4), size(le32)). "fmt " carries format/channels(le16),
+    *     sampleRate/byteRate(le32); the "data" chunk size over byteRate
+    *     gives duration.
+    *   - MP4 (ISO BMFF spec): big-endian (size(4), type(4)) box walk —
+    *     size==1 switches to a 64-bit largesize. Duration lives in
+    *     moov/mvhd: version 0 packs timescale/duration as 32-bit at
+    *     offsets 12/16 past the box header, version 1 as 32/64-bit at
+    *     20/24 (8-byte creation/modification times).
+    * Anything unrecognized/truncated ⇒ valid=false, zero fields. */
+  object AvHeaderCodec {
+    def open(): AvHeaderCodec = new AvHeaderCodec
+  }
+  final class AvHeaderCodec {
+    private def u8(b: Array[Byte], i: Int): Int = java.lang.Byte.toUnsignedInt(b(i))
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      i + 4 <= b.length && (0 until 4).forall(k => (b(i + k) & 0xFF) == s.charAt(k))
+
+    private val none = ("", 0L, 0, 0, false)
+
+    private def wav(b: Array[Byte]): (String, Long, Int, Int, Boolean) = {
+      if (b.length < 12 || !tag(b, 8, "WAVE")) return none
+      var i = 12
+      var sampleRate = 0; var channels = 0; var byteRate = 0L
+      var dataBytes = -1L
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        val body = i + 8
+        if (tag(b, i, "fmt ")) {
+          if (size < 16 || body + 16 > b.length) return none
+          channels = le16(b, body + 2)
+          sampleRate = le32(b, body + 4).toInt
+          byteRate = le32(b, body + 8)
+        } else if (tag(b, i, "data")) {
+          dataBytes = size
+        }
+        i = body + size.toInt + (size.toInt & 1) // chunks are even-padded
+      }
+      if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataBytes < 0) none
+      else ("wav", dataBytes * 1000 / byteRate, sampleRate, channels, true)
+    }
+
+    /** Walk sibling boxes in [from, to) looking for `box`; returns the
+      * (bodyStart, bodyEnd) of the first match. */
+    private def findBox(b: Array[Byte], from: Int, to: Int,
+                        box: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size32 = be32(b, i)
+        val (body, end) =
+          if (size32 == 1L) {
+            if (i + 16 > to) return None
+            (i + 16, i + be64(b, i + 8))
+          } else if (size32 == 0L) (i + 8, to.toLong) // box extends to EOF
+          else (i + 8, i + size32)
+        if (end < body || end > to) return None
+        if (tag(b, i + 4, box)) return Some((body, end.toInt))
+        i = end.toInt
+      }
+      None
+    }
+
+    private def mp4(b: Array[Byte]): (String, Long, Int, Int, Boolean) = {
+      val r = for {
+        (moovBody, moovEnd) <- findBox(b, 0, b.length, "moov")
+        (mvhdBody, mvhdEnd) <- findBox(b, moovBody, moovEnd, "mvhd")
+      } yield {
+        val version = u8(b, mvhdBody)
+        val (tsOff, durLen) = if (version == 1) (20, 8) else (12, 4)
+        if (mvhdBody + tsOff + 4 + durLen > mvhdEnd) none
+        else {
+          val timescale = be32(b, mvhdBody + tsOff)
+          val duration =
+            if (durLen == 8) be64(b, mvhdBody + tsOff + 4)
+            else be32(b, mvhdBody + tsOff + 4)
+          if (timescale <= 0 || duration < 0) none
+          else ("mp4", duration * 1000 / timescale, 0, 0, true)
+        }
+      }
+      r.getOrElse(none)
+    }
+
+    /** (kind, durationMs, sampleRate, channels, valid); detection is by
+      * magic bytes (RIFF header / an ftyp-or-moov leading box). */
+    def decodeMeta(payload: Array[Byte]): (String, Long, Int, Int, Boolean) = {
+      val b = payload
+      if (b == null || b.length < 12) none
+      else if (tag(b, 0, "RIFF")) wav(b)
+      else if (tag(b, 4, "ftyp") || tag(b, 4, "moov")) mp4(b)
+      else none
+    }
+  }
+
+  /** Audio/video metadata decode — same per-partition codec contract as
+    * [[decodeMeta]]. */
+  def decodeAvMeta(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[AvMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = AvHeaderCodec.open()
+      it.map { r =>
+        val (kind, durMs, rate, ch, ok) = codec.decodeMeta(r.media)
+        AvMeta(r.id, kind, durMs, rate, ch,
+          if (r.media == null) 0L else r.media.length.toLong, ok)
+      }
+    }
+  }
+
   /** Build a media table from any (id, payload-bytes) source. In tests the
     * payloads are fixture text bytes; in production, binaryFile reads. */
   def mediaTable(df: DataFrame, idCol: String, payloadCol: String,

@@ -26,7 +26,24 @@ object TextQueries extends QueryModule {
         .filter(length(col("word")) > 0)
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("word").asc))
+        .orderBy(col("cnt").desc, col("word").asc)),
+
+    // Exact frequent words (count strictly above 1/500 of all tokens) via
+    // the two-pass Misra–Gries plan: pass 1 is ONE scan producing (n, a
+    // ≤500-counter summary) whose shuffle is 500 pairs per partition
+    // regardless of vocabulary size; pass 2 exact-counts only the
+    // candidates (broadcast InSet filter). At open-ended key cardinality
+    // this replaces a full groupBy-all-keys shuffle with a
+    // candidate-bounded one — see functions/HeavyHitters.scala for the
+    // superset guarantee that makes the result EXACT, and the integer
+    // `cnt * 500 > n` threshold both engines evaluate identically.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      graft.functions.HeavyHitters.exactHeavyHitters(tok, "word", 500)
+        .orderBy(col("cnt").desc, col("word").asc)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -35,6 +52,18 @@ object TextQueries extends QueryModule {
         |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
         |WHERE LENGTH(word) > 0
         |GROUP BY word
+        |ORDER BY cnt DESC, word ASC""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT word
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT word, COUNT(*) AS cnt
+        |FROM tok, tot
+        |GROUP BY word, n
+        |HAVING COUNT(*) * 500 > n
         |ORDER BY cnt DESC, word ASC""".stripMargin
   )
 }

@@ -124,6 +124,78 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- planted audio/video container bytes (built to the public specs) ----
+
+  /** Minimal WAV: RIFF/WAVE + fmt(16) + data chunk of `dataBytes`. */
+  private def wavBytes(rate: Int, channels: Int, bitsPerSample: Int,
+                       dataBytes: Int): Array[Byte] = {
+    val byteRate = rate * channels * bitsPerSample / 8
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+    out.putShort((channels * bitsPerSample / 8).toShort)
+    out.putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    out.put(new Array[Byte](dataBytes))
+    out.array()
+  }
+
+  /** Minimal MP4: ftyp box + moov/mvhd with the given timescale/duration. */
+  private def mp4Bytes(timescale: Int, duration: Long,
+                       version: Int = 0): Array[Byte] = {
+    val mvhdBody = if (version == 1) 4 + 8 + 8 + 4 + 8 else 4 + 4 + 4 + 4 + 4
+    val mvhdSize = 8 + mvhdBody
+    val moovSize = 8 + mvhdSize
+    val out = java.nio.ByteBuffer.allocate(16 + moovSize)
+    out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    out.put("isom".getBytes("US-ASCII")).putInt(512)
+    out.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    out.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    out.put(version.toByte).put(new Array[Byte](3)) // version + flags
+    if (version == 1) {
+      out.putLong(0L).putLong(0L) // creation/modification (64-bit)
+      out.putInt(timescale).putLong(duration)
+    } else {
+      out.putInt(0).putInt(0) // creation/modification (32-bit)
+      out.putInt(timescale).putInt(duration.toInt)
+    }
+    out.array()
+  }
+
+  test("decodeAvMeta parses planted WAV and MP4 (mvhd v0 and v1) headers") {
+    val planted = Seq(
+      // 44100 Hz stereo 16-bit, 1s of samples: 176400 data bytes
+      MediaRecord(1L, wavBytes(44100, 2, 16, 176400), "wav"),
+      MediaRecord(2L, mp4Bytes(timescale = 600, duration = 1800), "mp4"),  // 3 s
+      MediaRecord(3L, mp4Bytes(timescale = 90000, duration = 450000, version = 1), "mp4")) // 5 s
+    val metas = MultimodalOps.decodeAvMeta(spark, planted.toDS())
+      .collect().map(m => m.id -> m).toMap
+    assert(metas(1L).kind == "wav" && metas(1L).valid)
+    assert(metas(1L).duration_ms == 1000)
+    assert(metas(1L).sample_rate == 44100 && metas(1L).channels == 2)
+    assert(metas(2L).kind == "mp4" && metas(2L).valid && metas(2L).duration_ms == 3000)
+    assert(metas(3L).kind == "mp4" && metas(3L).valid && metas(3L).duration_ms == 5000)
+  }
+
+  test("decodeAvMeta rejects truncated, mislabeled, and non-AV payloads") {
+    val bad = Seq(
+      MediaRecord(1L, "plain text, not a container".getBytes("UTF-8"), "wav"),
+      MediaRecord(2L, wavBytes(44100, 2, 16, 1000).take(20), "wav"),   // truncated fmt
+      MediaRecord(3L, mp4Bytes(600, 1800).take(18), "mp4"),            // ftyp only, no moov
+      MediaRecord(4L, wavBytes(0, 0, 8, 0), "wav"),                    // zero-rate fmt
+      MediaRecord(5L, null, "mp4"),
+      MediaRecord(6L, pngBytes(64, 64), "wav"))                        // an image, mislabeled audio
+    val metas = MultimodalOps.decodeAvMeta(spark, bad.toDS()).collect()
+    assert(metas.length == 6)
+    metas.foreach { m =>
+      assert(!m.valid, s"id=${m.id} should be invalid")
+      assert(m.duration_ms == 0 && m.sample_rate == 0)
+    }
+  }
+
   test("binaryFile source reads fixture files as payloads") {
     val bf = MultimodalOps.readBinaryFiles(spark, s"$sf/region.parquet")
     val rows = bf.collect()

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.ZOrderWrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Z-order layout writer (sources/ZOrderWrite.scala): per-file min/max
+  * tightness on ALL clustered columns — the property parquet row-group
+  * skipping feeds on. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 64×64 uniform grid, 4 rows per cell — two independent dimensions. */
+  private lazy val grid: DataFrame =
+    spark.range(0, 64L * 64 * 4).select(
+      (col("id") % 64).cast("int").as("x"),
+      ((col("id") / 64) % 64).cast("int").as("y"),
+      col("id").as("payload"))
+
+  /** Average per-file (max−min)/range width of `c` after writing `df`. */
+  private def avgFileWidth(df: DataFrame, write: DataFrame => DataFrame,
+                           c: String): Double = {
+    val dir = Files.createTempDirectory("graft-zorder").toFile
+    dir.deleteOnExit()
+    write(df).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    val widths = back
+      .groupBy(input_file_name().as("f"))
+      .agg(((max(col(c)) - min(col(c))) / 63.0).as("w"))
+      .select(avg("w")).head().getDouble(0)
+    widths
+  }
+
+  test("z-order keeps BOTH dimensions tight; single-column sort only one") {
+    val files = 16
+    val zx = avgFileWidth(grid, d => ZOrderWrite.zorderBy(d, Seq("x", "y"), files, bits = 6), "x")
+    val zy = avgFileWidth(grid, d => ZOrderWrite.zorderBy(d, Seq("x", "y"), files, bits = 6), "y")
+    // naive layout: range-sorted by x only
+    val nx = avgFileWidth(grid, d => d.repartitionByRange(files, col("x")), "x")
+    val ny = avgFileWidth(grid, d => d.repartitionByRange(files, col("x")), "y")
+
+    // 16 files over a 64×64 grid → ideal z-tiles are 16×16 cells: ~25%
+    // width per dimension. Allow slack for sample-quantile edges.
+    assert(zx < 0.40, s"z-order x width $zx not tight")
+    assert(zy < 0.40, s"z-order y width $zy not tight")
+    assert(nx < 0.20, s"x-sorted baseline should be tight on x, got $nx")
+    assert(ny > 0.90, s"x-sorted baseline should be full-width on y, got $ny")
+  }
+
+  test("layout preserves the exact row multiset") {
+    val out = ZOrderWrite.zorderBy(grid, Seq("x", "y"), 8, bits = 6)
+    assert(out.columns.toSeq == grid.columns.toSeq, "helper column leaked")
+    val a = out.groupBy("x", "y").count().orderBy("x", "y").collect().toSeq
+    val b = grid.groupBy("x", "y").count().orderBy("x", "y").collect().toSeq
+    assert(a == b)
+  }
+
+  test("string columns cluster too") {
+    val docs = table("documents").select("doc_id", "lang", "source")
+    val dir = Files.createTempDirectory("graft-zorder-str").toFile
+    dir.deleteOnExit()
+    ZOrderWrite.zorderBy(docs, Seq("lang", "source"), 4, bits = 4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == docs.count())
+    // each file should see a subset of langs, not all of them
+    val perFile = back.groupBy(input_file_name())
+      .agg(countDistinct("lang").as("nl")).select(avg("nl")).head().getDouble(0)
+    val total = docs.select(countDistinct("lang")).head().getLong(0).toDouble
+    assert(perFile < total, s"files average $perFile of $total langs — no clustering")
+  }
+
+  test("nulls and degenerate inputs don't break the layout") {
+    val withNulls = grid.withColumn("x",
+      when(col("payload") % 10 === 0, lit(null)).otherwise(col("x")))
+    val out = ZOrderWrite.zorderBy(withNulls, Seq("x", "y"), 4, bits = 4)
+    assert(out.count() == grid.count())
+
+    // empty input passes through
+    val empty = ZOrderWrite.zorderBy(grid.filter(lit(false)), Seq("x", "y"), 4)
+    assert(empty.count() == 0)
+
+    // contract violations fail fast
+    intercept[IllegalArgumentException] {
+      ZOrderWrite.zorderBy(grid, Seq("x"), 4, bits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderWrite.zorderBy(
+        grid.withColumn("b", col("payload").cast("string").cast("binary")),
+        Seq("b"), 4)
+    }
+  }
+}
