@@ -43,8 +43,9 @@ object HeavyHitters {
 
   /** One MG update: increment if tracked, adopt if a slot is free, else
     * decrement every counter (the classic "cancel k+1 distinct items"
-    * step — each such step accounts ≤ n/(k+1) total error). */
-  private def update(b: MGBuf, w: String): MGBuf =
+    * step — each such step accounts ≤ n/(k+1) total error).
+    * Package-visible: the streaming twin folds batches with it. */
+  private[graft] def update(b: MGBuf, w: String): MGBuf =
     b.counts.get(w) match {
       case Some(c) => b.copy(counts = b.counts.updated(w, c + 1))
       case None if b.counts.size < b.k => b.copy(counts = b.counts.updated(w, 1L))

@@ -75,6 +75,19 @@ object ZOrderWrite {
     out
   }
 
+  /** [[zorderBy]] with the file count derived from Catalyst's
+    * optimized-plan size statistics, exactly like [[OptimizeWrite.sized]]
+    * — one call sites both decisions (how many files, and how rows
+    * cluster into them). */
+  def zorderSized(df: DataFrame, cols: Seq[String],
+                  targetBytes: Long = 128L << 20, bits: Int = 12,
+                  sampleN: Int = 10000, seed: Long = 42L): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (estBytes / BigInt(targetBytes)).max(1).min(200000).toInt
+    zorderBy(df, cols, files, bits, sampleN, seed)
+  }
+
   /** Re-shape `df` into `numFiles` Z-ordered output partitions over
     * `cols`. Nulls rank into bucket 0. Returns a DataFrame with the input
     * schema — call `.write` on it. */

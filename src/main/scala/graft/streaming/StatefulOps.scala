@@ -338,6 +338,71 @@ object StatefulOps {
         OutputMode.Append())
   }
 
+  case class HitterEstimate(shard: Int, word: String, lower_bound: Long,
+                            shard_n: Long)
+  case class MGSketchState(counts: Map[String, Long], n: Long)
+
+  /** Cross-batch Misra–Gries heavy hitters, sharded — the streaming twin
+    * of functions/HeavyHitters (batch q_heavy_hitters).
+    *
+    * A single global sketch key would serialize the whole stream through
+    * one state task, so the stream is sharded by `hash(word) % shards`:
+    * each shard folds ITS words into a k-counter MG state. Because the
+    * shards PARTITION the word space (a word lives in exactly one shard),
+    * every per-shard guarantee is also global: a word with true count
+    * c > shardN/(k+1) in its shard — and a fortiori c > totalN/(k+1) — is
+    * present in that shard's summary, with a lower-bound count short by at
+    * most shardN/(k+1). State per shard is ≤ k counters + one long:
+    * bounded forever, at any stream length or vocabulary size.
+    *
+    * Each batch emits the owning shards' refreshed summaries (update
+    * mode) with the shard's running n, so a consumer can apply its own
+    * frequency threshold — or re-verify candidates exactly, mirroring the
+    * batch two-pass plan. `stateTtlMs > 0` expires an idle shard's sketch
+    * wholesale (TTLConfig), bounding state to the active window. */
+  class HeavyHitterProcessor(k: Int, stateTtlMs: Long = 0L)
+      extends StatefulProcessor[Int, String, HitterEstimate] {
+    import graft.functions.HeavyHitters.MGBuf
+    @transient private var sketch: ValueState[MGSketchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[MGSketchState](
+        "sketch", Encoders.product[MGSketchState],
+        if (stateTtlMs > 0) TTLConfig(Duration.ofMillis(stateTtlMs))
+        else TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[String],
+                                 timerValues: TimerValues): Iterator[HitterEstimate] = {
+      val prev =
+        if (sketch.exists()) sketch.get() else MGSketchState(Map.empty, 0L)
+      var buf = MGBuf(k, prev.counts)
+      var n = prev.n
+      rows.foreach { w =>
+        if (w != null) {
+          buf = graft.functions.HeavyHitters.update(buf, w)
+          n += 1
+        }
+      }
+      sketch.update(MGSketchState(buf.counts, n))
+      buf.counts.iterator.map { case (w, c) => HitterEstimate(shard, w, c, n) }
+    }
+  }
+
+  /** Streaming sharded MG heavy hitters via transformWithState (update
+    * mode). Shard assignment must be deterministic on the word so restarts
+    * route words to the same state — plain JVM hashCode is stable for
+    * String. */
+  def streamingHeavyHitters(spark: SparkSession, ds: Dataset[String],
+                            k: Int, shards: Int = 16,
+                            stateTtlMs: Long = 0L): Dataset[HitterEstimate] = {
+    import spark.implicits._
+    require(k > 0 && shards > 0, "streamingHeavyHitters: k and shards must be positive")
+    ds.groupByKey(w => math.floorMod(if (w == null) 0 else w.hashCode, shards))
+      .transformWithState(new HeavyHitterProcessor(k, stateTtlMs),
+        if (stateTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class SessionEvent(user: String, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionSummary(user: String, nEvents: Long, durationMs: Long)

@@ -694,4 +694,44 @@ class StreamingSpec extends SparkSpec {
         s"evicted bucket member still paired: $pairs")
     } finally q.stop()
   }
+
+  test("s_stateful: sharded streaming Misra-Gries heavy hitters across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val tail1 = (1 to 10).map(i => s"tail$i")
+      val tail2 = (11 to 20).map(i => s"tail$i")
+      val out = runToTable(
+        StatefulOps.streamingHeavyHitters(spark, in.toDS, k = 3, shards = 2).toDF,
+        "update",
+        () => in.addData(Seq.fill(15)("apple") ++ tail1: _*),
+        () => in.addData(Seq.fill(15)("apple") ++ tail2: _*))
+      val rows = out.as[(Int, String, Long, Long)].collect()
+      // apple's LATEST estimate (max shard_n emission) must reflect BOTH
+      // batches: lower bound within shardN/(k+1) of the true 30, and in
+      // particular above any single batch's 15 — cross-batch state, not a
+      // per-batch recount
+      val apple = rows.filter(_._2 == "apple").maxBy(_._4)
+      val shardN = apple._4
+      assert(apple._3 <= 30, s"MG must lower-bound: $apple")
+      assert(apple._3 >= 30 - shardN / 4.0, s"estimate too low: $apple (shardN=$shardN)")
+      assert(apple._3 > 15, s"estimate lost cross-batch state: $apple")
+      // a word is always summarized by ONE shard (shards partition words)
+      rows.groupBy(_._2).foreach { case (w, rs) =>
+        assert(rs.map(_._1).distinct.length == 1, s"$w spans shards: ${rs.toSeq}")
+      }
+      // per-shard state is bounded: no emission carries more than k words
+      rows.groupBy(r => (r._1, r._4)).foreach { case (sn, rs) =>
+        assert(rs.length <= 3, s"shard emission exceeds k: $sn -> ${rs.length}")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -71,6 +71,15 @@ class ZOrderSpec extends SparkSpec {
     assert(perFile < total, s"files average $perFile of $total langs — no clustering")
   }
 
+  test("zorderSized derives the file count from plan stats") {
+    // tiny data + huge target → one output partition; tiny target → many
+    val one = ZOrderWrite.zorderSized(grid, Seq("x", "y"), targetBytes = 1L << 40)
+    assert(one.rdd.getNumPartitions == 1)
+    val many = ZOrderWrite.zorderSized(grid, Seq("x", "y"), targetBytes = 4096)
+    assert(many.rdd.getNumPartitions > 1)
+    assert(many.count() == grid.count())
+  }
+
   test("nulls and degenerate inputs don't break the layout") {
     val withNulls = grid.withColumn("x",
       when(col("payload") % 10 === 0, lit(null)).otherwise(col("x")))
