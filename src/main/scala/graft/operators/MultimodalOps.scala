@@ -161,21 +161,25 @@ object MultimodalOps {
 
     private def wav(b: Array[Byte]): (String, Long, Int, Int, Boolean) = {
       if (b.length < 12 || !tag(b, 8, "WAVE")) return none
-      var i = 12
+      var i = 12L
       var sampleRate = 0; var channels = 0; var byteRate = 0L
       var dataBytes = -1L
       while (i + 8 <= b.length) {
-        val size = le32(b, i + 4)
-        val body = i + 8
-        if (tag(b, i, "fmt ")) {
+        val at = i.toInt
+        val size = le32(b, at + 4)
+        val body = at + 8
+        if (tag(b, at, "fmt ")) {
           if (size < 16 || body + 16 > b.length) return none
           channels = le16(b, body + 2)
           sampleRate = le32(b, body + 4).toInt
           byteRate = le32(b, body + 8)
-        } else if (tag(b, i, "data")) {
+        } else if (tag(b, at, "data")) {
           dataBytes = size
         }
-        i = body + size.toInt + (size.toInt & 1) // chunks are even-padded
+        // Long arithmetic: a corrupt 4-byte size near 2^32 would wrap Int
+        // and walk the cursor BACKWARDS — an executor-side infinite loop.
+        // Monotonic-progress is part of the parse contract.
+        i = body.toLong + size + (size & 1L) // chunks are even-padded
       }
       if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataBytes < 0) none
       else ("wav", dataBytes * 1000 / byteRate, sampleRate, channels, true)

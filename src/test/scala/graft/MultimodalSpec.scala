@@ -187,9 +187,14 @@ class MultimodalSpec extends SparkSpec {
       MediaRecord(3L, mp4Bytes(600, 1800).take(18), "mp4"),            // ftyp only, no moov
       MediaRecord(4L, wavBytes(0, 0, 8, 0), "wav"),                    // zero-rate fmt
       MediaRecord(5L, null, "mp4"),
-      MediaRecord(6L, pngBytes(64, 64), "wav"))                        // an image, mislabeled audio
+      MediaRecord(6L, pngBytes(64, 64), "wav"),                        // an image, mislabeled audio
+      MediaRecord(7L, { // corrupt chunk size near 2^32: must terminate, not loop
+        val w = wavBytes(44100, 2, 16, 100)
+        w(16 + 2) = 0xFF.toByte; w(16 + 3) = 0xFF.toByte // fmt size hi-bytes
+        w
+      }, "wav"))
     val metas = MultimodalOps.decodeAvMeta(spark, bad.toDS()).collect()
-    assert(metas.length == 6)
+    assert(metas.length == 7)
     metas.foreach { m =>
       assert(!m.valid, s"id=${m.id} should be invalid")
       assert(m.duration_ms == 0 && m.sample_rate == 0)
