@@ -160,6 +160,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("measured shuffle bytes: heavy-hitters recount shuffles candidates, not the corpus") {
+    // Pass 1 (the MG sketch agg, executed eagerly inside exactHeavyHitters)
+    // exchanges ≤ k counter-pairs per partition by construction — the
+    // Aggregator's partial/merge contract. What the returned plan executes
+    // is pass 2: the candidate-filtered exact recount + final sort. Its
+    // exchanges must carry word-count pairs for ≤ denom candidate words,
+    // never corpus-sized token volume.
+    val textBytes = table("documents")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    val shuffled = shuffleDataSize(q("q_heavy_hitters"))
+    info(f"q_heavy_hitters shuffled=$shuffled%9d text=$textBytes%9d ratio=${shuffled.toDouble / textBytes}%.4f")
+    assert(shuffled > 0, "expected at least one executed shuffle")
+    assert(shuffled < (textBytes * 0.05).toLong,
+      s"heavy-hitters recount shuffled $shuffled bytes vs $textBytes text bytes")
+  }
+
   test("measured candidate volume: LSH hot-bucket cap keeps the verify-join input linear") {
     // The one quadratic hazard of the MinHash pipeline: c docs sharing a
     // band bucket = c²/2 candidate pairs. Plant a 200-doc boilerplate
