@@ -41,9 +41,13 @@ class ZOrderSpec extends SparkSpec {
     val ny = avgFileWidth(grid, d => d.repartitionByRange(files, col("x")), "y")
 
     // 16 files over a 64×64 grid → ideal z-tiles are 16×16 cells: ~25%
-    // width per dimension. Allow slack for sample-quantile edges.
-    assert(zx < 0.40, s"z-order x width $zx not tight")
-    assert(zy < 0.40, s"z-order y width $zy not tight")
+    // width per dimension. RangePartitioner SAMPLES its boundaries, so a
+    // file can straddle an aligned tile edge and widen one dimension to
+    // ~2 tiles on a given run — bound each dimension at half-width and
+    // their mean tighter, vs the sort baseline's full-width y.
+    assert(zx < 0.55, s"z-order x width $zx not tight")
+    assert(zy < 0.55, s"z-order y width $zy not tight")
+    assert((zx + zy) / 2 < 0.45, s"z-order mean width ${(zx + zy) / 2} not tight")
     assert(nx < 0.20, s"x-sorted baseline should be tight on x, got $nx")
     assert(ny > 0.90, s"x-sorted baseline should be full-width on y, got $ny")
   }
