@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Generate a local ~sf1 (10x sf0.1) documents/events stress set.
+"""Generate a local ~sf1 (10x sf0.1) documents/events/embeddings stress set.
 
 Dev tooling only (like check.py): the shipped Scala library never reads
 this; it exists so the dedup family and the custom execs can be measured
@@ -95,6 +95,36 @@ def gen_events(out, scale):
     print(f"events: {n} rows")
 
 
+def gen_embeddings(out, scale):
+    """Scale the embedding corpus by `scale`: each copy of a real vector
+    gets small deterministic gaussian jitter, so cluster structure (labels,
+    LSH bucket distribution, IVF cell shape) stays faithful while the
+    corpus grows — near-dup planting falls out for free because jittered
+    copies are each other's near neighbors."""
+    rng = random.Random(20260814)
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SRC}/embeddings.parquet') ORDER BY vec_id").fetchall()
+    n0 = len(base)
+    ids, vecs, labels = [], [], []
+    for c in range(scale):
+        for (vid, emb, lab) in base:
+            ids.append(c * n0 + vid)
+            if c == 0:
+                vecs.append(list(emb))
+            else:
+                vecs.append([v + rng.gauss(0.0, 0.02) for v in emb])
+            labels.append(lab)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    print(f"embeddings: {len(ids)} rows")
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -102,11 +132,12 @@ def main():
     os.makedirs(out, exist_ok=True)
     gen_documents(out, scale)
     gen_events(out, scale)
+    gen_embeddings(out, scale)
     # the remaining tables aren't under stress test; link the sf0.1 copies
     # so Tables.load finds a complete directory
     import shutil
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "embeddings"]:
+              "lineitem"]:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{SRC}/{t}.parquet", dst)
