@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: the similarity family's scale paths measured against their
+  * exact baselines on one embeddings corpus —
+  *   1. near-dup pairs: exact all-pairs (the q_embed_neardup shape) vs the
+  *      LSH-bucketed candidate join (functions/CosineLsh), with pair
+  *      recall — the number the "all-pairs is forbidden at 100 TB, LSH is
+  *      the scale path" scaladocs point at;
+  *   2. probe top-k: brute-force scan vs IVF nProbe search
+  *      (functions/IvfIndex), with recall@k.
+  * Usage: runMain graft.AnnBench [sfDir] [threshold] [reps]
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/graft-sf1"
+    val threshold = if (args.length > 1) args(1).toDouble else 0.9
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.NativeCosine.register(spark)
+
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val n = e.count()
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+
+    def timeMedian(label: String)(run: () => Long): Long = {
+      run() // warm
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = run()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val med = times.map(_._1).sorted.apply(reps / 2)
+      println(f"[annbench] $label%-14s median $med%.3f s  rows=${times.head._2}")
+      times.head._2
+    }
+
+    // ---- 1. near-dup pairs at `threshold` ----
+    // the codegen'd native expression — an interpreted HOF chain inside a
+    // nested-loop condition is ~100x slower and would measure the
+    // expression, not the plan
+    def cosRaw(a: String, b: String) =
+      call_function(functions.NativeCosine.name, col(a), col(b))
+
+    def exactPairs: DataFrame = {
+      val a = e.repartition(col("vec_id"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(broadcast(b),
+        col("a_id") < col("b_id") && cosRaw("ea", "eb") > threshold)
+        .select("a_id", "b_id")
+    }
+    val nPlanes = functions.CosineLsh.planesForCount(n)
+    def lshPairs: DataFrame = functions.CosineLsh
+      .nearDuplicatePairs(e, "vec_id", "embedding", threshold,
+        nPlanes = nPlanes, dim = dim)
+      .select("a_id", "b_id")
+
+    timeMedian("pairs-exact")(() => exactPairs.count())
+    timeMedian(s"pairs-lsh-p$nPlanes")(() => lshPairs.count())
+    val exactSet = exactPairs.cache()
+    val hit = lshPairs.join(exactSet, Seq("a_id", "b_id"), "left_semi").count()
+    val tot = exactSet.count()
+    println(f"[annbench] pair recall    ${hit.toDouble / math.max(1, tot)}%.4f ($hit of $tot)")
+    exactSet.unpersist()
+
+    // ---- 2. probe top-k: brute force vs IVF ----
+    val k = 10
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    def bruteTopK: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(probes
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosRaw("embedding", "pv").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("probe_id", "vec_id")
+    }
+    val model = functions.IvfIndex.train(e, "embedding", k = 16)
+    def ivfTopK: DataFrame = functions.IvfIndex
+      .topK(e, probes, "vec_id", "embedding", model, k, nProbe = 2)
+      .select("probe_id", "vec_id")
+
+    timeMedian("topk-brute")(() => bruteTopK.count())
+    timeMedian("topk-ivf")(() => ivfTopK.count())
+    val bt = bruteTopK.cache()
+    val ihit = ivfTopK.join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
+    val itot = bt.count()
+    println(f"[annbench] topk recall@$k ${ihit.toDouble / math.max(1, itot)}%.4f ($ihit of $itot)")
+    bt.unpersist()
+    spark.stop()
+  }
+}

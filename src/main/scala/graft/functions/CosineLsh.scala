@@ -71,6 +71,10 @@ object CosineLsh {
       .filter(col("n_vecs") > maxBucket)
   }
 
+  // stream-side parallelism floor for the candidate joins — see
+  // Materialize.spread for the one-partition-corpus failure mode
+  private def spread(df: DataFrame): DataFrame = Materialize.spread(df)
+
   /** dot(vec, literal hyperplane) as a codegen'd fold. */
   private def dotLit(vec: Column, plane: Array[Double]): Column =
     aggregate(
@@ -97,12 +101,16 @@ object CosineLsh {
     array(b +: planes.indices.map(i => b.bitwiseXOR(lit(1 << i))): _*)
   }
 
-  private def cosine(a: Column, b: Column): Column = {
-    def norm2(v: Column) = aggregate(
-      transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0d), (acc, x) => acc + x)
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, v) => acc + v) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  /** Codegen'd verify cosine (NativeCosine). The HOF formulation
+    * (aggregate over zip_with) is bit-identical but a HigherOrderFunction
+    * is CodegenFallback — interpreted per element — and the verify step
+    * evaluates one cosine PER CANDIDATE PAIR, the hottest loop of the
+    * whole LSH plan: measured ~two orders of magnitude slower on a few
+    * million candidates. Registration is idempotent per session. */
+  private def cosine(spark: org.apache.spark.sql.SparkSession,
+                     a: Column, b: Column): Column = {
+    NativeCosine.register(spark)
+    call_function(NativeCosine.name, a, b)
   }
 
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):
@@ -126,9 +134,9 @@ object CosineLsh {
     require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
     val ps = planes(dim, nPlanes, seed)
     // three consumers (bucket counts + both self-join sides)
-    val keyed = Materialize(
+    val keyed = Materialize(spread(
       df.select(col(idCol).as("nd_id"), col(vecCol).as("nd_v"),
-        explode(multiProbeBuckets(col(vecCol), ps)).as("bkt")))
+        explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))))
     // over-cap bucket keys are ≤ (1+nPlanes)·corpus/maxBucket by
     // construction — broadcastable, so the cap never reshuffles `keyed`
     val hot = keyed.groupBy("bkt").agg(count(lit(1)).as("n_vecs"))
@@ -139,7 +147,7 @@ object CosineLsh {
     val clique = a.join(b,
         col("a.bkt") === col("b.bkt") && col("a.nd_id") < col("b.nd_id"))
       .select(col("a.nd_id").as("a_id"), col("b.nd_id").as("b_id"),
-        cosine(col("a.nd_v"), col("b.nd_v")).as("cos"))
+        cosine(df.sparkSession, col("a.nd_v"), col("b.nd_v")).as("cos"))
     val cands =
       if (!chainHotBuckets) clique
       else {
@@ -149,7 +157,7 @@ object CosineLsh {
           .withColumn("nxt_v", lead("nd_v", 1).over(w))
           .filter(col("nxt_id").isNotNull)
           .select(col("nd_id").as("a_id"), col("nxt_id").as("b_id"),
-            cosine(col("nd_v"), col("nxt_v")).as("cos"))
+            cosine(df.sparkSession, col("nd_v"), col("nxt_v")).as("cos"))
         clique.unionAll(chains)
       }
     cands
@@ -164,15 +172,16 @@ object CosineLsh {
            vecCol: String, k: Int, nPlanes: Int = 4,
            seed: Long = 42L, dim: Int = DefaultDim): DataFrame = {
     val ps = planes(dim, nPlanes, seed)
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      bucket(col(vecCol), ps).as("bkt"))
+    val c = spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      bucket(col(vecCol), ps).as("bkt")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
         explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     c.join(p, "bkt")
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), cosine(col("cv"), col("pv")).as("cos"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(corpus.sparkSession, col("cv"), col("pv")).as("cos"))
       // multi-probe can reach the same candidate via two bucket keys
       .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(w))

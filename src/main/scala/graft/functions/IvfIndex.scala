@@ -107,8 +107,12 @@ object IvfIndex {
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
            vecCol: String, m: Model, k: Int, nProbe: Int = 2): DataFrame =
     topKAssigned(
-      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-        assign(col(vecCol), m).as("cell")),
+      // spread BEFORE assign: cell scoring is k interpreted HOF folds per
+      // row (zip_with is CodegenFallback) and a one-file corpus would run
+      // them all — and the probe join after — in a single task
+      Materialize.spread(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+        .withColumn("cell", assign(col("cv"), m)),
       probes, idCol, vecCol, m, k, nProbe)
 
   /** [[topK]] over a corpus already carrying (vec_id, cv, cell) — shared
@@ -136,8 +140,9 @@ object IvfIndex {
     * at 100 TB each cell is a directory a planner can skip wholesale. */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  m: Model, path: String): Unit =
-    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-        assign(col(vecCol), m).as("cell"))
+    Materialize.spread(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+      .withColumn("cell", assign(col("cv"), m))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Search an on-disk index written by [[writeIndex]]: the equi-join on

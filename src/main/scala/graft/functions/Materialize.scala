@@ -43,4 +43,17 @@ object Materialize {
         s"$confKey=true needs SparkContext.setCheckpointDir(<durable path>)")
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
+
+  /** Floor a relation's parallelism at the session's default: a corpus
+    * read from one parquet file (or any narrow lineage) arrives as ONE
+    * partition, and everything downstream that doesn't shuffle —
+    * broadcast-join stream sides, per-row scoring, codegen-fallback
+    * expression evaluation — inherits that single task no matter how many
+    * cores the cluster has (measured: CosineLsh's whole sf1 verify join
+    * on one core). One linear round-robin exchange restores parallelism;
+    * skipped when the input is already spread. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
 }
