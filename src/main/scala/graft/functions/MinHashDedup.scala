@@ -100,8 +100,12 @@ object MinHashDedup {
     require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
     // three consumers (bucket counts + both self-join sides): materialize
     // once — the production analog writes the banded relation to storage.
-    val banded = Materialize(
-      bandedKeys(df, idCol, textCol, shingleN, bands, rows))
+    // spread: a one-file corpus arrives as ONE partition, and if the
+    // planner broadcasts one side of the self-join below, the stream side
+    // (and every banded-verify row with it) inherits that single task —
+    // see Materialize.spread (the CosineLsh fix, same shape)
+    val banded = Materialize(Materialize.spread(
+      bandedKeys(df, idCol, textCol, shingleN, bands, rows)))
     // the over-cap key set is tiny by construction (≤ corpus/maxBucket),
     // so both the anti-join and the chain semi-join broadcast it; the
     // full banded relation is never shuffled a second time for the cap.
