@@ -240,7 +240,7 @@ object MultimodalOps {
     * [[decodeMeta]]. */
   def decodeAvMeta(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[AvMeta] = {
     import spark.implicits._
-    media.mapPartitions { it =>
+    spreadDs(media).mapPartitions { it =>
       val codec = AvHeaderCodec.open()
       it.map { r =>
         val (kind, durMs, rate, ch, ok) = codec.decodeMeta(r.media)
@@ -266,12 +266,21 @@ object MultimodalOps {
       .select(col("path"), col("length").as("n_bytes"),
         col("content").as("media"))
 
+  /** Parallelism floor for the decode paths: a media table read from one
+    * parquet file is ONE partition, and mapPartitions inherits it — the
+    * whole corpus would decode in a single task (the Materialize.spread
+    * failure shape, Dataset-typed). */
+  private def spreadDs[T](ds: Dataset[T]): Dataset[T] = {
+    val want = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions * 2 < want) ds.repartition(want) else ds
+  }
+
   /** Decode metadata via mapPartitions — the batch-shaped decode path:
     * one codec per partition, streaming the iterator (no materialization
     * of the whole partition in memory). */
   def decodeMeta(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
     import spark.implicits._
-    media.mapPartitions { it =>
+    spreadDs(media).mapPartitions { it =>
       val codec = ImageHeaderCodec.open() // once per partition
       it.map { r =>
         val (w, h, ok) = codec.decodeMeta(r.media)
@@ -286,7 +295,7 @@ object MultimodalOps {
     * UDF: binary in, Array[Float] out, pure, per-row. */
   def byteHistogram(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
     import spark.implicits._
-    media.map { r =>
+    spreadDs(media).map { r =>
       val hist = new Array[Float](64)
       if (r.media != null && r.media.nonEmpty) {
         var i = 0

@@ -201,6 +201,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode paths floor parallelism on a one-partition media table") {
+    val one = mediaDs.coalesce(1)
+    assert(one.rdd.getNumPartitions == 1)
+    val want = spark.sparkContext.defaultParallelism
+    assert(MultimodalOps.decodeMeta(spark, one).rdd.getNumPartitions >= want,
+      "image decode inherited the single partition")
+    assert(MultimodalOps.decodeAvMeta(spark, one).rdd.getNumPartitions >= want,
+      "AV decode inherited the single partition")
+  }
+
   test("binaryFile source reads fixture files as payloads") {
     val bf = MultimodalOps.readBinaryFiles(spark, s"$sf/region.parquet")
     val rows = bf.collect()
