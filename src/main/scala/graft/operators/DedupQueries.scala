@@ -214,6 +214,37 @@ object DedupQueries extends QueryModule {
             .as("fp"))
         .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
         .orderBy("doc_id")
+    }),
+
+    // Span-level (sub-document) exact dedup — the RefinedWeb-style
+    // "duplicated substring" metric the document-level family can't see:
+    // per document, the fraction of its 8-token sliding spans that occur
+    // in at least one OTHER document, with an integer-exact keep rule
+    // (duplicated fraction strictly under 20%). Scale shape: spans
+    // shuffle as 16-hex-char md5 prefixes (16 bytes/span, NOT the ~50-byte
+    // span text — an 8× corpus shuffle otherwise); md5 exists bit-identical
+    // in both engines, so a collision (2^-64/pair) would be the SAME
+    // collision in the oracle. The span-count aggregate carries
+    // (hash, distinct-doc count) — bounded by vocabulary², map-side
+    // combined. Docs shorter than 8 tokens have no spans and drop out
+    // (inner join with the span relation), mirrored in the oracle.
+    "q_span_dedup" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread before the HOF span build
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 7),
+            |  i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"""
+            .stripMargin)).as("span_h"))
+      val sd = spans.groupBy("span_h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      spans.join(sd, "span_h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1).otherwise(0)).as("dup_spans"))
+        .withColumn("keep", col("dup_spans") * 5 < col("n_spans"))
+        .orderBy("doc_id")
     })
   )
 
@@ -407,6 +438,27 @@ object DedupQueries extends QueryModule {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY LOWER(TRIM(text)) ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list slicing t[i:i+7] is 1-based inclusive — identical to
+    // Spark slice(toks, i, 8); RANGE is end-exclusive vs Spark's inclusive
+    // sequence, hence the -6/-7 asymmetry. SUMs cast to BIGINT (DuckDB
+    // integer SUM is HUGEINT, which would dtype-mismatch the driver hash).
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |         SUBSTRING(MD5(ARRAY_TO_STRING(t[i:i+7], ' ')), 1, 16) AS span_h
+        |  FROM toks, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)
+        |  WHERE LEN(t) >= 8),
+        |sd AS (SELECT span_h, COUNT(DISTINCT doc_id) AS nd
+        |       FROM spans GROUP BY span_h)
+        |SELECT s.doc_id,
+        |       COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN sd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |       CAST(SUM(CASE WHEN sd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 5 < COUNT(*) AS keep
+        |FROM spans s JOIN sd USING (span_h)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH $minhashCtes
