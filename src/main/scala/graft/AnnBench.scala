@@ -57,7 +57,9 @@ object AnnBench {
         .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
       a.join(broadcast(b),
-        col("a_id") < col("b_id") && cosRaw("ea", "eb") > threshold)
+        // >= : the SAME comparator as CosineLsh.nearDuplicatePairs, so
+        // the ground-truth pair universe matches the leg it grades
+        col("a_id") < col("b_id") && cosRaw("ea", "eb") >= threshold)
         .select("a_id", "b_id")
     }
     val nPlanes = functions.CosineLsh.planesForCount(n)

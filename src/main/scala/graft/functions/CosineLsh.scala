@@ -110,7 +110,12 @@ object CosineLsh {
   private def cosine(spark: org.apache.spark.sql.SparkSession,
                      a: Column, b: Column): Column = {
     NativeCosine.register(spark)
-    call_function(NativeCosine.name, a, b)
+    // the native kernel is ARRAY<FLOAT>-typed; cast keeps the pre-native
+    // behavior of accepting any numeric array (double-typed corpora now
+    // verify in float precision — immaterial for an approximate candidate
+    // generator whose exact-verify downstream re-checks survivors)
+    call_function(NativeCosine.name,
+      a.cast("array<float>"), b.cast("array<float>"))
   }
 
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Lineage-cutting materialization for derived relations that are consumed
   * more than once (self-join sides, iterative label relations, multi-branch
@@ -52,8 +52,8 @@ object Materialize {
     * cores the cluster has (measured: CosineLsh's whole sf1 verify join
     * on one core). One linear round-robin exchange restores parallelism;
     * skipped when the input is already spread. */
-  private[graft] def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  private[graft] def spread[T](ds: Dataset[T]): Dataset[T] = {
+    val want = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions * 2 < want) ds.repartition(want) else ds
   }
 }

@@ -229,14 +229,17 @@ object DedupQueries extends QueryModule {
     // combined. Docs shorter than 8 tokens have no spans and drop out
     // (inner join with the span relation), mirrored in the oracle.
     "q_span_dedup" -> ((s, dir) => {
-      val spans = t(s, dir, "documents")
+      // two consumers (the span-count aggregate + the join back): cut the
+      // tokenize+md5 span build off the plan once — without the barrier
+      // only the exchange is reused and the dominant CPU runs twice
+      val spans = graft.functions.Materialize(t(s, dir, "documents")
         .repartition(col("doc_id")) // spread before the HOF span build
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(toks) - 7),
             |  i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"""
-            .stripMargin)).as("span_h"))
+            .stripMargin)).as("span_h")))
       val sd = spans.groupBy("span_h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       spans.join(sd, "span_h")

@@ -211,15 +211,24 @@ object MultimodalOps {
         (mvhdBody, mvhdEnd) <- findBox(b, moovBody, moovEnd, "mvhd")
       } yield {
         val version = u8(b, mvhdBody)
-        val (tsOff, durLen) = if (version == 1) (20, 8) else (12, 4)
-        if (mvhdBody + tsOff + 4 + durLen > mvhdEnd) none
+        // only mvhd versions 0 and 1 exist; reading a forward/corrupt
+        // version with v0 offsets would interpret creation-time bytes as
+        // timescale/duration and could come back "valid" with garbage
+        if (version > 1) none
         else {
-          val timescale = be32(b, mvhdBody + tsOff)
-          val duration =
-            if (durLen == 8) be64(b, mvhdBody + tsOff + 4)
-            else be32(b, mvhdBody + tsOff + 4)
-          if (timescale <= 0 || duration < 0) none
-          else ("mp4", duration * 1000 / timescale, 0, 0, true)
+          val (tsOff, durLen) = if (version == 1) (20, 8) else (12, 4)
+          if (mvhdBody + tsOff + 4 + durLen > mvhdEnd) none
+          else {
+            val timescale = be32(b, mvhdBody + tsOff)
+            val duration =
+              if (durLen == 8) be64(b, mvhdBody + tsOff + 4)
+              else be32(b, mvhdBody + tsOff + 4)
+            // duration*1000 must not wrap Long (a ~2^62-tick "duration"
+            // is corrupt data, not a 146-million-year video)
+            if (timescale <= 0 || duration < 0 ||
+                duration > Long.MaxValue / 1000) none
+            else ("mp4", duration * 1000 / timescale, 0, 0, true)
+          }
         }
       }
       r.getOrElse(none)
@@ -270,10 +279,8 @@ object MultimodalOps {
     * parquet file is ONE partition, and mapPartitions inherits it — the
     * whole corpus would decode in a single task (the Materialize.spread
     * failure shape, Dataset-typed). */
-  private def spreadDs[T](ds: Dataset[T]): Dataset[T] = {
-    val want = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions * 2 < want) ds.repartition(want) else ds
-  }
+  private def spreadDs[T](ds: Dataset[T]): Dataset[T] =
+    graft.functions.Materialize.spread(ds)
 
   /** Decode metadata via mapPartitions — the batch-shaped decode path:
     * one codec per partition, streaming the iterator (no materialization

@@ -39,7 +39,8 @@ object ZOrderWrite {
     * exceeds it. */
   private def boundariesOf[T](sorted: IndexedSeq[T], buckets: Int): IndexedSeq[T] =
     (1 until buckets).map { i =>
-      sorted(math.min(sorted.length - 1, i * sorted.length / buckets))
+      // Long math: i * length overflows Int past ~2^18 buckets
+      sorted(math.min(sorted.length - 1L, i.toLong * sorted.length / buckets).toInt)
     }
 
   private def bucketOfDouble(bounds: Array[Double], v: Double): Int = {
@@ -98,6 +99,10 @@ object ZOrderWrite {
     require(numFiles > 0, "zorderBy: numFiles must be positive")
     require(bits > 0 && cols.length * bits <= 63,
       s"zorderBy: ${cols.length} cols × $bits bits exceeds the 63-bit Morton key")
+    // ranks come from a ≤ sampleN sample, so finer than log2(sampleN)
+    // bits is pure noise — and 1 << bits wraps an Int at 31+
+    require(bits <= 20,
+      s"zorderBy: $bits rank bits exceeds the 20-bit sample resolution cap")
     val buckets = 1 << bits
 
     // rankable projection: everything orderable-numeric goes through

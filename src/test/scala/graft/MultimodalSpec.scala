@@ -192,9 +192,14 @@ class MultimodalSpec extends SparkSpec {
         val w = wavBytes(44100, 2, 16, 100)
         w(16 + 2) = 0xFF.toByte; w(16 + 3) = 0xFF.toByte // fmt size hi-bytes
         w
-      }, "wav"))
+      }, "wav"),
+      // mvhd versions beyond 1 don't exist — v0-offset reads would yield
+      // garbage marked valid
+      MediaRecord(8L, mp4Bytes(600, 1800, version = 7), "mp4"),
+      // a ~2^62-tick duration would wrap duration*1000 into a negative ms
+      MediaRecord(9L, mp4Bytes(90000, Long.MaxValue / 2, version = 1), "mp4"))
     val metas = MultimodalOps.decodeAvMeta(spark, bad.toDS()).collect()
-    assert(metas.length == 7)
+    assert(metas.length == 9)
     metas.foreach { m =>
       assert(!m.valid, s"id=${m.id} should be invalid")
       assert(m.duration_ms == 0 && m.sample_rate == 0)

@@ -98,6 +98,11 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZOrderWrite.zorderBy(grid, Seq("x"), 4, bits = 64)
     }
+    // single column passes the 63-bit Morton check but exceeds the
+    // sample-resolution cap (and 1 << bits would wrap an Int at 31+)
+    intercept[IllegalArgumentException] {
+      ZOrderWrite.zorderBy(grid, Seq("x"), 4, bits = 25)
+    }
     intercept[IllegalArgumentException] {
       ZOrderWrite.zorderBy(
         grid.withColumn("b", col("payload").cast("string").cast("binary")),
