@@ -81,6 +81,45 @@ object ReshapeQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Temperature-based source rebalancing (multilingual-LM sampling,
+    // α = 1/2): source s keeps each doc with probability
+    // p_s = sqrt(n_min / n_s) — flattening the source distribution toward
+    // uniform while keeping every doc of the smallest source. Exact
+    // cross-engine because every step is an IEEE-correctly-rounded op
+    // (integer-ratio divide, sqrt, ×2^32, floor — this is why α is 1/2
+    // and not an arbitrary pow(), whose libm results differ between
+    // engines; the weighted-reservoir skip in SURVEY §8.4 is the same
+    // judgment) and the gate compares md5 prefixes against the
+    // THRESHOLD RENDERED AS AN 8-HEX-CHAR STRING, where lexicographic =
+    // numeric. The min source keeps all via the n_total = n_min arm
+    // (its p = 1 threshold would need 9 hex chars). Scale shape: source
+    // counts are a bounded agg, rates broadcast back, gate is per-row
+    // codegen on one corpus scan.
+    "q_temp_mix" -> ((s, dir) => {
+      // rebalances by LANGUAGE (the fixtures' skewed stratum: en carries
+      // ~2.9x de's share; `source` is exactly uniform and would be
+      // vacuous here)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val nmin = counts.agg(min(col("n_total")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .withColumn("thr", lpad(lower(hex(
+          floor(sqrt(col("n_min").cast("double") / col("n_total"))
+            * lit(4294967296.0)))), 8, "0"))
+      docs.join(broadcast(rates), "lang")
+        .withColumn("h8", substring(
+          md5(concat(lit("temp"), col("doc_id").cast("string")).cast("binary")),
+          1, 8))
+        .withColumn("kept",
+          col("n_total") === col("n_min") || col("h8") < col("thr"))
+        .groupBy("lang")
+        .agg(max(col("n_total")).as("n_total"),
+          count(when(col("kept"), lit(1))).as("n_kept"))
+        .withColumn("kept_ratio",
+          pround4(col("n_kept").cast("double") / col("n_total")))
+        .orderBy("lang")
+    }),
+
     // Stratified fixed-size sample: up to N docs per language, chosen by
     // md5(key) order — deterministic (same subset every run / cluster
     // size) yet uniform within each stratum. One Exchange on the stratum
@@ -135,6 +174,35 @@ object ReshapeQueries extends QueryModule {
         |  FLOOR((CAST(n_kept AS DOUBLE) / n_total) * 10000 + 0.5) / 10000
         |    AS kept_ratio
         |FROM agg ORDER BY source""".stripMargin,
+
+    // COUNT(...) FILTER casts to BIGINT (DuckDB FILTER-count is BIGINT
+    // already, the cast is belt-and-braces); TO_HEX has no leading
+    // zeros / unknown case in either engine, hence LOWER + LPAD on both
+    // sides. The n_total = n_min arm mirrors the Spark kept expression.
+    "q_temp_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n_total) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT lang, n_total, n_min,
+        |    LPAD(LOWER(TO_HEX(CAST(FLOOR(
+        |      SQRT(CAST(n_min AS DOUBLE) / n_total) * 4294967296.0)
+        |      AS BIGINT))), 8, '0') AS thr
+        |  FROM counts, mn),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    SUBSTRING(MD5('temp' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+        |  FROM documents),
+        |agg AS (
+        |  SELECT d.lang, MAX(r.n_total) AS n_total,
+        |    CAST(COUNT(*) FILTER (WHERE r.n_total = r.n_min OR d.h8 < r.thr)
+        |      AS BIGINT) AS n_kept
+        |  FROM d JOIN rates r ON d.lang = r.lang
+        |  GROUP BY d.lang)
+        |SELECT lang, n_total, n_kept,
+        |  FLOOR((CAST(n_kept AS DOUBLE) / n_total) * 10000 + 0.5) / 10000
+        |    AS kept_ratio
+        |FROM agg ORDER BY lang""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, rn, doc_id FROM (

@@ -43,6 +43,34 @@ class ReshapeSpec extends SparkSpec {
     }
   }
 
+  test("q_temp_mix: min stratum keeps all, others track sqrt(n_min/n)") {
+    val rows = q("q_temp_mix").collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_kept")))).toMap
+    assert(rows.nonEmpty)
+    val nMin = rows.values.map(_._1).min
+    rows.foreach { case (lang, (n, kept)) =>
+      assert(kept <= n)
+      if (n == nMin) assert(kept == n, s"$lang is the min stratum, must keep all")
+      else {
+        val p = math.sqrt(nMin.toDouble / n)
+        // md5-gate sampling noise: binomial stddev sqrt(n·p·(1−p)) — allow 5σ
+        val tol = 5 * math.sqrt(n * p * (1 - p)) + 1
+        assert(math.abs(kept - n * p) <= tol,
+          s"$lang kept $kept of $n, expected ~${n * p} ± $tol")
+      }
+    }
+    // the rebalance must actually flatten: the biggest stratum's kept share
+    // of the total is strictly closer to uniform than its raw share
+    val total = rows.values.map(_._1).sum.toDouble
+    val keptTotal = rows.values.map(_._2).sum.toDouble
+    val (maxLang, (maxN, maxKept)) = rows.maxBy(_._2._1)
+    val uniform = 1.0 / rows.size
+    assert(math.abs(maxKept / keptTotal - uniform) <
+           math.abs(maxN / total - uniform),
+      s"$maxLang share did not move toward uniform")
+  }
+
   test("q_dedup_latest: one row per user, the max event_id") {
     val rows = q("q_dedup_latest").collect()
     val users = rows.map(_.getAs[Long]("user_id"))
