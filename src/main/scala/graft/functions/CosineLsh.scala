@@ -106,17 +106,33 @@ object CosineLsh {
     * is CodegenFallback — interpreted per element — and the verify step
     * evaluates one cosine PER CANDIDATE PAIR, the hottest loop of the
     * whole LSH plan: measured ~two orders of magnitude slower on a few
-    * million candidates. Registration is idempotent per session. */
+    * million candidates. Registration is idempotent per session.
+    *
+    * The native kernel reads ARRAY<FLOAT> and ARRAY<DOUBLE> in their own
+    * precision, so float and double corpora both verify exactly; any other
+    * numeric element type is widened to double (exact for int/long ≤ 2^53,
+    * the embedding-id regime). `elem` is the corpus column's element type
+    * from the caller's schema — Columns carry no type pre-analysis. */
   private def cosine(spark: org.apache.spark.sql.SparkSession,
-                     a: Column, b: Column): Column = {
+                     a: Column, b: Column,
+                     elem: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
     NativeCosine.register(spark)
-    // the native kernel is ARRAY<FLOAT>-typed; cast keeps the pre-native
-    // behavior of accepting any numeric array (double-typed corpora now
-    // verify in float precision — immaterial for an approximate candidate
-    // generator whose exact-verify downstream re-checks survivors)
-    call_function(NativeCosine.name,
-      a.cast("array<float>"), b.cast("array<float>"))
+    elem match {
+      case FloatType | DoubleType => call_function(NativeCosine.name, a, b)
+      case _ => call_function(NativeCosine.name,
+        a.cast("array<double>"), b.cast("array<double>"))
+    }
   }
+
+  /** Element type of `df.vecCol`, for the [[cosine]] dispatch. */
+  private def elemType(df: DataFrame, vecCol: String)
+      : org.apache.spark.sql.types.DataType =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et
+      case dt => throw new IllegalArgumentException(
+        s"$vecCol must be an array column, got ${dt.sql}")
+    }
 
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):
     * all (a,b) with cosine >= threshold, found ONLY inside shared LSH
@@ -137,6 +153,7 @@ object CosineLsh {
                          maxBucket: Int = DefaultMaxBucket,
                          chainHotBuckets: Boolean = true): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
+    val et = elemType(df, vecCol)
     val ps = planes(dim, nPlanes, seed)
     // three consumers (bucket counts + both self-join sides)
     val keyed = Materialize(spread(
@@ -152,7 +169,7 @@ object CosineLsh {
     val clique = a.join(b,
         col("a.bkt") === col("b.bkt") && col("a.nd_id") < col("b.nd_id"))
       .select(col("a.nd_id").as("a_id"), col("b.nd_id").as("b_id"),
-        cosine(df.sparkSession, col("a.nd_v"), col("b.nd_v")).as("cos"))
+        cosine(df.sparkSession, col("a.nd_v"), col("b.nd_v"), et).as("cos"))
     val cands =
       if (!chainHotBuckets) clique
       else {
@@ -162,7 +179,7 @@ object CosineLsh {
           .withColumn("nxt_v", lead("nd_v", 1).over(w))
           .filter(col("nxt_id").isNotNull)
           .select(col("nd_id").as("a_id"), col("nxt_id").as("b_id"),
-            cosine(df.sparkSession, col("nd_v"), col("nxt_v")).as("cos"))
+            cosine(df.sparkSession, col("nd_v"), col("nxt_v"), et).as("cos"))
         clique.unionAll(chains)
       }
     cands
@@ -176,6 +193,7 @@ object CosineLsh {
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
            vecCol: String, k: Int, nPlanes: Int = 4,
            seed: Long = 42L, dim: Int = DefaultDim): DataFrame = {
+    val et = elemType(corpus, vecCol)
     val ps = planes(dim, nPlanes, seed)
     val c = spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
       bucket(col(vecCol), ps).as("bkt")))
@@ -186,7 +204,7 @@ object CosineLsh {
     c.join(p, "bkt")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(corpus.sparkSession, col("cv"), col("pv")).as("cos"))
+        cosine(corpus.sparkSession, col("cv"), col("pv"), et).as("cos"))
       // multi-probe can reach the same candidate via two bucket keys
       .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(w))

@@ -93,7 +93,10 @@ object HeavyHitters {
 
   /** EXACT frequent items: all values of `colName` whose count `c`
     * satisfies `c * denom > n` (i.e. frequency strictly above 1/denom),
-    * with exact counts, as columns (`colName`, `cnt`).
+    * with exact counts, as columns (`colName`, `cnt`). `n` counts NON-NULL
+    * values of `colName` only — null is never a candidate item, so
+    * including null rows would silently deflate every item's frequency on
+    * a nullable column.
     *
     * Two scans total: (1) one pass computing n and the MG summary with
     * k = denom counters — guarantee above makes the summary a superset of
@@ -106,7 +109,7 @@ object HeavyHitters {
   def exactHeavyHitters(df: DataFrame, colName: String, denom: Int): DataFrame = {
     require(denom > 0, s"exactHeavyHitters: denom must be positive, got $denom")
     val first = df.agg(
-      count(lit(1)).as("n"),
+      count(col(colName)).as("n"),
       misraGries(col(colName), denom).as("mg")).head()
     val n = first.getLong(0)
     val candidates = first.getMap[String, Long](1).keys.toSeq

@@ -53,7 +53,10 @@ object Materialize {
     * on one core). One linear round-robin exchange restores parallelism;
     * skipped when the input is already spread. */
   private[graft] def spread[T](ds: Dataset[T]): Dataset[T] = {
+    // .rdd forces physical planning (and throws on a streaming Dataset) —
+    // streaming relations get their parallelism from the source, skip them
+    if (ds.isStreaming) return ds
     val want = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions * 2 < want) ds.repartition(want) else ds
+    if (ds.rdd.getNumPartitions < want) ds.repartition(want) else ds
   }
 }

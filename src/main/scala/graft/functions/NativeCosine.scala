@@ -10,29 +10,37 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen cosine similarity over ArrayType(FloatType) — the
-  * §4.3 "custom Catalyst Expression" tier: unlike a Scala UDF (boxing +
-  * serialization per row) or the HOF formulation (interpreted lambda per
-  * element), this compiles to a tight primitive Java loop inside
-  * whole-stage codegen — the formulation for the 100 TB hot path.
+/** Native codegen cosine similarity over ArrayType(FloatType) or
+  * ArrayType(DoubleType) — the §4.3 "custom Catalyst Expression" tier:
+  * unlike a Scala UDF (boxing + serialization per row) or the HOF
+  * formulation (interpreted lambda per element), this compiles to a tight
+  * primitive Java loop inside whole-stage codegen — the formulation for
+  * the 100 TB hot path.
   *
   * Semantics (single pass, per-accumulator order identical to the HOF /
   * DuckDB mirror, so results are bit-identical):
   *   dot/(sqrt(Σx²)·sqrt(Σy²)); NULL when lengths differ, arrays are
   *   empty, or either norm is zero. Array elements are assumed non-null
-  *   (embedding columns; null elements read as 0.0).
+  *   (embedding columns; null elements read as 0.0). Each side reads in
+  *   its own element precision — a double-typed corpus is never narrowed
+  *   to float; accumulation is double either way.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isDoubleArr(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+      s"$prettyName requires two ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
@@ -45,10 +53,12 @@ case class CosineSim(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n == 0 || n != y.numElements()) return null
+    val xd = isDoubleArr(left.dataType)
+    val yd = isDoubleArr(right.dataType)
     var dot = 0d; var na = 0d; var nb = 0d; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -65,6 +75,9 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      def getter(arr: String, dt: DataType): String =
+        if (isDoubleArr(dt)) s"$arr.getDouble($i)"
+        else s"(double) $arr.getFloat($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($n == 0 || $n != $b.numElements()) {
@@ -72,8 +85,8 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $x = (double) $a.getFloat($i);
-         |    final double $y = (double) $b.getFloat($i);
+         |    final double $x = ${getter(a, left.dataType)};
+         |    final double $y = ${getter(b, right.dataType)};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if ($na == 0.0 || $nb == 0.0) {

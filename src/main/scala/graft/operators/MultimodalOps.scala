@@ -174,7 +174,11 @@ object MultimodalOps {
           sampleRate = le32(b, body + 4).toInt
           byteRate = le32(b, body + 8)
         } else if (tag(b, at, "data")) {
-          dataBytes = size
+          // a truncated payload can DECLARE more data than it carries —
+          // clamp to the bytes actually present so duration_ms never
+          // overstates a corrupt/partial file (mvhd reads are
+          // bounds-checked; this is the WAV-side equivalent)
+          dataBytes = math.min(size, (b.length - body).toLong)
         }
         // Long arithmetic: a corrupt 4-byte size near 2^32 would wrap Int
         // and walk the cursor BACKWARDS — an executor-side infinite loop.

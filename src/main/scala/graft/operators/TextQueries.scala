@@ -59,7 +59,7 @@ object TextQueries extends QueryModule {
         |  SELECT word
         |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
         |  WHERE LENGTH(word) > 0),
-        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |tot AS (SELECT COUNT(word) AS n FROM tok)
         |SELECT word, COUNT(*) AS cnt
         |FROM tok, tot
         |GROUP BY word, n

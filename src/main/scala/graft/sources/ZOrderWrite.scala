@@ -162,6 +162,10 @@ object ZOrderWrite {
     val mortonUdf = udf { (ids: Seq[Int]) => morton(ids.toArray, bits) }
 
     val zcol = "__graft_zorder"
+    // withColumn REPLACES a same-named input column and drop() would then
+    // remove the user's data — refuse rather than corrupt the schema
+    require(!df.columns.contains(zcol),
+      s"zorderBy: input already has a column named $zcol")
     df.withColumn(zcol, mortonUdf(array(bucketCols: _*)))
       .repartitionByRange(numFiles, col(zcol))
       .sortWithinPartitions(zcol)
