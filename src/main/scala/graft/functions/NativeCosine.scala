@@ -162,6 +162,7 @@ object PromoteCosineUdf
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeCosine.descriptor)
+    ext.injectFunction(NativeSimHash.descriptor)
     ext.injectFunction(NativeJaccard.descriptor)
     ext.injectFunction(NativeFingerprint.descriptor)
     ext.injectFunction(NativeJaro.descriptor)

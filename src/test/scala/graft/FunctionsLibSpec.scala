@@ -139,6 +139,82 @@ class FunctionsLibSpec extends SparkSpec {
     assert(viaKeys == exact, s"block-key join found $viaKeys of $exact pairs")
   }
 
+  test("SimHash: native signature kernel is bit-identical to the HOF mirror") {
+    val docs = table("documents").limit(100)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // edge shapes the corpus lacks: empty array, null token inside
+      .unionByName(Seq(
+        (9201L, Seq.empty[String]),
+        (9202L, Seq("one", null, "two"))).toDF("doc_id", "t"))
+    val mismatch = docs.select(
+        SimHash.signature(col("t")).as("native"),
+        SimHash.signatureHof(col("t")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatch == 0, s"$mismatch signatures differ between kernels")
+  }
+
+  test("SimHash.blocksForCount: d+1 at small corpora, widens with count, caps at maxKeys") {
+    val d = 3
+    // small corpora keep the minimal 4-block / 16-bit-key scheme
+    assert(SimHash.blocksForCount(0L, d) == d + 1)
+    assert(SimHash.blocksForCount(1000L, d) == d + 1)
+    // 16-bit keys hold exactly while floor(count / 2^16) <= 1024
+    assert(SimHash.blocksForCount(1024L << 16, d) == d + 1)
+    assert(SimHash.blocksForCount(1025L << 16, d) > d + 1)
+    // monotone non-decreasing in count
+    val ns = Seq(1L << 20, 1L << 30, 1L << 40, 1L << 50, Long.MaxValue)
+      .map(SimHash.blocksForCount(_, d))
+    assert(ns == ns.sorted, s"non-monotone sizing ladder $ns")
+    // the C(n, d) <= 64 fan-out cap binds at n = 8 for d = 3
+    assert(ns.last == 8, s"expected the 56-key cap at n=8, got ${ns.last}")
+    // when uncapped, the expected bucket size bound actually holds:
+    // n blocks -> (n-d)*floor(64/n)-bit keys
+    val count = 1L << 30
+    val n = SimHash.blocksForCount(count, d)
+    val w = (n - d) * (64 / n)
+    assert((count >> w) <= 1024L, s"bound violated: count=$count n=$n width=$w")
+  }
+
+  test("SimHash.bucketKeysSized: wider blocks keep exact recall at d=3") {
+    val sigs = table("documents")
+      .select(col("doc_id"), SimHash.signature(split(col("text"), " ")).as("sig"))
+    val d = 3
+    for (nBlocks <- Seq(5, 6, 8)) {
+      val keyed = sigs.select(col("doc_id"), col("sig"),
+        explode(SimHash.bucketKeysSized(col("sig"), d, nBlocks)).as("k"))
+      val a = keyed.alias("a"); val b = keyed.alias("b")
+      val viaKeys = a.join(b, col("a.k") === col("b.k")
+          && col("a.doc_id") < col("b.doc_id"))
+        .filter(SimHash.hammingDist(col("a.sig"), col("b.sig")) <= d)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val s = sigs.alias("x"); val t2 = sigs.alias("y")
+      val exact = s.crossJoin(t2)
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(SimHash.hammingDist(col("x.sig"), col("y.sig")) <= d)
+        .count()
+      assert(viaKeys == exact,
+        s"nBlocks=$nBlocks: sized-key join found $viaKeys of $exact pairs")
+    }
+  }
+
+  test("SimHash.nearDuplicatePairs: finds planted dups, matches brute force") {
+    val d = 3
+    val tok = planted.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n = planted.count()
+    val got = SimHash.nearDuplicatePairs(tok, "doc_id", "toks", d, n)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseId = planted.agg(min("doc_id")).head().getLong(0)
+    assert(got.contains((baseId, 9002L)), s"exact dup not found in $got")
+    val sigs = tok.select(col("doc_id"), SimHash.signature(col("toks")).as("sig"))
+    val brute = sigs.alias("x").crossJoin(sigs.alias("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(SimHash.hammingDist(col("x.sig"), col("y.sig")) <= d)
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"pairs mismatch: got ${got.size}, brute ${brute.size}")
+  }
+
   test("DedupClusters: transitive components collapse to one survivor") {
     // chain 1-2, 2-3 (transitive: 1,2,3 one component) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
