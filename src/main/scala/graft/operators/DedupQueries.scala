@@ -269,8 +269,17 @@ object DedupQueries extends QueryModule {
     */
   private[graft] def dedupExact(s: org.apache.spark.sql.SparkSession,
       dir: String, materialize: Boolean = true)
+      : org.apache.spark.sql.DataFrame =
+    dedupExactDf(s, t(s, dir, "documents"), materialize)
+
+  /** [[dedupExact]] over an explicit (doc_id, text) relation — the same
+    * body; the overload exists so specs can exercise the duplicate-heavy
+    * shapes the fixtures lack (they contain zero exact-dup groups, which
+    * AQE prunes to an empty probe branch). */
+  private[graft] def dedupExactDf(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, materialize: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
-    val normed = t(s, dir, "documents")
+    val normed = docs
       .select(col("doc_id"),
         xxhash64(lower(trim(col("text")))).as("hk"),
         lower(trim(col("text"))).as("norm"))
@@ -282,11 +291,25 @@ object DedupQueries extends QueryModule {
     val singles = byHash.filter(col("n_copies") === 1)
       .select("doc_id", "n_copies")
     // pass 2: multi-member hash groups re-grouped on the true norm text.
-    // The candidate-hash set is duplicate-bounded (broadcastable; were it
-    // ever not, the same join runs as a shuffle join on hk — still no
-    // full-corpus text shuffle, only duplicate rows carry text).
+    // The candidate-hash set is duplicate-bounded, but on a
+    // boilerplate-heavy 100 TB corpus it can still out-grow the broadcast
+    // budget and OOM the driver — so the hint is SIZE-GATED: count the
+    // keys (a scan of the already-materialized byHash blocks, no
+    // recompute) and past spark.graft.dedup.maxBroadcastKeys fall back to
+    // a shuffle-hash hk-equi join. Same result by construction either
+    // way; still no full-corpus text shuffle — only duplicate rows carry
+    // text. The default cap, 4M keys ≈ 64 MB of longs + row overhead,
+    // sits under Spark's driver-side broadcast comfort zone.
     val multiHks = byHash.filter(col("n_copies") > 1).select("hk")
-    val resolved = normed.join(broadcast(multiHks), "hk")
+    val capKeys = s.conf.get("spark.graft.dedup.maxBroadcastKeys", "4000000").toLong
+    // the materialize=false twin exists only for PlanSpec's shuffle-shape
+    // assertion — counting there would re-run the full aggregation, so it
+    // keeps the broadcast hint unconditionally
+    val smallEnough = !materialize || multiHks.count() <= capKeys
+    val probe =
+      if (smallEnough) normed.join(broadcast(multiHks), "hk")
+      else normed.join(multiHks.hint("shuffle_hash"), "hk")
+    val resolved = probe
       .groupBy("hk", "norm")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")

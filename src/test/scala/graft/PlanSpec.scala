@@ -95,6 +95,40 @@ class PlanSpec extends SparkSpec {
       s"no hash-keyed corpus exchange in:\n$plan")
   }
 
+  test("dedupExact: multi-hash probe broadcasts under the cap, shuffles past it") {
+    // the fixtures contain zero exact-dup groups (AQE would prune an empty
+    // probe branch) — duplicate every document so every group is
+    // multi-member and the probe join must materialize in the final plan
+    val base = table("documents").select("doc_id", "text")
+    val dupes = base.unionByName(
+      base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // AQE finalizes the join choice lazily — execute, then inspect
+    def finalPlan(): String = {
+      val df = operators.DedupQueries.dedupExactDf(spark, dupes)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // default cap (4M keys): the duplicate-candidate set broadcasts
+    val bPlan = finalPlan()
+    assert(bPlan.contains("BroadcastHashJoin"),
+      s"probe join not broadcast under the cap:\n$bPlan")
+    // cap 0: every candidate set is "too big" — the SAME join must fall
+    // back to a shuffle join (no driver-side broadcast of unbounded keys)
+    spark.conf.set("spark.graft.dedup.maxBroadcastKeys", "0")
+    try {
+      val sPlan = finalPlan()
+      assert(!sPlan.contains("BroadcastHashJoin"),
+        s"probe join still broadcast past the cap:\n$sPlan")
+      assert(sPlan.contains("ShuffledHashJoin"),
+        s"no shuffle-hash fallback join in:\n$sPlan")
+      // gate-identical results either way
+      val a = operators.DedupQueries.dedupExactDf(spark, dupes).collect().toSeq
+      spark.conf.unset("spark.graft.dedup.maxBroadcastKeys")
+      val b = operators.DedupQueries.dedupExactDf(spark, dupes).collect().toSeq
+      assert(a == b, "gated plans disagree on results")
+    } finally spark.conf.unset("spark.graft.dedup.maxBroadcastKeys")
+  }
+
   test("q_ngram_jaccard: candidate join is grid-salted (bounded fan-out)") {
     val plan = executed("q_ngram_jaccard")
     assert(plan.contains("ga#") && plan.contains("gb#"),
