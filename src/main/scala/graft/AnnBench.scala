@@ -62,18 +62,32 @@ object AnnBench {
         col("a_id") < col("b_id") && cosRaw("ea", "eb") >= threshold)
         .select("a_id", "b_id")
     }
-    val nPlanes = functions.CosineLsh.planesForCount(n)
-    def lshPairs: DataFrame = functions.CosineLsh
-      .nearDuplicatePairs(e, "vec_id", "embedding", threshold,
-        nPlanes = nPlanes, dim = dim)
-      .select("a_id", "b_id")
+    def lshPairs(nPlanes: Int, bands: Int, depth: Int): DataFrame =
+      functions.CosineLsh
+        .nearDuplicatePairs(e, "vec_id", "embedding", threshold,
+          nPlanes = nPlanes, dim = dim, bands = bands, probeDepth = depth)
+        .select("a_id", "b_id")
 
     timeMedian("pairs-exact")(() => exactPairs.count())
-    timeMedian(s"pairs-lsh-p$nPlanes")(() => lshPairs.count())
     val exactSet = exactPairs.cache()
-    val hit = lshPairs.join(exactSet, Seq("a_id", "b_id"), "left_semi").count()
     val tot = exactSet.count()
-    println(f"[annbench] pair recall    ${hit.toDouble / math.max(1, tot)}%.4f ($hit of $tot)")
+    // recall/cost sweep over the knobs: plane count (bucket granularity),
+    // band count (independent plane sets — misses multiply), probe depth
+    // (bit-flip radius; depth 2 needs planesForCount's fan-out-aware
+    // sizing or the keys flood the buckets — measured recall 0.0003 at
+    // p5/d2 before the sizing fix)
+    // depth-2 probing measured dominated by banding (p11-b1-d2: recall
+    // 0.814 at 44.7 s vs p5-b2-d1: 0.963 at 20.4 s — one plane set's
+    // 2-bit neighborhood is more correlated than a fresh band), so the
+    // recorded sweep is the banding ladder; d2 stays available as a knob
+    val p1 = functions.CosineLsh.planesForCount(n)
+    for ((nPlanes, bands, depth) <- Seq((p1, 1, 1), (p1, 2, 1), (p1, 3, 1))) {
+      val label = s"pairs-lsh-p$nPlanes-b$bands-d$depth"
+      timeMedian(label)(() => lshPairs(nPlanes, bands, depth).count())
+      val hit = lshPairs(nPlanes, bands, depth)
+        .join(exactSet, Seq("a_id", "b_id"), "left_semi").count()
+      println(f"[annbench] $label%-24s recall ${hit.toDouble / math.max(1, tot)}%.4f ($hit of $tot)")
+    }
     exactSet.unpersist()
 
     // ---- 2. probe top-k: brute force vs IVF ----
@@ -94,16 +108,19 @@ object AnnBench {
         .select("probe_id", "vec_id")
     }
     val model = functions.IvfIndex.train(e, "embedding", k = 16)
-    def ivfTopK: DataFrame = functions.IvfIndex
-      .topK(e, probes, "vec_id", "embedding", model, k, nProbe = 2)
+    def ivfTopK(nProbe: Int): DataFrame = functions.IvfIndex
+      .topK(e, probes, "vec_id", "embedding", model, k, nProbe = nProbe)
       .select("probe_id", "vec_id")
 
     timeMedian("topk-brute")(() => bruteTopK.count())
-    timeMedian("topk-ivf")(() => ivfTopK.count())
     val bt = bruteTopK.cache()
-    val ihit = ivfTopK.join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
     val itot = bt.count()
-    println(f"[annbench] topk recall@$k ${ihit.toDouble / math.max(1, itot)}%.4f ($ihit of $itot)")
+    for (nProbe <- Seq(2, 4, 6)) {
+      timeMedian(s"topk-ivf-np$nProbe")(() => ivfTopK(nProbe).count())
+      val ihit = ivfTopK(nProbe)
+        .join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
+      println(f"[annbench] topk-ivf-np$nProbe recall@$k ${ihit.toDouble / math.max(1, itot)}%.4f ($ihit of $itot)")
+    }
     bt.unpersist()
     spark.stop()
   }

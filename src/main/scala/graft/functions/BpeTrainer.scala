@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE merge trainer (round-6 verdict item #6) — the
+  * tokenizer-training primitive the LLM-pipeline brief implies,
+  * generalizing the single q_bpe_merge round into an N-round loop.
+  *
+  * Each round is the q_bpe_merge plan (operators/TextPipelineQueries):
+  *   1. count ADJACENT token pairs corpus-wide — the word-count plan:
+  *      in-row pair generation, map-side partial agg, ONE shuffle whose
+  *      key cardinality is the pair vocabulary (not the corpus);
+  *   2. argmax (count desc, then lexicographic pair asc — fully
+  *      deterministic) via a 1-row TakeOrdered — the collected row is the
+  *      round's merge rule, the bounded-driver-action exception
+  *      (N rounds × 1 row total);
+  *   3. apply the merge corpus-wide as a literal-quoted regex replace
+  *      (space-padded, global left-to-right non-overlapping — BPE's merge
+  *      rule; `Pattern.quote` so regex-special tokens can't corrupt the
+  *      pattern, unlike the raw-pattern oracle twin which mirrors DuckDB
+  *      with \Q…\E quoting on both sides).
+  *
+  * Per-round budget: one pair-count shuffle + one embarrassingly-parallel
+  * regex map. Lineage is cut every `checkpointEvery` rounds (each round
+  * stacks a regexp_replace projection; at hundreds of merges the plan
+  * would otherwise grow unboundedly and re-run all prior merges on every
+  * action). Stops early when no pair reaches `minCount`.
+  */
+object BpeTrainer {
+
+  /** One learned merge rule: round (1-based), the winning pair, and its
+    * corpus-wide occurrence count at the time of the merge. */
+  case class MergeStep(round: Int, pair: String, count: Long)
+
+  /** Adjacent-pair relation of the current corpus: one row per occurrence
+    * (NOT per-doc distinct — BPE counts occurrences). */
+  private def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
+          .stripMargin)).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
+
+  /** Apply one merge rule to a text column: space-padded, literal-quoted,
+    * global non-overlapping replace; the merged token joins with '_'. */
+  def applyMerge(text: org.apache.spark.sql.Column, pair: String)
+      : org.apache.spark.sql.Column = {
+    val pattern = " " + java.util.regex.Pattern.quote(pair) + " "
+    val repl = java.util.regex.Matcher
+      .quoteReplacement(" " + pair.replace(' ', '_') + " ")
+    trim(regexp_replace(concat(lit(" "), text, lit(" ")), lit(pattern), lit(repl)))
+  }
+
+  /** Train `rounds` merges over `docs(textCol)`. Returns the merged
+    * corpus (same schema, textCol rewritten) and the learned merge
+    * sequence in order. */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            minCount: Long = 1L, checkpointEvery: Int = 8)
+      : (DataFrame, Seq[MergeStep]) = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    var cur = docs
+    val steps = Seq.newBuilder[MergeStep]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = pairCounts(cur, textCol)
+        .orderBy(col("c").desc, col("p").asc).limit(1).collect()
+      if (best.isEmpty || best(0).getLong(1) < minCount) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        steps += MergeStep(r, pair, best(0).getLong(1))
+        cur = cur.withColumn(textCol, applyMerge(col(textCol), pair))
+        if (r % checkpointEvery == 0) cur = Materialize(cur)
+      }
+      r += 1
+    }
+    (cur, steps.result())
+  }
+
+  /** The merge sequence as a relation (round, pair, pair_count) — the
+    * oracle-comparable artifact of a training run. */
+  def mergesDf(spark: SparkSession, steps: Seq[MergeStep]): DataFrame = {
+    import spark.implicits._
+    steps.map(m => (m.round, m.pair, m.count))
+      .toDF("round", "pair", "pair_count")
+  }
+}

@@ -49,12 +49,29 @@ object CosineLsh {
     * some cells far past the expectation), which is why the cap in
     * [[nearDuplicatePairs]] exists alongside this sizing — size for the
     * expectation, cap the outliers, watch [[bucketStats]]. */
-  def planesForCount(count: Long, targetBucketSize: Long = 1024L): Int = {
+  def planesForCount(count: Long, targetBucketSize: Long = 1024L,
+                     probeDepth: Int = 0): Int = {
     require(count >= 0, s"negative corpus count $count")
     require(targetBucketSize > 0, s"bad targetBucketSize $targetBucketSize")
     var n = 2
-    while (n < 24 && (count >> n) > targetBucketSize) n += 1
+    while (n < 24 && (count >> n) >
+        math.max(1L, targetBucketSize / keysPerVector(n, probeDepth))) n += 1
     n
+  }
+
+  /** Candidate keys one vector emits at a probe depth — the fan-out that
+    * multiplies effective bucket occupancy. Sizing MUST account for it:
+    * at nPlanes = 5 / depth = 2 every vector lands in 16 of the 32
+    * buckets, so every bucket blows past the hot cap, the whole corpus
+    * degrades to chain edges, and recall collapses (measured 0.0003 —
+    * AnnBench round 7). planesForCount(count, target, probeDepth) divides
+    * the target by this fan-out; probeDepth = 0 is the legacy
+    * occupancy-blind sizing (single-key corpus sides, e.g. [[topK]]'s
+    * corpus relation). */
+  def keysPerVector(nPlanes: Int, depth: Int): Int = {
+    require(depth >= 0 && depth <= 2, s"probe depth must be 0, 1 or 2, got $depth")
+    1 + (if (depth >= 1) nPlanes else 0) +
+      (if (depth >= 2) nPlanes * (nPlanes - 1) / 2 else 0)
   }
 
   /** Per-bucket vector counts of the (multi-probed) keyed relation — the
@@ -64,9 +81,10 @@ object CosineLsh {
     * truncation is visible, never silent. */
   def bucketStats(df: DataFrame, vecCol: String, nPlanes: Int = 4,
                   seed: Long = 42L, dim: Int = DefaultDim,
-                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val ps = planes(dim, nPlanes, seed)
-    df.select(explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
+                  maxBucket: Int = DefaultMaxBucket,
+                  bands: Int = 1, probeDepth: Int = 1): DataFrame = {
+    val allPlanes = bandPlanes(dim, nPlanes, seed, bands)
+    df.select(explode(bandedKeys(col(vecCol), allPlanes, probeDepth)).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("n_vecs"))
       .filter(col("n_vecs") > maxBucket)
   }
@@ -75,7 +93,7 @@ object CosineLsh {
   // Materialize.spread for the one-partition-corpus failure mode
   private def spread(df: DataFrame): DataFrame = Materialize.spread(df)
 
-  /** dot(vec, literal hyperplane) as a codegen'd fold. */
+  /** dot(vec, literal hyperplane) as a HOF fold — [[bucketHof]] only. */
   private def dotLit(vec: Column, plane: Array[Double]): Column =
     aggregate(
       zip_with(vec, typedlit(plane.toSeq), (x, y) => x.cast("double") * y),
@@ -87,18 +105,68 @@ object CosineLsh {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Bucket id (0 until 2^nPlanes) for an embedding column. */
+  /** Bucket id (0 until 2^nPlanes) for an embedding column — the native
+    * codegen kernel ([[LshBucket]]): one compiled nPlanes × dim loop per
+    * row. The HOF formulation it replaced re-ran interpreted per probe
+    * key — see the LshBucket scaladoc for the measured collapse. */
   def bucket(vec: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.PlanBridge.column(
+      LshBucket(org.apache.spark.sql.graftbridge.PlanBridge.expression(vec), planes))
+
+  /** The original HOF bucket (sum of when(dotLit > 0, 1 << i)) — kept as
+    * the independent bit-identity mirror for the spec. NOT a production
+    * path (CodegenFallback, interpreted per element). Degenerate inputs
+    * differ deliberately: the HOF collapses null vectors and dim
+    * mismatches to bucket 0; the native kernel surfaces them as NULL. */
+  private[graft] def bucketHof(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Bucket + one-bit-flip neighbor buckets (multi-probe): an array of
-    * 1 + nPlanes candidate keys — vectors near a hyperplane boundary are
-    * still found. */
-  def multiProbeBuckets(vec: Column, planes: Array[Array[Double]]): Column = {
+  /** Bucket + bit-flip neighbor buckets (multi-probe): vectors near a
+    * hyperplane boundary are still found. `depth` is the probe radius —
+    * 1 flips each single bit (1 + n keys), 2 adds every two-bit flip
+    * (1 + n + C(n,2) keys: a pair split by TWO near-boundary planes still
+    * collides — the recall knob the round-6 verdict asked to expose).
+    * Key fan-out is the cost: shuffle volume scales with the key count,
+    * so depth 2 belongs with [[planesForCount]]-sized plane counts where
+    * C(n,2) stays modest (n = 5 → 16 keys/vector). */
+  def multiProbeBuckets(vec: Column, planes: Array[Array[Double]],
+                        depth: Int = 1): Column = {
+    require(depth >= 0 && depth <= 2, s"probe depth must be 0, 1 or 2, got $depth")
     val b = bucket(vec, planes)
-    array(b +: planes.indices.map(i => b.bitwiseXOR(lit(1 << i))): _*)
+    val n = planes.length
+    val one =
+      if (depth >= 1) (0 until n).map(i => b.bitwiseXOR(lit(1 << i)))
+      else Seq.empty
+    val two =
+      if (depth >= 2)
+        for { i <- 0 until n; j <- (i + 1) until n }
+          yield b.bitwiseXOR(lit((1 << i) | (1 << j)))
+      else Seq.empty
+    array((b +: one) ++ two: _*)
+  }
+
+  /** The (multi-probed, band-tagged) candidate keys of one vector across
+    * `bands` independent plane sets — a pair collides if it shares a
+    * bucket in ANY band, so pair recall is 1 − (1 − m^p)^bands for
+    * per-plane agreement m: the second recall knob, orthogonal to probe
+    * depth. Band id rides bits 32+ of the key (bucket ids stay below
+    * 2^24 by the planesForCount cap). */
+  private def bandedKeys(vec: Column, allPlanes: Seq[Array[Array[Double]]],
+                         depth: Int): Column = {
+    val perBand = allPlanes.zipWithIndex.map { case (ps, bd) =>
+      transform(multiProbeBuckets(vec, ps, depth),
+        k => k.bitwiseOR(lit(bd.toLong << 32)))
+    }
+    if (perBand.length == 1) perBand.head else flatten(array(perBand: _*))
+  }
+
+  /** Deterministic per-band plane sets (band b reseeds with seed + b). */
+  private def bandPlanes(dim: Int, nPlanes: Int, seed: Long,
+                         bands: Int): Seq[Array[Array[Double]]] = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    (0 until bands).map(b => planes(dim, nPlanes, seed + b))
   }
 
   /** Codegen'd verify cosine (NativeCosine). The HOF formulation
@@ -151,14 +219,15 @@ object CosineLsh {
                          threshold: Double, nPlanes: Int = 4,
                          seed: Long = 42L, dim: Int = DefaultDim,
                          maxBucket: Int = DefaultMaxBucket,
-                         chainHotBuckets: Boolean = true): DataFrame = {
+                         chainHotBuckets: Boolean = true,
+                         bands: Int = 1, probeDepth: Int = 1): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
     val et = elemType(df, vecCol)
-    val ps = planes(dim, nPlanes, seed)
+    val allPlanes = bandPlanes(dim, nPlanes, seed, bands)
     // three consumers (bucket counts + both self-join sides)
     val keyed = Materialize(spread(
       df.select(col(idCol).as("nd_id"), col(vecCol).as("nd_v"),
-        explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))))
+        explode(bandedKeys(col(vecCol), allPlanes, probeDepth)).as("bkt"))))
     // over-cap bucket keys are ≤ (1+nPlanes)·corpus/maxBucket by
     // construction — broadcastable, so the cap never reshuffles `keyed`
     val hot = keyed.groupBy("bkt").agg(count(lit(1)).as("n_vecs"))
@@ -188,17 +257,20 @@ object CosineLsh {
   }
 
   /** Approximate top-k join: probes find neighbors only within their LSH
-    * bucket (probes multi-probe adjacent buckets for recall). Output:
-    * (probe_id, rn, vec_id, cos). */
+    * bucket (probes multi-probe adjacent buckets for recall; `bands`
+    * plane sets are searched independently and merged — the corpus side
+    * carries one plain bucket key per band, only probes fan out with
+    * depth). Output: (probe_id, rn, vec_id, cos). */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
            vecCol: String, k: Int, nPlanes: Int = 4,
-           seed: Long = 42L, dim: Int = DefaultDim): DataFrame = {
+           seed: Long = 42L, dim: Int = DefaultDim,
+           bands: Int = 1, probeDepth: Int = 1): DataFrame = {
     val et = elemType(corpus, vecCol)
-    val ps = planes(dim, nPlanes, seed)
+    val allPlanes = bandPlanes(dim, nPlanes, seed, bands)
     val c = spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      bucket(col(vecCol), ps).as("bkt")))
+      explode(bandedKeys(col(vecCol), allPlanes, depth = 0)).as("bkt")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-        explode(multiProbeBuckets(col(vecCol), ps)).as("bkt"))
+        explode(bandedKeys(col(vecCol), allPlanes, probeDepth)).as("bkt"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     c.join(p, "bkt")

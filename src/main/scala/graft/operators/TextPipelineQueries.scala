@@ -69,6 +69,22 @@ object TextPipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Three-round BPE training (functions/BpeTrainer — the q_bpe_merge
+    // step looped with the merged corpus fed back in). Output is the
+    // learned merge TABLE (round, pair, pair_count): the bounded artifact
+    // both engines can replicate exactly — pair selection is
+    // deterministic (count desc, pair asc) and the merge regex is
+    // literal-quoted identically (\Q…\E in Java and RE2). Per round: one
+    // pair-vocabulary shuffle + a parallel regex map; the 1-row argmax
+    // collect per round is the documented bounded-driver-action
+    // exception.
+    "q_bpe_train" -> ((s, dir) => {
+      val (_, steps) = graft.functions.BpeTrainer.train(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", rounds = 3)
+      graft.functions.BpeTrainer.mergesDf(s, steps).orderBy("round")
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -117,6 +133,31 @@ object TextPipelineQueries extends QueryModule {
         |      ' ' || best.p || ' ', ' ' || REPLACE(best.p, ' ', '_') || ' ',
         |      'g')), ' ')) AS BIGINT) AS n_merges
         |FROM toks, best ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_train" ->
+      """WITH d0 AS (SELECT text FROM documents),
+        |p1 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d0) WHERE LEN(t) >= 2),
+        |b1 AS (SELECT p, COUNT(*) AS c FROM p1 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+        |d1 AS (SELECT TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |    ' \Q' || b1.p || '\E ', ' ' || REPLACE(b1.p, ' ', '_') || ' ',
+        |    'g')) AS text FROM d0, b1),
+        |p2 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d1) WHERE LEN(t) >= 2),
+        |b2 AS (SELECT p, COUNT(*) AS c FROM p2 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+        |d2 AS (SELECT TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |    ' \Q' || b2.p || '\E ', ' ' || REPLACE(b2.p, ' ', '_') || ' ',
+        |    'g')) AS text FROM d1, b2),
+        |p3 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d2) WHERE LEN(t) >= 2),
+        |b3 AS (SELECT p, COUNT(*) AS c FROM p3 GROUP BY p ORDER BY c DESC, p LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, p AS pair, CAST(c AS BIGINT) AS pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS INT), p, CAST(c AS BIGINT) FROM b2
+        |UNION ALL SELECT CAST(3 AS INT), p, CAST(c AS BIGINT) FROM b3
+        |ORDER BY round""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks

@@ -6,11 +6,23 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a Catalyst Expression as a user-facing Column (and back) — for
+    * parameterized native expressions (literal plane matrices, etc.) that
+    * don't fit the FunctionRegistry's Column-args-only builder shape.
+    * Same visibility story as ofRows: ExpressionUtils is private[sql] but
+    * is the exact path Column.apply used before Spark 4's ColumnNode
+    * split. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 
   /** Register a session-scoped SQL table-valued function (the
     * `SELECT * FROM f(...)` surface). Same visibility story as ofRows:

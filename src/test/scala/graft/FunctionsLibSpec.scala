@@ -215,6 +215,54 @@ class FunctionsLibSpec extends SparkSpec {
     assert(got == brute, s"pairs mismatch: got ${got.size}, brute ${brute.size}")
   }
 
+  test("CosineLsh: native bucket kernel is bit-identical to the HOF mirror") {
+    val ps = CosineLsh.planes(dim = 64, nPlanes = 6, seed = 42L)
+    val e = table("embeddings")
+    val mismatch = e.select(
+        CosineLsh.bucket(col("embedding"), ps).as("native"),
+        CosineLsh.bucketHof(col("embedding"), ps).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatch == 0, s"$mismatch bucket ids differ between kernels")
+  }
+
+  test("BpeTrainer: learns the hand-computed merge sequence and stops when dry") {
+    import BpeTrainer.MergeStep
+    val docs = Seq((1L, "a a a b"), (2L, "a a b")).toDF("doc_id", "text")
+    // hand trace — round 1: "a a" occurs 3x (2 in doc1: the padded-regex
+    // left-to-right rule counts occurrences, merges non-overlapping);
+    // round 2: all pairs count 1, "a b" wins lexicographically (space <
+    // underscore); round 3: "a_a a_b" < "a_a b" at the 5th char
+    val (merged3, steps3) = BpeTrainer.train(docs, "text", rounds = 3)
+    assert(steps3 == Seq(
+      MergeStep(1, "a a", 3), MergeStep(2, "a b", 1), MergeStep(3, "a_a a_b", 1)),
+      s"unexpected merge sequence $steps3")
+    val m = merged3.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a_a_a_b", 2L -> "a_a b"), s"unexpected corpus $m")
+
+    // unlimited rounds: round 4 merges the last pair, round 5 finds no
+    // pair with >= 2 tokens anywhere and the loop exits early
+    val (_, all) = BpeTrainer.train(docs, "text", rounds = 10)
+    assert(all.length == 4 && all(3) == MergeStep(4, "a_a b", 1),
+      s"expected 4 merges then dry, got $all")
+
+    // minCount gate: round 2's best count is 1 < 2 -> stop after round 1
+    val (_, gated) = BpeTrainer.train(docs, "text", rounds = 10, minCount = 2)
+    assert(gated == Seq(MergeStep(1, "a a", 3)), s"minCount gate broke: $gated")
+  }
+
+  test("BpeTrainer.applyMerge: regex-special tokens merge literally") {
+    // "k" separates the occurrences so neither consumes the other's
+    // delimiter space (back-to-back occurrences merge on the NEXT round —
+    // the padded-regex non-overlap rule both engines share)
+    val docs = Seq((1L, "x.y z k x.y z"), (2L, "xAy z")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        BpeTrainer.applyMerge(col("text"), "x.y z").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // unquoted, the "." would also match "xAy z"; quoted, it must not
+    assert(out(1L) == "x.y_z k x.y_z", s"got ${out(1L)}")
+    assert(out(2L) == "xAy z", s"dot matched as wildcard: ${out(2L)}")
+  }
+
   test("DedupClusters: transitive components collapse to one survivor") {
     // chain 1-2, 2-3 (transitive: 1,2,3 one component) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
