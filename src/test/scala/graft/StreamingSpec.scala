@@ -695,6 +695,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s_heavy_hitters event-time: watermark-final windows, late data dropped") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.WordEvent]
+      def ev(w: String, t: String) = StatefulOps.WordEvent(w, ts(t))
+      val windowMs = 10000L
+      val w0 = Math.floorDiv(ts("2025-01-01 00:00:01").getTime, windowMs) * windowMs
+      val out = runToTable(
+        StatefulOps.streamingHeavyHittersEventTime(
+          spark, in.toDS, k = 3, windowMs = windowMs, delay = "5 seconds",
+          shards = 2).toDF,
+        "append",
+        // batch 1: out-of-order WITHIN the watermark — all must fold in
+        () => in.addData(
+          ev("apple", "2025-01-01 00:00:03"), ev("apple", "2025-01-01 00:00:03"),
+          ev("apple", "2025-01-01 00:00:03"), ev("apple", "2025-01-01 00:00:01"),
+          ev("apple", "2025-01-01 00:00:01"), ev("banana", "2025-01-01 00:00:05"),
+          ev("banana", "2025-01-01 00:00:05"), ev("pear", "2025-01-01 00:00:12"),
+          ev("pear", "2025-01-01 00:00:12"), ev("pear", "2025-01-01 00:00:12"),
+          ev("pear", "2025-01-01 00:00:12")),
+        // batch 2: advances the watermark to 00:00:21 — past both windows
+        () => in.addData(ev("kiwi", "2025-01-01 00:00:26")),
+        // batch 3: a TOO-LATE apple (event time far behind the watermark)
+        // must be dropped, not folded or re-emitted
+        () => in.addData(ev("apple", "2025-01-01 00:00:02"),
+          ev("kiwi", "2025-01-01 00:00:27")),
+        // batch 4: flush any timers registered in batch 3
+        () => in.addData(ev("kiwi", "2025-01-01 00:00:28")))
+      val rows = out.as[(Long, Int, String, Long, Long)].collect()
+      val byWord = rows.groupBy(_._3)
+      // window summaries are FINAL: exact counts despite out-of-order
+      // arrival, one emission per (window, shard, word)
+      assert(byWord("apple").map(r => (r._1, r._4)).toSeq == Seq((w0, 5L)),
+        s"apple: ${byWord.get("apple")}")
+      assert(byWord("banana").map(r => (r._1, r._4)).toSeq == Seq((w0, 2L)),
+        s"banana: ${byWord.get("banana")}")
+      assert(byWord("pear").map(r => (r._1, r._4)).toSeq == Seq((w0 + windowMs, 4L)),
+        s"pear: ${byWord.get("pear")}")
+      // kiwi's window never passes the watermark -> never emitted
+      assert(!byWord.contains("kiwi"), s"unclosed window emitted: $rows")
+      // the late apple neither re-opened window 0 nor duplicated it
+      assert(rows.count(_._3 == "apple") == 1, s"late row re-emitted: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s_stateful: sharded streaming Misra-Gries heavy hitters across batches") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
