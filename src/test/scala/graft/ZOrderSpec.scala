@@ -52,6 +52,59 @@ class ZOrderSpec extends SparkSpec {
     assert(ny > 0.90, s"x-sorted baseline should be full-width on y, got $ny")
   }
 
+  /** Sum of parquet-scan output rows for `pred` over `path` — rows that
+    * SURVIVED row-group skipping (the reader prunes row groups whose
+    * footer min/max excludes the pushed filter; survivors stream out of
+    * the scan before Spark's own Filter re-checks per row). The
+    * query-time number the layout exists to shrink. */
+  private def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = spark.read.parquet(path).filter(pred)
+    df.collect()
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case s: QueryStageExec => leaves(s.plan)
+      case o if o.children.isEmpty => Seq(o)
+      case o => o.children.flatMap(leaves)
+    }
+    leaves(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+      .sum
+  }
+
+  test("z-order prunes row groups AT QUERY TIME on both dims; single-sort on one") {
+    val files = 16
+    val total = 64L * 64 * 4
+    val zDir = Files.createTempDirectory("graft-zq").toFile
+    val sDir = Files.createTempDirectory("graft-sq").toFile
+    zDir.deleteOnExit(); sDir.deleteOnExit()
+    ZOrderWrite.zorderBy(grid, Seq("x", "y"), files, bits = 6)
+      .write.mode("overwrite").parquet(zDir.getAbsolutePath)
+    grid.repartitionByRange(files, col("x"))
+      .write.mode("overwrite").parquet(sDir.getAbsolutePath)
+
+    val zx = scannedRows(zDir.getAbsolutePath, col("x") === 30)
+    val zy = scannedRows(zDir.getAbsolutePath, col("y") === 30)
+    val sx = scannedRows(sDir.getAbsolutePath, col("x") === 30)
+    val sy = scannedRows(sDir.getAbsolutePath, col("y") === 30)
+    info(s"scan rows after row-group skipping (of $total): " +
+      s"zorder x=$zx y=$zy | x-sorted x=$sx y=$sy")
+
+    // 16 z-tiles over a 64x64 grid: a point predicate on EITHER dim can
+    // touch only the one tile row/column containing it (~4 of 16 files);
+    // sampled boundaries may widen that by a file or two — bound at half
+    assert(zx * 2 <= total, s"z-order did not skip on x: $zx of $total")
+    assert(zy * 2 <= total, s"z-order did not skip on y: $zy of $total")
+    // the x-sorted layout skips hard on x...
+    assert(sx * 4 <= total, s"x-sorted layout should skip on x: $sx of $total")
+    // ...and cannot skip AT ALL on y (full-width row groups)
+    assert(sy >= (total * 9) / 10, s"x-sorted layout unexpectedly skipped on y: $sy")
+    // the headline: z-order reads a fraction of the sorted layout's rows
+    // for the second-dimension predicate
+    assert(zy * 2 <= sy, s"z-order y-scan $zy not better than sorted $sy")
+  }
+
   test("layout preserves the exact row multiset") {
     val out = ZOrderWrite.zorderBy(grid, Seq("x", "y"), 8, bits = 6)
     assert(out.columns.toSeq == grid.columns.toSeq, "helper column leaked")
