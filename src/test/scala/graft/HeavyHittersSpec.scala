@@ -73,11 +73,12 @@ class HeavyHittersSpec extends SparkSpec {
       .toDF("w")
     val got = HeavyHitters.exactHeavyHitters(data, "w", 2)
       .as[(String, Long)].collect().toSeq
-    // n counts all 5 rows (count(1) semantics — matches the SQL oracle's
-    // COUNT(*) over the filtered token relation, where nulls are absent
-    // pre-agg); here nulls ARE rows, so a:2*2=4 < 5 fails, proving the
-    // threshold uses the full row count
-    assert(got.isEmpty, s"got $got")
+    // n counts NON-NULL values only (round-7 advice fix: null is never a
+    // candidate, so counting null rows would deflate every item's
+    // frequency on a nullable column): n = 3, a: 2*2=4 > 3 qualifies,
+    // b: 1*2=2 < 3 does not — were nulls still counted (n=5), a would
+    // fail too, so this pins the denominator semantics
+    assert(got == Seq(("a", 2L)), s"got $got")
 
     val empty = HeavyHitters.exactHeavyHitters(
       Seq.empty[String].toDF("w"), "w", 5)
