@@ -121,7 +121,32 @@ object AnnBench {
         .join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
       println(f"[annbench] topk-ivf-np$nProbe recall@$k ${ihit.toDouble / math.max(1, itot)}%.4f ($ihit of $itot)")
     }
-    bt.unpersist()
+    // ---- 3. probe top-k: PQ compressed-domain ADC scan (+ exact re-rank)
+    // and the IVF-PQ composition (cells prune WHICH rows, codes shrink
+    // WHAT each row costs). On these near-isotropic gaussian fixtures PQ
+    // needs a fine codebook (m=16/k=64 — a clustered production corpus
+    // gets away with far coarser); the scan-byte cut vs float32 is 16×.
+    val pq = functions.ProductQuantizer.train(e, "embedding", m = 16, k = 64)
+    def pqTopK: DataFrame = functions.ProductQuantizer
+      .topK(e, probes, "vec_id", "embedding", pq, k, rerank = 5 * k)
+      .select("probe_id", "vec_id")
+    def ivfPqTopK(nProbe: Int): DataFrame = functions.ProductQuantizer
+      .topKIvf(e, probes, "vec_id", "embedding", pq, model, k,
+        nProbe = nProbe, rerank = 5 * k)
+      .select("probe_id", "vec_id")
+
+    val bt2 = bruteTopK.cache()
+    val itot2 = bt2.count()
+    timeMedian("topk-pq-adc")(() => pqTopK.count())
+    val phit = pqTopK.join(bt2, Seq("probe_id", "vec_id"), "left_semi").count()
+    println(f"[annbench] topk-pq-adc recall@$k ${phit.toDouble / math.max(1, itot2)}%.4f ($phit of $itot2)")
+    for (nProbe <- Seq(4, 6)) {
+      timeMedian(s"topk-ivfpq-np$nProbe")(() => ivfPqTopK(nProbe).count())
+      val h = ivfPqTopK(nProbe)
+        .join(bt2, Seq("probe_id", "vec_id"), "left_semi").count()
+      println(f"[annbench] topk-ivfpq-np$nProbe recall@$k ${h.toDouble / math.max(1, itot2)}%.4f ($h of $itot2)")
+    }
+    bt2.unpersist()
     spark.stop()
   }
 }

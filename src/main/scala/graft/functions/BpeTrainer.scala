@@ -82,6 +82,18 @@ object BpeTrainer {
     (cur, steps.result())
   }
 
+  /** Tokenizer INFERENCE: apply a learned merge sequence, in training
+    * order, to new text — the other half of the BPE story ([[train]]
+    * learns the rules once; this replays them over any corpus). Each
+    * rule is the same literal-quoted global replace training used, so
+    * tokenize(trainCorpus) reproduces train's merged corpus exactly.
+    * Embarrassingly parallel (a stack of |merges| regex projections,
+    * zero shuffle); for merge tables in the hundreds, cut lineage every
+    * ~8 applications like train does. */
+  def tokenize(text: org.apache.spark.sql.Column, merges: Seq[MergeStep])
+      : org.apache.spark.sql.Column =
+    merges.sortBy(_.round).foldLeft(text)((t, m) => applyMerge(t, m.pair))
+
   /** The merge sequence as a relation (round, pair, pair_count) — the
     * oracle-comparable artifact of a training run. */
   def mergesDf(spark: SparkSession, steps: Seq[MergeStep]): DataFrame = {

@@ -1,0 +1,492 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Product quantization (PQ) — the third leg of the ANN family next to
+  * [[CosineLsh]] (recall via bucketing) and [[IvfIndex]] (scan pruning via
+  * cells): COMPRESSION of the scanned bytes themselves. The vector is cut
+  * into `m` subspaces; each subspace gets its own tiny k-means codebook;
+  * a corpus vector is stored as `m` small codes instead of `dim` floats.
+  * At 100 TB this is the difference between scanning 256 B/vector
+  * (64 × float32) and scanning 8 B/vector (m = 8 codes) — a 32× cut in
+  * scan bandwidth, the dominant cost of a compressed-domain ANN sweep —
+  * and the codes column is what you'd actually materialize as the "index"
+  * table, with raw vectors fetched only for the final re-rank survivors.
+  *
+  * Search is asymmetric distance computation (ADC): the probe builds one
+  * m×k lookup table of exact subspace distances probe↔centroid, and each
+  * candidate's approximate squared L2 distance is m table lookups + adds —
+  * no float multiply touches the corpus row. Both the encode and the ADC
+  * kernels are native codegen expressions (a HOF formulation would be
+  * CodegenFallback — interpreted per element in the hottest loop of the
+  * scan; see the [[LshBucket]] scaladoc for the measured collapse of
+  * exactly this shape).
+  *
+  * Cosine ranking: [[PqEncode]]/[[PqLut]] L2-normalize the vector first,
+  * so ADC's squared-L2 order over unit vectors IS cosine order
+  * (‖p−x‖² = 2 − 2·cos on the unit sphere). The final [[topK]] re-ranks
+  * the top `rerank` ADC survivors with the exact [[NativeCosine]] on the
+  * raw vectors, so reported similarities are exact and recall loss is
+  * confined to candidates PQ ranked below the re-rank horizon.
+  *
+  * Training mirrors [[IvfIndex.train]]: per-subspace Lloyd's k-means on a
+  * BOUNDED hash-ordered sample (uniform over the whole corpus, never a
+  * storage-order prefix; the collect stays capped at sampleN rows at any
+  * corpus size; seed-fixed for reproducibility).
+  */
+object ProductQuantizer {
+
+  /** codebooks(sub)(code)(i): m subspaces × k centroids × subDim dims. */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+    def dim: Int = m * subDim
+  }
+
+  /** Per-subspace k-means over `min(sampleN, corpus)` unit-normalized
+    * vectors on the driver. Seed-fixed; empty cells keep their centroid
+    * (the [[IvfIndex.train]] convention). */
+  def train(df: DataFrame, vecCol: String, m: Int, k: Int = 16,
+            seed: Long = 42L, sampleN: Int = 1000, iters: Int = 8): Model = {
+    val sample: Array[Array[Double]] = df.select(col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(vecCol)).asc)
+      .limit(sampleN)
+      .collect().map { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        normalize(v)
+      }
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val subDim = dim / m
+    val rnd = new Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      kmeans(subs, k, iters, new Random(rnd.nextLong()))
+    }
+    Model(codebooks)
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0d; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0d) v else v.map(_ / n)
+  }
+
+  private def kmeans(xs: Array[Array[Double]], k: Int, iters: Int,
+                     rnd: Random): Array[Array[Double]] = {
+    val dim = xs.head.length
+    var cents = rnd.shuffle(xs.toSeq).take(math.min(k, xs.length))
+      .map(_.clone()).toArray
+    // pad degenerate tiny samples so the codebook is always k wide
+    while (cents.length < k) cents = cents :+ cents(cents.length % math.max(1, cents.length)).clone()
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0d; var i = 0
+          while (i < dim) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** PQ codes (array<int>, length m) for a vector column — native codegen
+    * kernel; NULL for a vector whose length ≠ model dim. */
+  def codes(vec: Column, model: Model): Column =
+    PlanBridge.column(PqEncode(PlanBridge.expression(vec), model.codebooks))
+
+  /** The probe-side ADC lookup table (array<double>, length m·k):
+    * lut[j·k + c] = ‖probe_sub_j − codebook(j)(c)‖² over the normalized
+    * probe. Computed ONCE per probe row; candidates only do lookups. */
+  def lut(vec: Column, model: Model): Column =
+    PlanBridge.column(PqLut(PlanBridge.expression(vec), model.codebooks))
+
+  /** ADC approximate squared L2 distance: Σ_j lut[j·k + codes[j]]. */
+  def adc(codesCol: Column, lutCol: Column, model: Model): Column =
+    PlanBridge.column(PqAdc(PlanBridge.expression(codesCol),
+      PlanBridge.expression(lutCol), model.k))
+
+  /** Approximate top-k by cosine: compressed-domain ADC scan → top
+    * `rerank` per probe → exact NativeCosine re-rank → top `k`.
+    * Output: (probe_id, rn, vec_id, cos).
+    *
+    * Plan shape at scale: the corpus side carries (vec_id, codes, raw
+    * vec); probes (with their LUT) broadcast; the ADC scan is a codegen'd
+    * per-row loop over m ints. Only `probes × rerank` rows survive to the
+    * exact re-rank, so the expensive float math is O(survivors), not
+    * O(corpus). At 100 TB the codes would be a materialized table and the
+    * raw-vector fetch a survivor-only join — here the single pass keeps
+    * both columns to avoid a second scan. */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
+           vecCol: String, model: Model, k: Int,
+           rerank: Int = 50): DataFrame = {
+    NativeCosine.register(corpus.sparkSession)
+    val enc = Materialize.spread(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+      .withColumn("codes", codes(col("cv"), model))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("lut", lut(col("pv"), model))
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val wCos = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    enc.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cv"), col("pv"),
+        adc(col("codes"), col("lut"), model).as("adc"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("probe_id"), col("vec_id"),
+        call_function(NativeCosine.name, col("cv"), col("pv")).as("cos"))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF-PQ: [[IvfIndex]] cells prune WHICH rows are scanned, PQ codes
+    * shrink WHAT each scanned row costs — the standard billion-scale ANN
+    * composition (cells × compression are orthogonal). Candidates come
+    * from the probe's nProbe nearest cells only (key-equality join, never
+    * a cross join), then ADC-rank → exact re-rank as in [[topK]]. */
+  def topKIvf(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, model: Model, ivf: IvfIndex.Model, k: Int,
+              nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    NativeCosine.register(corpus.sparkSession)
+    val enc = Materialize.spread(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+      .withColumn("cell", IvfIndex.assign(col("cv"), ivf))
+      .withColumn("codes", codes(col("cv"), model))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
+      .withColumn("lut", lut(col("pv"), model))
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val wCos = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    enc.join(p, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cv"), col("pv"),
+        adc(col("codes"), col("lut"), model).as("adc"))
+      // a vector can reach one probe via several probed cells — the ADC
+      // score is identical each time, so min() dedups without a re-score
+      .groupBy("probe_id", "vec_id")
+      .agg(min("adc").as("adc"), first("cv").as("cv"), first("pv").as("pv"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("probe_id"), col("vec_id"),
+        call_function(NativeCosine.name, col("cv"), col("pv")).as("cos"))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+  }
+}
+
+/** Native codegen PQ encoder: argmin-centroid code per subspace over the
+  * L2-NORMALIZED input. NULL vector ⇒ NULL; length ≠ m·subDim ⇒ NULL
+  * (dim misconfiguration surfaces as null codes, the [[LshBucket]]
+  * convention). Zero vectors encode as-is (norm guard). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def m: Int = codebooks.length
+  private def k: Int = codebooks(0).length
+  private def subDim: Int = codebooks(0)(0).length
+
+  private def isDoubleArr: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> or ARRAY<DOUBLE> argument, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = m * subDim
+    if (v.numElements() != dim) return null
+    val dbl = isDoubleArr
+    val x = new Array[Double](dim)
+    var i = 0
+    var nsq = 0d
+    while (i < dim) {
+      val e = if (dbl) v.getDouble(i) else v.getFloat(i).toDouble
+      x(i) = e; nsq += e * e; i += 1
+    }
+    val inv = if (nsq == 0d) 1d else 1d / math.sqrt(nsq)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        val cent = cb(c)
+        var d = 0d; var t = 0
+        while (t < subDim) {
+          val diff = x(j * subDim + t) * inv - cent(t)
+          d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val getter =
+      if (isDoubleArr) (a: String, i: String) => s"$a.getDouble($i)"
+      else (a: String, i: String) => s"(double) $a.getFloat($i)"
+    val (mV, kV, sdV) = (m, k, subDim)
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      val nsq = ctx.freshName("nsq")
+      val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      s"""
+         |if ($a.numElements() != ${mV * sdV}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $x = new double[${mV * sdV}];
+         |  double $nsq = 0.0;
+         |  for (int $i = 0; $i < ${mV * sdV}; $i++) {
+         |    $x[$i] = ${getter(a, i)};
+         |    $nsq += $x[$i] * $x[$i];
+         |  }
+         |  final double $inv = $nsq == 0.0 ? 1.0 : 1.0 / Math.sqrt($nsq);
+         |  final int[] $out = new int[$mV];
+         |  for (int $j = 0; $j < $mV; $j++) {
+         |    int $best = 0;
+         |    double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $kV; $c++) {
+         |      final double[] $cent = $cbRef[$j][$c];
+         |      double $d = 0.0;
+         |      for (int $t = 0; $t < $sdV; $t++) {
+         |        final double $diff = $x[$j * $sdV + $t] * $inv - $cent[$t];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $out[$j] = $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode_native"
+}
+
+/** Native codegen ADC lookup table for a probe vector: array<double> of
+  * length m·k with lut[j·k + c] = ‖normalized(probe)_sub_j − cb(j)(c)‖².
+  * Same null/dim semantics as [[PqEncode]]. */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def m: Int = codebooks.length
+  private def k: Int = codebooks(0).length
+  private def subDim: Int = codebooks(0)(0).length
+
+  private def isDoubleArr: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> or ARRAY<DOUBLE> argument, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = m * subDim
+    if (v.numElements() != dim) return null
+    val dbl = isDoubleArr
+    val x = new Array[Double](dim)
+    var i = 0
+    var nsq = 0d
+    while (i < dim) {
+      val e = if (dbl) v.getDouble(i) else v.getFloat(i).toDouble
+      x(i) = e; nsq += e * e; i += 1
+    }
+    val inv = if (nsq == 0d) 1d else 1d / math.sqrt(nsq)
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var c = 0
+      while (c < k) {
+        val cent = cb(c)
+        var d = 0d; var t = 0
+        while (t < subDim) {
+          val diff = x(j * subDim + t) * inv - cent(t)
+          d += diff * diff; t += 1
+        }
+        out(j * k + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val getter =
+      if (isDoubleArr) (a: String, i: String) => s"$a.getDouble($i)"
+      else (a: String, i: String) => s"(double) $a.getFloat($i)"
+    val (mV, kV, sdV) = (m, k, subDim)
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      val nsq = ctx.freshName("nsq")
+      val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val cent = ctx.freshName("cent")
+      s"""
+         |if ($a.numElements() != ${mV * sdV}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $x = new double[${mV * sdV}];
+         |  double $nsq = 0.0;
+         |  for (int $i = 0; $i < ${mV * sdV}; $i++) {
+         |    $x[$i] = ${getter(a, i)};
+         |    $nsq += $x[$i] * $x[$i];
+         |  }
+         |  final double $inv = $nsq == 0.0 ? 1.0 : 1.0 / Math.sqrt($nsq);
+         |  final double[] $out = new double[${mV * kV}];
+         |  for (int $j = 0; $j < $mV; $j++) {
+         |    for (int $c = 0; $c < $kV; $c++) {
+         |      final double[] $cent = $cbRef[$j][$c];
+         |      double $d = 0.0;
+         |      for (int $t = 0; $t < $sdV; $t++) {
+         |        final double $diff = $x[$j * $sdV + $t] * $inv - $cent[$t];
+         |        $d += $diff * $diff;
+         |      }
+         |      $out[$j * $kV + $c] = $d;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_lut_native"
+}
+
+/** Native codegen ADC score: Σ_j lut[j·k + codes[j]] — the per-candidate
+  * kernel of the compressed-domain scan (m int lookups + adds, zero float
+  * multiplies against the corpus row). NULL if either side is NULL or the
+  * shapes disagree (codes.length · k ≠ lut.length). */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<INT>, ARRAY<DOUBLE>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any, lut: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val l = lut.asInstanceOf[ArrayData]
+    val m = c.numElements()
+    if (m * k != l.numElements()) return null
+    var s = 0d
+    var j = 0
+    while (j < m) { s += l.getDouble(j * k + c.getInt(j)); j += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |final int $m = $c.numElements();
+         |if ($m * $k != $l.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $l.getDouble($j * $k + $c.getInt($j));
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_adc_native"
+}

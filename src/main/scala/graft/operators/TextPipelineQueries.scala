@@ -85,6 +85,23 @@ object TextPipelineQueries extends QueryModule {
       graft.functions.BpeTrainer.mergesDf(s, steps).orderBy("round")
     }),
 
+    // Tokenizer INFERENCE (BpeTrainer.tokenize): train 3 merges, replay
+    // them over the corpus, report per-doc token compression — the
+    // vocabulary-application half of the BPE story. The apply stage is a
+    // stack of 3 regex projections (zero shuffle, embarrassingly
+    // parallel); only training's pair-vocabulary aggregations shuffle.
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_before"), col("text"))
+      val (merged, _) = graft.functions.BpeTrainer.train(docs, "text", rounds = 3)
+      merged
+        .select(col("doc_id"), col("n_before"),
+          size(split(col("text"), " ")).as("n_after"))
+        .withColumn("n_merged", col("n_before") - col("n_after"))
+        .orderBy("doc_id")
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -158,6 +175,36 @@ object TextPipelineQueries extends QueryModule {
         |UNION ALL SELECT CAST(2 AS INT), p, CAST(c AS BIGINT) FROM b2
         |UNION ALL SELECT CAST(3 AS INT), p, CAST(c AS BIGINT) FROM b3
         |ORDER BY round""".stripMargin,
+
+    "q_bpe_apply" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |p1 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d0) WHERE LEN(t) >= 2),
+        |b1 AS (SELECT p, COUNT(*) AS c FROM p1 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+        |d1 AS (SELECT doc_id, TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |    ' \Q' || b1.p || '\E ', ' ' || REPLACE(b1.p, ' ', '_') || ' ',
+        |    'g')) AS text FROM d0, b1),
+        |p2 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d1) WHERE LEN(t) >= 2),
+        |b2 AS (SELECT p, COUNT(*) AS c FROM p2 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+        |d2 AS (SELECT doc_id, TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |    ' \Q' || b2.p || '\E ', ' ' || REPLACE(b2.p, ' ', '_') || ' ',
+        |    'g')) AS text FROM d1, b2),
+        |p3 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS p
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d2) WHERE LEN(t) >= 2),
+        |b3 AS (SELECT p, COUNT(*) AS c FROM p3 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+        |d3 AS (SELECT doc_id, TRIM(REGEXP_REPLACE(' ' || text || ' ',
+        |    ' \Q' || b3.p || '\E ', ' ' || REPLACE(b3.p, ' ', '_') || ' ',
+        |    'g')) AS text FROM d2, b3)
+        |SELECT d0.doc_id,
+        |  CAST(LEN(STRING_SPLIT(d0.text, ' ')) AS INT) AS n_before,
+        |  CAST(LEN(STRING_SPLIT(d3.text, ' ')) AS INT) AS n_after,
+        |  CAST(LEN(STRING_SPLIT(d0.text, ' '))
+        |    - LEN(STRING_SPLIT(d3.text, ' ')) AS INT) AS n_merged
+        |FROM d0 JOIN d3 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks

@@ -250,6 +250,24 @@ class FunctionsLibSpec extends SparkSpec {
     assert(gated == Seq(MergeStep(1, "a a", 3)), s"minCount gate broke: $gated")
   }
 
+  test("BpeTrainer.tokenize replays a learned merge table exactly") {
+    val docs = Seq((1L, "a a a b"), (2L, "a a b")).toDF("doc_id", "text")
+    val (merged, steps) = BpeTrainer.train(docs, "text", rounds = 3)
+    // inference over the training corpus == training's merged corpus
+    val replay = docs.select(col("doc_id"),
+        BpeTrainer.tokenize(col("text"), steps).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trained = merged.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay == trained, s"replay $replay != trained $trained")
+    // unseen text, rules in training order: "c a b a a" → round 1 merges
+    // the trailing "a a", round 2 merges "a b", round 3 finds nothing
+    val unseen = Seq((9L, "c a b a a")).toDF("doc_id", "text")
+      .select(BpeTrainer.tokenize(col("text"), steps).as("t"))
+      .head().getString(0)
+    assert(unseen == "c a_b a_a", s"unseen tokenization: $unseen")
+  }
+
   test("BpeTrainer.applyMerge: regex-special tokens merge literally") {
     // "k" separates the occurrences so neither consumes the other's
     // delimiter space (back-to-back occurrences merge on the NEXT round —

@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization: kernel exactness (codes/LUT/ADC vs an
+  * independent Scala reference on collected rows), null/dim guards, and
+  * end-to-end recall of the ADC scan + exact re-rank against the
+  * brute-force cosine top-k on the fixture embeddings. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = table("embeddings")
+  // m=16/k=64 (4-dim subspaces): the fixture embeddings are near-isotropic
+  // gaussians — PQ's hardest case (no cluster structure to exploit) — so
+  // the spec uses a finer codebook than a clustered production corpus
+  // would need. Still a 16× scan-byte cut vs 64 float32s.
+  private lazy val model = ProductQuantizer.train(emb, "embedding", m = 16, k = 64)
+
+  /** Scala reference: normalize, then per-subspace argmin code. */
+  private def refCodes(v: Array[Double]): Array[Int] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    val x = if (n == 0d) v else v.map(_ / n)
+    val sd = model.subDim
+    Array.tabulate(model.m) { j =>
+      (0 until model.k).minBy { c =>
+        val cent = model.codebooks(j)(c)
+        (0 until sd).map { t => val d = x(j * sd + t) - cent(t); d * d }.sum
+      }
+    }
+  }
+
+  test("PqEncode matches the Scala reference argmin on real vectors") {
+    val got = emb.orderBy("vec_id").limit(20)
+      .select(col("vec_id"), col("embedding"),
+        ProductQuantizer.codes(col("embedding"), model).as("codes"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      assert(r.getSeq[Int](2).toArray.sameElements(refCodes(v)),
+        s"codes mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("PqAdc(codes, lut) equals the true subspace-centroid distance sum") {
+    val rows = emb.orderBy("vec_id").limit(10)
+      .select(
+        ProductQuantizer.codes(col("embedding"), model).as("codes"),
+        ProductQuantizer.lut(col("embedding"), model).as("lut"))
+      .withColumn("adc", ProductQuantizer.adc(col("codes"), col("lut"), model))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val lut = r.getSeq[Double](1)
+      val expect = codes.zipWithIndex.map { case (c, j) => lut(j * model.k + c) }.sum
+      assert(math.abs(r.getDouble(2) - expect) < 1e-12)
+    }
+  }
+
+  test("dim mismatch and null vectors surface as NULL, not garbage codes") {
+    val df = Seq(
+      (1L, Some(Array.fill(64)(0.5f))),
+      (2L, Some(Array.fill(3)(0.5f))), // wrong dim
+      (3L, Option.empty[Array[Float]])
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        ProductQuantizer.codes(col("v"), model).as("codes"),
+        ProductQuantizer.lut(col("v"), model).as("lut"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Int](1).length == model.m)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("zero vector encodes without NaN (norm guard)") {
+    val df = Seq((1L, Array.fill(64)(0f))).toDF("id", "v")
+    val codes = df.select(ProductQuantizer.codes(col("v"), model)).head().getSeq[Int](0)
+    assert(codes.length == model.m)
+  }
+
+  private def bruteTopK(k: Int): DataFrame = {
+    NativeCosine.register(spark)
+    val a = emb.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val b = emb.select(col("vec_id").as("vec_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    a.join(b, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        call_function(NativeCosine.name, col("cv"), col("pv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  test("ADC scan + exact re-rank reaches >=0.9 recall@10 vs brute force") {
+    val exact = bruteTopK(10).select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = ProductQuantizer
+      .topK(emb, emb, "vec_id", "embedding", model, k = 10, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"pq recall@10 = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
+  test("IVF-PQ composition keeps recall on probed cells") {
+    val ivf = IvfIndex.train(emb, "embedding", k = 8)
+    val exact = bruteTopK(10).select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val got = ProductQuantizer
+      .topKIvf(emb, emb, "vec_id", "embedding", model, ivf, k = 10,
+        nProbe = 6, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"ivf-pq recall@10 = $recall%.3f (nProbe=6/8 cells)")
+    assert(recall >= 0.85, f"recall $recall%.3f below 0.85")
+  }
+}
