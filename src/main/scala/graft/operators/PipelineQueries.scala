@@ -115,6 +115,34 @@ object PipelineQueries extends QueryModule {
         .orderBy("source", "bin")
     }),
 
+    // Leakage-safe train/val/test split: the md5 split draw is keyed by
+    // the NEAR-DUP CLUSTER id (connected components over the LSH-verified
+    // pairs), not the doc id — so a document and all its near-duplicates
+    // land on the SAME side and eval can never score a paraphrase of a
+    // training doc. Singleton docs (no near-dup) key by their own id.
+    // ~80/10/10 by integer hex-threshold (205/25/26 of 256). The cluster
+    // relation is the q_dedup_cluster plan; the split itself is a
+    // scan-side codegen'd expression — no extra shuffle beyond the
+    // cluster computation's own.
+    "q_split_leakage" -> ((s, dir) => {
+      val labels = graft.functions.DedupClusters
+        .connectedComponents(DedupQueries.minhashPairs(s, dir),
+          "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val h = substring(
+        md5(concat(lit("split"), col("cluster").cast("string"))
+          .cast("binary")), 1, 2)
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(h <= "cc", lit("train"))
+            .when(h <= "e5", lit("val"))
+            .otherwise(lit("test")))
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_oov" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -220,6 +248,27 @@ object PipelineQueries extends QueryModule {
         |SELECT source, CAST(FLOOR((cum - 1) / 256.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_toks
         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |labels AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach
+         |  GROUP BY a),
+         |wc AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |hx AS (SELECT doc_id, cluster,
+         |    SUBSTRING(md5('split' || CAST(cluster AS VARCHAR)), 1, 2) AS h
+         |  FROM wc)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN h <= 'cc' THEN 'train'
+         |       WHEN h <= 'e5' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM hx ORDER BY doc_id""".stripMargin,
 
     "q_curation_pipeline" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashCtes},

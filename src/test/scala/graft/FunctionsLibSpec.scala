@@ -225,6 +225,32 @@ class FunctionsLibSpec extends SparkSpec {
     assert(mismatch == 0, s"$mismatch bucket ids differ between kernels")
   }
 
+  test("MinHashDedup.dedupIncremental: batch dedups vs corpus and itself") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta"), // near dup of 1
+      (12L, "totally different content words here now"), // novel
+      (13L, "red orange yellow green blue indigo"), // novel, dup'd by 14
+      (14L, "red orange yellow green blue indigo") // batch-internal dup
+    ).toDF("doc_id", "text")
+    val kept = MinHashDedup
+      .dedupIncremental(existing, batch, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L), s"kept $kept, expected {12, 13}")
+
+    // empty corpus degenerates to plain batch dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val viaIncr = MinHashDedup
+      .dedupIncremental(empty, batch, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val viaDedup = MinHashDedup.dedup(batch, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIncr == viaDedup, s"$viaIncr != $viaDedup")
+  }
+
   test("BpeTrainer: learns the hand-computed merge sequence and stops when dry") {
     import BpeTrainer.MergeStep
     val docs = Seq((1L, "a a a b"), (2L, "a a b")).toDF("doc_id", "text")

@@ -74,6 +74,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_split_leakage: near-dup pairs never straddle a split boundary") {
+    val rows = q("q_split_leakage").collect()
+    val split = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("cluster")).toMap
+    // every doc assigned, closed split set, non-degenerate partition
+    assert(split.size == table("documents").count())
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.values.toSet.size >= 2, "all docs fell in one split")
+    // the guarantee: both ends of every LSH-verified near-dup pair carry
+    // the same cluster AND the same split (non-vacuous: fixtures yield
+    // near-dup pairs — q_dedup_cluster's relation is non-empty)
+    val pairs = graft.operators.DedupQueries.minhashPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs: the leakage check is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+      assert(split(a) == split(b),
+        s"leak: pair ($a,$b) in ${split(a)} vs ${split(b)}")
+    }
+  }
+
   test("bloom-prescreened decontamination equals the exact path") {
     val exact = q("q_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
