@@ -205,6 +205,56 @@ object ProductQuantizer {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
   }
+  /** Materialize the on-disk IVF-PQ index: (vec_id, codes) PARTITIONED BY
+    * the IVF cell id — the table a 100 TB deployment actually serves
+    * from. Raw vectors are deliberately ABSENT: the scan reads m ints per
+    * row (16× fewer bytes than float32 at 64 dims), and the planner
+    * prunes every non-probed cell's directory wholesale. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 model: Model, ivf: IvfIndex.Model, path: String): Unit =
+    Materialize.spread(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+      .withColumn("cell", IvfIndex.assign(col("cv"), ivf))
+      .withColumn("codes", codes(col("cv"), model))
+      .select("vec_id", "cell", "codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search an on-disk index written by [[writeIndex]]: probed cells'
+    * code files are the ONLY bytes scanned (dynamic partition pruning
+    * from the small probe side + 16× fewer bytes per row); raw vectors
+    * are fetched from `corpus` for the probes × rerank ADC SURVIVORS
+    * only — the survivor set broadcasts into the fetch join, so the full
+    * float column is never shuffled or scanned beyond that join's needs. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  corpus: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, model: Model, ivf: IvfIndex.Model, k: Int,
+                  nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    NativeCosine.register(spark)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        explode(IvfIndex.probeCells(col(vecCol), ivf, nProbe)).as("cell"))
+      .withColumn("lut", lut(col("pv"), model))
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val wCos = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val survivors = spark.read.parquet(path)
+      .join(p, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pv"),
+        adc(col("codes"), col("lut"), model).as("adc"))
+      .groupBy("probe_id", "vec_id")
+      .agg(min("adc").as("adc"), first("pv").as("pv"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("probe_id", "vec_id", "pv")
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    vecs.join(broadcast(survivors), "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        call_function(NativeCosine.name, col("cv"), col("pv")).as("cos"))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+  }
 }
 
 /** Native codegen PQ encoder: argmin-centroid code per subspace over the

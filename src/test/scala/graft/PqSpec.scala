@@ -102,6 +102,34 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("on-disk IVF-PQ index: codes-only layout, result parity, pruning") {
+    val ivf = IvfIndex.train(emb, "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    ProductQuantizer.writeIndex(emb, "vec_id", "embedding", model, ivf, dir)
+    // the served table carries codes, never raw vectors
+    val idx = spark.read.parquet(dir)
+    assert(idx.columns.sorted.sameElements(Array("cell", "codes", "vec_id")))
+    // result parity with the in-memory composition
+    val mem = ProductQuantizer
+      .topKIvf(emb, emb.limit(25), "vec_id", "embedding", model, ivf,
+        k = 5, nProbe = 4, rerank = 30)
+      .select("probe_id", "rn", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val diskDf = ProductQuantizer
+      .topKIndexed(spark, dir, emb, emb.limit(25), "vec_id", "embedding",
+        model, ivf, k = 5, nProbe = 4, rerank = 30)
+    val disk = diskDf.select("probe_id", "rn", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(disk == mem,
+      s"on-disk differs: onlyDisk=${(disk -- mem).size} onlyMem=${(mem -- disk).size}")
+    // the codes scan is prunable on the cell partition key (dynamic
+    // pruning from the probe side — the IvfSpec assertion, same layout)
+    val plan = diskDf.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("partitionfilters: [isnotnull(cell"),
+      s"no partition pruning on the cell key:\n$plan")
+  }
+
   test("IVF-PQ composition keeps recall on probed cells") {
     val ivf = IvfIndex.train(emb, "embedding", k = 8)
     val exact = bruteTopK(10).select("probe_id", "vec_id")
