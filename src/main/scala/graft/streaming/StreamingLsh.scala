@@ -85,4 +85,49 @@ object StreamingLsh {
           }
       }
   }
+
+  /** Streaming arrivals verified against the STANDING corpus — the
+    * continuous twin of `MinHashDedup.dedupIncremental`: each incoming
+    * document's banded keys stream-static-join the corpus
+    * [[MinHashDedup.Index]] (`keys` equi-join, then `shingles` for the
+    * exact-Jaccard verify), emitting (doc_id, matched_id, jaccard) hits.
+    * The corpus index is a static relation, so Spark plans a plain
+    * stream-static join — no state store grows with the corpus, and at
+    * scale the static side is the same persisted, bucket-partitioned
+    * index table the batch increment reads. Within-stream duplicates are
+    * [[candidates]]' job; compose both for full continuous dedup.
+    *
+    * A pair colliding in several bands emits once per colliding band
+    * (identical rows) — the [[candidates]] multiplicity convention:
+    * streaming-side dedup would need a state store, and downstream
+    * consumers treat hits as a set. docs must carry (doc_id: Long,
+    * text: String); may be streaming. */
+  def againstIndex(spark: SparkSession, docs: DataFrame,
+                   index: MinHashDedup.Index, threshold: Double,
+                   shingleN: Int = 2, bands: Int = 4,
+                   rows: Int = 4): DataFrame = {
+    graft.functions.NativeJaccard.register(spark)
+    val k = bands * rows
+    val keyed = docs.select(col("doc_id"),
+        MinHashDedup.shingles(col("text"), shingleN).as("sb_sh"))
+      .filter(size(col("sb_sh")) > 0)
+      .select(col("doc_id"), col("sb_sh"),
+        MinHashDedup.signature(col("sb_sh"), k).as("sig"))
+      .select(col("doc_id"), col("sb_sh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band_idx"),
+            xxhash64((slice(col("sig"), b * rows + 1, rows) +:
+              Seq(lit(b))): _*).as("band_hash"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sb_sh"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
+    val jac = call_function(graft.functions.NativeJaccard.name,
+      col("sb_sh"), col("se.sh"))
+    keyed
+      .join(index.keys.alias("e"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("sb_sh"), col("e.mh_id").as("matched_id"))
+      .join(index.shingles.alias("se"), col("matched_id") === col("se.sh_id"))
+      .select(col("doc_id"), col("matched_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -402,6 +402,31 @@ class StreamingSpec extends SparkSpec {
     assert(m == Map("hello" -> 3L, "world" -> 1L, "kafka" -> 1L))
   }
 
+  test("s_lsh againstIndex: arrivals verify against the standing corpus") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val raw = graft.functions.MinHashDedup.buildIndex(corpus, "doc_id", "text")
+    val index = graft.functions.MinHashDedup.Index(
+      raw.keys.localCheckpoint(true), raw.shingles.localCheckpoint(true))
+    val in = MemoryStream[(Long, String)]
+    val out = runToTable(
+      StreamingLsh.againstIndex(spark, in.toDF.toDF("doc_id", "text"),
+        index, threshold = 0.5),
+      "append",
+      () => in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta"), // near dup of 1
+        (11L, "totally different content words here now")), // novel
+      // a later batch still sees the same static index
+      () => in.addData((12L, "one two three four five six"))) // exact dup of 2
+    val hits = out.select("doc_id", "matched_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L), (12L, 2L)), s"hits $hits")
+    val j12 = out.filter(col("doc_id") === 12L).select("jaccard")
+      .as[Double].head()
+    assert(j12 == 1.0, s"exact dup jaccard $j12")
+  }
+
   test("s_wordcount_e2e: windowed word count equals its batch twin") {
     val sentences = Seq(
       (ts("2024-01-01 10:00:10"), "hello world"),
