@@ -135,18 +135,19 @@ object AnnBench {
         nProbe = nProbe, rerank = 5 * k)
       .select("probe_id", "vec_id")
 
-    val bt2 = bruteTopK.cache()
-    val itot2 = bt2.count()
+    // reuse the cached brute-force ground truth from section 2 — the
+    // relation is identical; a second cache would recompute it and pin a
+    // duplicate copy in memory across the timing legs
     timeMedian("topk-pq-adc")(() => pqTopK.count())
-    val phit = pqTopK.join(bt2, Seq("probe_id", "vec_id"), "left_semi").count()
-    println(f"[annbench] topk-pq-adc recall@$k ${phit.toDouble / math.max(1, itot2)}%.4f ($phit of $itot2)")
+    val phit = pqTopK.join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
+    println(f"[annbench] topk-pq-adc recall@$k ${phit.toDouble / math.max(1, itot)}%.4f ($phit of $itot)")
     for (nProbe <- Seq(4, 6)) {
       timeMedian(s"topk-ivfpq-np$nProbe")(() => ivfPqTopK(nProbe).count())
       val h = ivfPqTopK(nProbe)
-        .join(bt2, Seq("probe_id", "vec_id"), "left_semi").count()
-      println(f"[annbench] topk-ivfpq-np$nProbe recall@$k ${h.toDouble / math.max(1, itot2)}%.4f ($h of $itot2)")
+        .join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
+      println(f"[annbench] topk-ivfpq-np$nProbe recall@$k ${h.toDouble / math.max(1, itot)}%.4f ($h of $itot)")
     }
-    bt2.unpersist()
+    bt.unpersist()
     spark.stop()
   }
 }

@@ -62,22 +62,49 @@ object MinHashDedup {
   def signature(sh: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
 
-  /** The banded (mh_id, band_idx, band_hash) LSH key relation. */
-  private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int, bands: Int, rows: Int): DataFrame = {
-    val k = bands * rows
-    // docs with no shingles (shorter than the shingle width) can't be
-    // near-dup candidates — and would otherwise collide into one hot
-    // all-null band bucket (and 0/0 under ANSI in the verify step).
-    val sig = df.select(col(idCol).as("mh_id"),
+  /** The SINGLE definition of the band-key hash: per band b, xxhash64 of
+    * the band's signature slots with b mixed in (disjoint keyspaces per
+    * band). Every producer of band keys — the batch index, the streaming
+    * bucket state, the stream-static verify — derives from THIS column,
+    * so the formula cannot silently fork (a forked copy would make the
+    * equi-joins return zero hits with no error). Returns an array of
+    * (band_idx, band_hash) structs. */
+  private[graft] def bandKeyStructs(sig: Column, bands: Int,
+                                    rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64((slice(sig, b * rows + 1, rows) +: Seq(lit(b))): _*)
+          .as("band_hash"))
+    }: _*)
+
+  /** The per-doc distinct shingle relation (sh_id, sh) — the ONE text
+    * scan every downstream derivation (signatures, band keys, verify)
+    * should share. Docs with no shingles (shorter than the shingle
+    * width) can't be near-dup candidates — and would otherwise collide
+    * into one hot all-null band bucket (and 0/0 under ANSI in verify). */
+  private[graft] def shingleRel(df: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("sh_id"),
         shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("mh_id"), signature(col("sh"), k).as("sig"))
-    sig.select(col("mh_id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((slice(col("sig"), b * rows + 1, rows) +: Seq(lit(b))): _*)
-      }: _*)).as(Seq("band_idx", "band_hash")))
-  }
+
+  /** Banded keys derived from an existing shingle relation — lets a
+    * caller that already materialized [[shingleRel]] avoid a second
+    * text scan (the dedupIncremental hot path). */
+  private[graft] def bandedKeysFromShingles(sh: DataFrame, bands: Int,
+                                            rows: Int): DataFrame =
+    sh.select(col("sh_id").as("mh_id"),
+        signature(col("sh"), bands * rows).as("sig"))
+      .select(col("mh_id"),
+        explode(bandKeyStructs(col("sig"), bands, rows)).as("bk"))
+      .select(col("mh_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_hash").as("band_hash"))
+
+  /** The banded (mh_id, band_idx, band_hash) LSH key relation. */
+  private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, bands: Int, rows: Int): DataFrame =
+    bandedKeysFromShingles(shingleRel(df, idCol, textCol, shingleN),
+      bands, rows)
 
   /** Over-cap band buckets (band_idx, band_hash, n_docs) — the truncation
     * monitoring relation. `candidatePairs` chains or drops exactly these
@@ -96,7 +123,17 @@ object MinHashDedup {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 2, bands: Int = 4, rows: Int = 4,
                      maxBucket: Int = DefaultMaxBucket,
-                     chainHotBuckets: Boolean = true): DataFrame = {
+                     chainHotBuckets: Boolean = true): DataFrame =
+    candidatePairsFromBanded(
+      bandedKeys(df, idCol, textCol, shingleN, bands, rows),
+      maxBucket, chainHotBuckets)
+
+  /** [[candidatePairs]] over an already-derived banded key relation —
+    * shared by the from-text path and the incremental path (which reuses
+    * its materialized batch keys). */
+  private[graft] def candidatePairsFromBanded(banded0: DataFrame,
+                                              maxBucket: Int,
+                                              chainHotBuckets: Boolean): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
     // three consumers (bucket counts + both self-join sides): materialize
     // once — the production analog writes the banded relation to storage.
@@ -104,8 +141,7 @@ object MinHashDedup {
     // planner broadcasts one side of the self-join below, the stream side
     // (and every banded-verify row with it) inherits that single task —
     // see Materialize.spread (the CosineLsh fix, same shape)
-    val banded = Materialize(Materialize.spread(
-      bandedKeys(df, idCol, textCol, shingleN, bands, rows)))
+    val banded = Materialize(Materialize.spread(banded0))
     // the over-cap key set is tiny by construction (≤ corpus/maxBucket),
     // so both the anti-join and the chain semi-join broadcast it; the
     // full banded relation is never shuffled a second time for the cap.
@@ -145,12 +181,17 @@ object MinHashDedup {
                          bands: Int = 4, rows: Int = 4,
                          maxBucket: Int = DefaultMaxBucket,
                          chainHotBuckets: Boolean = true): DataFrame = {
-    val sh = df.select(col(idCol).as("sh_id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val cands = candidatePairs(df, idCol, textCol, shingleN, bands, rows,
-      maxBucket, chainHotBuckets)
-    NativeJaccard.register(df.sparkSession)
+    val sh = shingleRel(df, idCol, textCol, shingleN)
+    val cands = candidatePairsFromBanded(
+      bandedKeysFromShingles(sh, bands, rows), maxBucket, chainHotBuckets)
+    verifyPairs(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verify of (a_id, b_id) candidates against a shingle
+    * relation — the shared tail of every near-dup path. */
+  private[graft] def verifyPairs(cands: DataFrame, sh: DataFrame,
+                                 threshold: Double): DataFrame = {
+    NativeJaccard.register(sh.sparkSession)
     val jac = call_function(NativeJaccard.name, col("sa.sh"), col("sb.sh"))
     cands
       .join(sh.alias("sa"), col("a_id") === col("sa.sh_id"))
@@ -183,12 +224,10 @@ object MinHashDedup {
   /** Build the [[Index]] of a corpus (one pass over the text; the caller
     * persists the two relations). */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 2, bands: Int = 4, rows: Int = 4): Index =
-    Index(
-      bandedKeys(corpus, idCol, textCol, shingleN, bands, rows),
-      corpus.select(col(idCol).as("sh_id"),
-          shingles(col(textCol), shingleN).as("sh"))
-        .filter(size(col("sh")) > 0))
+                 shingleN: Int = 2, bands: Int = 4, rows: Int = 4): Index = {
+    val sh = shingleRel(corpus, idCol, textCol, shingleN)
+    Index(bandedKeysFromShingles(sh, bands, rows), sh)
+  }
 
   /** INCREMENTAL dedup — the operation a living 100 TB corpus actually
     * runs: a new batch arrives and must be deduped (a) against the
@@ -211,8 +250,12 @@ object MinHashDedup {
                        bands: Int = 4, rows: Int = 4,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     NativeJaccard.register(batch.sparkSession)
-    val bKeys = Materialize(Materialize.spread(
-      bandedKeys(batch, idCol, textCol, shingleN, bands, rows)))
+    // ONE text scan over the batch: the materialized shingle relation
+    // feeds the band keys, the cross-corpus verify, and the inner dedup
+    // (pre-review this path re-derived shingles/signatures four times)
+    val bSh = Materialize(Materialize.spread(
+      shingleRel(batch, idCol, textCol, shingleN)))
+    val bKeys = Materialize(bandedKeysFromShingles(bSh, bands, rows))
     // over-cap corpus buckets: tiny by construction (≤ corpus/maxBucket),
     // computed from the key table alone — no text is touched
     val eHot = index.keys.groupBy("band_idx", "band_hash")
@@ -224,17 +267,15 @@ object MinHashDedup {
       .join(eKept.alias("e"), Seq("band_idx", "band_hash"))
       .select(col("b.mh_id").as("b_id"), col("e.mh_id").as("e_id"))
       .distinct()
-    val bSh = batch
-      .select(col(idCol).as("sh_id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
     val jac = call_function(NativeJaccard.name, col("sb.sh"), col("se.sh"))
     val crossDrop = crossCand
       .join(bSh.alias("sb"), col("b_id") === col("sb.sh_id"))
       .join(index.shingles.alias("se"), col("e_id") === col("se.sh_id"))
       .filter(jac >= threshold)
       .select(col("b_id").as(idCol)).distinct()
-    val innerDrop = nearDuplicatePairs(batch, idCol, textCol, threshold,
-      shingleN, bands, rows, maxBucket)
+    val innerDrop = verifyPairs(
+      candidatePairsFromBanded(bKeys, maxBucket, chainHotBuckets = true),
+      bSh, threshold)
       .select(col("b_id").as(idCol)).distinct()
     batch.join(crossDrop.unionAll(innerDrop).distinct(), Seq(idCol),
       "left_anti")

@@ -59,7 +59,12 @@ object ProductQuantizer {
     * (the [[IvfIndex.train]] convention). */
   def train(df: DataFrame, vecCol: String, m: Int, k: Int = 16,
             seed: Long = 42L, sampleN: Int = 1000, iters: Int = 8): Model = {
+    // dirty rows the kernels map to NULL at query time (null vector,
+    // null element) are filtered here too, instead of crashing the
+    // driver-side collect with an NPE/MatchError
     val sample: Array[Array[Double]] = df.select(col(vecCol))
+      .filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => x.isNull))
       .orderBy(xxhash64(lit(seed), col(vecCol)).asc)
       .limit(sampleN)
       .collect().map { r =>
@@ -93,8 +98,15 @@ object ProductQuantizer {
     val dim = xs.head.length
     var cents = rnd.shuffle(xs.toSeq).take(math.min(k, xs.length))
       .map(_.clone()).toArray
-    // pad degenerate tiny samples so the codebook is always k wide
-    while (cents.length < k) cents = cents :+ cents(cents.length % math.max(1, cents.length)).clone()
+    // pad degenerate tiny samples so the codebook is always k wide,
+    // cycling over the real centroids (index vs the PRE-pad length —
+    // modding by the growing length would clone only centroid 0)
+    val nReal = cents.length
+    var pad = 0
+    while (cents.length < k) {
+      cents = cents :+ cents(pad % nReal).clone()
+      pad += 1
+    }
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
@@ -160,6 +172,10 @@ object ProductQuantizer {
     enc.join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("cv"), col("pv"),
         adc(col("codes"), col("lut"), model).as("adc"))
+      // null adc = null codes or LUT (dim-misconfigured row/probe); asc
+      // sorts NULLS FIRST, which would crowd genuine candidates out of
+      // the rerank horizon — drop them before ranking
+      .filter(col("adc").isNotNull)
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerank)
       .select(col("probe_id"), col("vec_id"),
@@ -195,6 +211,7 @@ object ProductQuantizer {
         adc(col("codes"), col("lut"), model).as("adc"))
       // a vector can reach one probe via several probed cells — the ADC
       // score is identical each time, so min() dedups without a re-score
+      .filter(col("adc").isNotNull)
       .groupBy("probe_id", "vec_id")
       .agg(min("adc").as("adc"), first("cv").as("cv"), first("pv").as("pv"))
       .withColumn("rn", row_number().over(wAdc))
@@ -242,6 +259,7 @@ object ProductQuantizer {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("pv"),
         adc(col("codes"), col("lut"), model).as("adc"))
+      .filter(col("adc").isNotNull)
       .groupBy("probe_id", "vec_id")
       .agg(min("adc").as("adc"), first("pv").as("pv"))
       .withColumn("rn", row_number().over(wAdc))

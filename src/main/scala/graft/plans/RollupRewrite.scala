@@ -143,9 +143,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
             Some(ae.copy(aggregateFunction =
               m.withNewChildren(Seq(e.rollupAttr(s"__max_${a.name}")))
                 .asInstanceOf[Max]))
-          case Count(Seq(Literal(_, _))) =>
+          case Count(Seq(Literal(v, _))) if v != null =>
             // count(1)/count(*) → sum of partial counts; coalesce pins the
-            // empty-relation global aggregate to 0 and non-nullability
+            // empty-relation global aggregate to 0 and non-nullability.
+            // count(lit(null)) must stay un-rewritten: it counts NOTHING,
+            // not the group size.
             Some(Coalesce(Seq(
               Sum(e.rollupAttr("__cnt")).toAggregateExpression(),
               Literal(0L))))

@@ -49,12 +49,13 @@ object StreamingLsh {
         MinHashDedup.shingles(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), MinHashDedup.signature(col("sh"), k).as("sig"))
-    // bucket = hash(band slots, band index) — band index mixed into the
-    // hash keeps different bands' buckets disjoint keyspaces.
+    // bucket = the SHARED band-key hash (MinHashDedup.bandKeyStructs —
+    // band index mixed in keeps different bands' buckets disjoint);
+    // band_hash alone is the bucket id here since the index is in the hash
     val banded = sig.select(
-        explode(array((0 until bands).map { b =>
-          xxhash64((slice(col("sig"), b * rows + 1, rows) +: Seq(lit(b))): _*)
-        }: _*)).as("bucket"),
+        explode(transform(
+          MinHashDedup.bandKeyStructs(col("sig"), bands, rows),
+          bk => bk.getField("band_hash"))).as("bucket"),
         col("doc_id").as("docId"))
       .as[BandDoc]
     val timeout =
@@ -114,17 +115,18 @@ object StreamingLsh {
       .select(col("doc_id"), col("sb_sh"),
         MinHashDedup.signature(col("sb_sh"), k).as("sig"))
       .select(col("doc_id"), col("sb_sh"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band_idx"),
-            xxhash64((slice(col("sig"), b * rows + 1, rows) +:
-              Seq(lit(b))): _*).as("band_hash"))
-        }: _*)).as("bk"))
+        explode(MinHashDedup.bandKeyStructs(col("sig"), bands, rows))
+          .as("bk"))
       .select(col("doc_id"), col("sb_sh"),
         col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
     val jac = call_function(graft.functions.NativeJaccard.name,
       col("sb_sh"), col("se.sh"))
     keyed
       .join(index.keys.alias("e"), Seq("band_idx", "band_hash"))
+      // a replayed document already present in the index (at-least-once
+      // delivery) would otherwise match ITSELF at jaccard 1.0 and be
+      // dropped as "a duplicate of the corpus"
+      .filter(col("doc_id") =!= col("e.mh_id"))
       .select(col("doc_id"), col("sb_sh"), col("e.mh_id").as("matched_id"))
       .join(index.shingles.alias("se"), col("matched_id") === col("se.sh_id"))
       .select(col("doc_id"), col("matched_id"), jac.as("jaccard"))

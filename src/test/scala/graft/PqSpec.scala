@@ -102,6 +102,33 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("null/wrong-dim corpus rows never crowd the rerank set (NULLS FIRST guard)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 60 dirty rows > rerank=50: before the isNotNull guard, their NULL
+    // adc sorted FIRST and displaced every genuine candidate
+    val clean = emb.select("vec_id", "embedding")
+    val schema = StructType(Seq(StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType, false), true)))
+    val dirtyRows = (0 until 60).map { i =>
+      Row(100000L + i,
+        if (i % 2 == 0) null else Array.fill(3)(0.5f).toSeq)
+    }
+    val dirty = spark.createDataFrame(
+      spark.sparkContext.parallelize(dirtyRows, 2), schema)
+    val probes = emb.limit(5)
+    val onClean = ProductQuantizer
+      .topK(clean, probes, "vec_id", "embedding", model, k = 10, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val onDirty = ProductQuantizer
+      .topK(clean.unionByName(dirty), probes, "vec_id", "embedding",
+        model, k = 10, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(onDirty == onClean,
+      s"dirty rows changed results: onlyDirty=${(onDirty -- onClean).size}")
+    assert(!onDirty.exists(_._2 >= 100000L), "a dirty row reached the top-k")
+  }
+
   test("on-disk IVF-PQ index: codes-only layout, result parity, pruning") {
     val ivf = IvfIndex.train(emb, "embedding", k = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString

@@ -86,6 +86,13 @@ class RollupSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scansParquet(grp), "non-subset grouping must not be rewritten")
   }
 
+  test("count(lit(null)) is NOT rewritten — it counts nothing, not rows") {
+    registerRollup
+    val q = fact.groupBy("l_returnflag").agg(count(lit(null)).as("c"))
+    assert(scansParquet(q), "count(null) must not become the group size")
+    assert(q.collect().forall(_.getAs[Long]("c") == 0L))
+  }
+
   test("a row-filtered fact never matches (predicate changes the set)") {
     registerRollup
     val f = fact.filter(col("l_linenumber") > 2)

@@ -418,10 +418,14 @@ class StreamingSpec extends SparkSpec {
         (10L, "alpha beta gamma delta epsilon zeta eta"), // near dup of 1
         (11L, "totally different content words here now")), // novel
       // a later batch still sees the same static index
-      () => in.addData((12L, "one two three four five six"))) // exact dup of 2
+      () => in.addData((12L, "one two three four five six"), // exact dup of 2
+        // doc 1 REPLAYED (already in the index): at-least-once delivery
+        // must not self-match it into a "duplicate of the corpus"
+        (1L, "alpha beta gamma delta epsilon zeta")))
     val hits = out.select("doc_id", "matched_id")
       .as[(Long, Long)].collect().toSet
     assert(hits == Set((10L, 1L), (12L, 2L)), s"hits $hits")
+    assert(!hits.exists(p => p._1 == p._2), s"self-match leaked: $hits")
     val j12 = out.filter(col("doc_id") === 12L).select("jaccard")
       .as[Double].head()
     assert(j12 == 1.0, s"exact dup jaccard $j12")
