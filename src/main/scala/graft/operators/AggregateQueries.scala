@@ -219,6 +219,34 @@ object AggregateQueries extends QueryModule {
     // size — the only listagg shape that is safe at 100 TB. (listagg's own
     // DISTINCT modifier trips a SortOrder cast bug in Spark 4.1 ListAgg,
     // and would also carry every raw row into the sort buffer.)
+    // The materialized-rollup rewrite (plans/RollupRewrite) under the
+    // DRIVER'S oracle gate: register a (returnflag, linestatus) partial-
+    // aggregate rollup, run a SUBSET-grouping aggregate — the rule
+    // rewrites it to re-aggregate the rollup (RollupSpec asserts the plan
+    // substitution; executed eagerly here via Materialize so the rewrite
+    // fires inside this function, then the registry is cleared so no
+    // other query's plan is touched) — and hash-match the plain SQL the
+    // oracle runs on the raw table. A rewrite bug (wrong partial fold,
+    // dropped group, count/sum mix-up) lands here as a hash mismatch.
+    "q_rollup_rewrite" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+      graft.plans.RollupRewrite.clear()
+      graft.plans.RollupRewrite.register(fact,
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("l_linenumber", "l_orderkey"),
+        minCols = Seq("l_partkey"), maxCols = Seq("l_partkey"))
+      val agg = fact.groupBy("l_returnflag")
+        .agg(sum("l_linenumber").as("s_line"),
+          sum("l_orderkey").as("s_okey"),
+          count(lit(1)).as("n"),
+          min("l_partkey").as("mn_part"),
+          max("l_partkey").as("mx_part"))
+        .orderBy("l_returnflag")
+      val out = graft.functions.Materialize(agg)
+      graft.plans.RollupRewrite.clear()
+      out
+    }),
+
     "q_listagg" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("customer")
       s.sql(
@@ -235,6 +263,16 @@ object AggregateQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_rollup_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS s_line,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS s_okey,
+        |  COUNT(*) AS n,
+        |  MIN(l_partkey) AS mn_part,
+        |  MAX(l_partkey) AS mx_part
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_listagg" ->
       """WITH pairs AS (
         |  SELECT DISTINCT c_nationkey, c_mktsegment FROM customer

@@ -54,6 +54,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private val entries =
     new java.util.concurrent.CopyOnWriteArrayList[Entry]()
 
+  private val rewrites = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Number of Aggregates rewritten so far this session — lets a spec
+    * prove the rule actually FIRED for a query (a silent fall-through to
+    * the fact scan is correct but defeats the point). */
+  def rewriteCount: Long = rewrites.get()
+
   /** Partial-aggregate rollup of `fact`: per-group `__cnt`, `__sum_c`,
     * `__min_c`, `__max_c`. The relation a deployment writes as a table. */
   def build(fact: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
@@ -159,6 +166,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     if (newAggs.exists(_.isEmpty)) None
-    else Some(Aggregate(newGroupings, newAggs.map(_.get), e.rollup))
+    else {
+      rewrites.incrementAndGet()
+      Some(Aggregate(newGroupings, newAggs.map(_.get), e.rollup))
+    }
   }
 }

@@ -86,6 +86,15 @@ class RollupSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scansParquet(grp), "non-subset grouping must not be rewritten")
   }
 
+  test("the registry query q_rollup_rewrite actually FIRES the rule") {
+    val before = RollupRewrite.rewriteCount
+    val rows = q("q_rollup_rewrite").collect()
+    assert(rows.nonEmpty)
+    assert(RollupRewrite.rewriteCount > before,
+      "q_rollup_rewrite ran without the rewrite firing — the oracle " +
+        "would silently gate a plain fact scan")
+  }
+
   test("count(lit(null)) is NOT rewritten — it counts nothing, not rows") {
     registerRollup
     val q = fact.groupBy("l_returnflag").agg(count(lit(null)).as("c"))
