@@ -106,6 +106,58 @@ class PropertySpec extends SparkSpec {
     assert(a == b, "signature depends on row order")
   }
 
+  test("pq adc invariants: non-negative, self-distance ~0, unit-sphere bound") {
+    val emb = table("embeddings")
+    val model = graft.functions.ProductQuantizer.train(emb, "embedding", m = 8, k = 16)
+    val base = emb.orderBy("vec_id").limit(60).select(
+      col("vec_id"),
+      graft.functions.ProductQuantizer.codes(col("embedding"), model).as("c"),
+      graft.functions.ProductQuantizer.lut(col("embedding"), model).as("l"))
+    // pair row i with row i+1's LUT: a RANDOM other vector's distance
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val rows = base
+      .withColumn("l_other", lead("l", 1).over(w))
+      .filter(col("l_other").isNotNull)
+      .select(
+        graft.functions.ProductQuantizer.adc(col("c"), col("l"), model).as("self"),
+        graft.functions.ProductQuantizer.adc(col("c"), col("l_other"), model).as("other"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (self, other) =>
+      // sum of squared distances: >= 0 always; both sides normalized to
+      // the unit sphere so ||p - x||^2 <= 4 (+ quantization residual eps)
+      assert(self >= 0d && self <= 4.5d, s"self adc $self out of range")
+      assert(other >= 0d && other <= 4.5d, s"other adc $other out of range")
+      // the self distance is PURE quantization error — it must sit well
+      // under the ~2.0 expected distance between independent unit vectors
+      assert(self < other, f"self $self%.3f >= random-other $other%.3f")
+    }
+  }
+
+  test("bpe tokenize idempotence: applying a merge table twice == once") {
+    val docs = table("documents").limit(40).select("doc_id", "text")
+    val (_, steps) = graft.functions.BpeTrainer.train(docs, "text", rounds = 3)
+    val once = graft.functions.BpeTrainer.tokenize(col("text"), steps)
+    val twice = graft.functions.BpeTrainer.tokenize(once, steps)
+    // after one application every occurrence is merged (the merged token
+    // joins with '_', so the space-padded pattern can never re-match)
+    val diff = docs.select(once.as("a"), twice.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, s"$diff docs changed on the second application")
+  }
+
+  test("shard assignment is a pure function of (seed, id): stable under reordering") {
+    val docs = table("documents").select("doc_id", "text")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-prop-shard").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-prop-shard").toString
+    graft.sources.ShardExport.export(docs, "doc_id", dirA, shards = 4)
+    graft.sources.ShardExport.export(docs.orderBy(col("text")), "doc_id",
+      dirB, shards = 4)
+    def assign(d: String) = spark.read.parquet(d)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(assign(dirA) == assign(dirB),
+      "input ordering leaked into shard assignment")
+  }
+
   test("jaro-winkler invariants: bounds, identity, symmetry, prefix monotone") {
     import org.apache.spark.unsafe.types.UTF8String
     def jw(a: String, b: String): Double =
