@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   *      deterministic) via a 1-row TakeOrdered — the collected row is the
   *      round's merge rule, the bounded-driver-action exception
   *      (N rounds × 1 row total);
-  *   3. apply the merge corpus-wide as a literal-quoted regex replace
-  *      (space-padded, global left-to-right non-overlapping — BPE's merge
-  *      rule; `Pattern.quote` so regex-special tokens can't corrupt the
-  *      pattern, unlike the raw-pattern oracle twin which mirrors DuckDB
-  *      with \Q…\E quoting on both sides).
+  *   3. apply the merge corpus-wide as a literal-quoted regex replace —
+  *      leading space consumed, trailing space matched by a LOOKAHEAD so
+  *      it survives as the next occurrence's delimiter: exactly BPE's
+  *      greedy left-to-right scan ("a b a b" → "a_b a_b" in ONE pass;
+  *      a consuming trailing space would skip every second consecutive
+  *      occurrence — the round-7 advice bug). `Pattern.quote` keeps
+  *      regex-special tokens literal. DuckDB's RE2 has no lookahead, so
+  *      the oracle twin replays the SAME greedy scan as a list_reduce
+  *      over the token list — different mechanism, identical semantics.
   *
   * Per-round budget: one pair-count shuffle + one embarrassingly-parallel
   * regex map. Lineage is cut every `checkpointEvery` rounds (each round
@@ -45,13 +49,17 @@ object BpeTrainer {
           .stripMargin)).as("p"))
       .groupBy("p").agg(count(lit(1)).as("c"))
 
-  /** Apply one merge rule to a text column: space-padded, literal-quoted,
-    * global non-overlapping replace; the merged token joins with '_'. */
+  /** Apply one merge rule to a text column: greedy left-to-right scan via
+    * a literal-quoted regex whose trailing delimiter is a LOOKAHEAD
+    * (non-consuming), so consecutive occurrences all merge in one pass
+    * ("a b a b" → "a_b a_b") while overlapping ones stay non-overlapping
+    * ("a a a" with pair "a a" → "a_a a") — BPE's merge rule exactly.
+    * The merged token joins with '_'. */
   def applyMerge(text: org.apache.spark.sql.Column, pair: String)
       : org.apache.spark.sql.Column = {
-    val pattern = " " + java.util.regex.Pattern.quote(pair) + " "
+    val pattern = " " + java.util.regex.Pattern.quote(pair) + "(?= )"
     val repl = java.util.regex.Matcher
-      .quoteReplacement(" " + pair.replace(' ', '_') + " ")
+      .quoteReplacement(" " + pair.replace(' ', '_'))
     trim(regexp_replace(concat(lit(" "), text, lit(" ")), lit(pattern), lit(repl)))
   }
 

@@ -194,7 +194,10 @@ object SimHash {
     def volume(m: Int): Long = sigs
       .select(explode(bucketKeysSized(col(sigCol), d, m)).as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1)).as("s"))
+      // coalesce: sum() over an EMPTY key relation (empty corpus, or all
+      // docs below the shingle width) is NULL, not 0 — without it the
+      // getLong NPEs instead of returning an empty result downstream
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("s"))
       .head().getLong(0) / 2
     while (volume(n) > budget &&
         choose(n + 1, d) <= maxKeys &&

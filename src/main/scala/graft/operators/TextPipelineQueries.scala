@@ -38,15 +38,17 @@ object TextPipelineQueries extends QueryModule {
     // ADJACENT token pairs corpus-wide (occurrences, not per-doc
     // distinct), pick the most frequent (count desc, then lexicographic
     // "w1 w2" — fully deterministic), and apply the merge to every
-    // document. Application is a space-delimited regex replace: global
-    // left-to-right non-overlapping in both engines, which is exactly
-    // BPE's merge rule ("a a a" → "a_a a"). Scale: pair counting is the
-    // word-count plan; best-pair is a 1-row TakeOrdered broadcast; the
-    // merge itself is per-row regex, embarrassingly parallel. A full BPE
-    // trainer is this step iterated with the merged corpus fed back in.
+    // document via BpeTrainer.applyMerge — BPE's greedy left-to-right
+    // scan ("a b a b" → "a_b a_b" in one pass, "a a a" → "a_a a"); the
+    // DuckDB twin replays the same scan as a list_reduce (RE2 has no
+    // lookahead). Scale: pair counting is the word-count plan; the
+    // best-pair argmax is the documented 1-row bounded-driver-action
+    // exception (same as q_bpe_train); the merge itself is per-row
+    // codegen'd regex, embarrassingly parallel. A full BPE trainer is
+    // this step iterated with the merged corpus fed back in.
     "q_bpe_merge" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = docs
+      val best = docs
         .repartition(col("doc_id"))
         .select(split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
@@ -54,16 +56,13 @@ object TextPipelineQueries extends QueryModule {
           """transform(sequence(1, size(t) - 1),
             |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
             .stripMargin)).as("p"))
-      val best = pairs.groupBy("p").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("p")).limit(1)
-        .select(col("p").as("pair"), col("c").as("pair_count"))
-      val merged = trim(regexp_replace(
-        concat(lit(" "), col("text"), lit(" ")),
-        concat(lit(" "), col("pair"), lit(" ")),
-        concat(lit(" "), regexp_replace(col("pair"), " ", "_"), lit(" "))))
-      docs.crossJoin(broadcast(best))
-        .select(col("doc_id"), col("pair"), col("pair_count"),
-          merged.as("merged"),
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1).collect()(0)
+      val (pair, pairCount) = (best.getString(0), best.getLong(1))
+      val merged = graft.functions.BpeTrainer.applyMerge(col("text"), pair)
+      docs
+        .select(col("doc_id"), lit(pair).as("pair"),
+          lit(pairCount).as("pair_count"), merged.as("merged"),
           (size(split(col("text"), " ")) - size(split(merged, " ")))
             .cast("bigint").as("n_merges"))
         .orderBy("doc_id")
@@ -133,78 +132,90 @@ object TextPipelineQueries extends QueryModule {
         .orderBy("lang", "detected"))
   )
 
+  /** DuckDB replay of BpeTrainer.applyMerge's greedy left-to-right merge
+    * scan. RE2 has no lookahead, so the twin folds the token list with
+    * list_reduce instead of a regex: the accumulator is the output
+    * string; a token equal to w2 fuses into the accumulator's last token
+    * when that token is exactly w1 (suffix test on the space-delimited
+    * accumulator — a token just produced by a merge is w1_w2 ≠ w1, so it
+    * can never re-merge, which is precisely the scan's non-overlap rule).
+    * Different mechanism than Spark's lookahead regex, identical
+    * semantics for every input. */
+  private def duckMerge(text: String, pair: String): String =
+    s"""list_reduce(list_prepend('', string_split($text, ' ')),
+       |    (acc, x) -> CASE
+       |      WHEN acc = '' THEN x
+       |      WHEN x = string_split($pair, ' ')[2]
+       |        AND (acc = string_split($pair, ' ')[1]
+       |          OR ends_with(acc, ' ' || string_split($pair, ' ')[1]))
+       |      THEN CASE WHEN acc = string_split($pair, ' ')[1]
+       |        THEN replace($pair, ' ', '_')
+       |        ELSE left(acc, length(acc) - length(string_split($pair, ' ')[1]))
+       |          || replace($pair, ' ', '_') END
+       |      ELSE acc || ' ' || x END)""".stripMargin
+      // single line: this snippet is interpolated into SQL strings whose
+      // own stripMargin would otherwise eat one pipe of every leading ||
+      .replace("\n", " ")
+
   override def oracleSql: Map[String, String] = Map(
     "q_bpe_merge" ->
-      """WITH toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t
-        |    FROM documents),
-        |pairs AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p FROM toks WHERE LEN(t) >= 2),
-        |cnt AS (SELECT p, COUNT(*) AS c FROM pairs GROUP BY p),
-        |best AS (SELECT p, c FROM cnt ORDER BY c DESC, p LIMIT 1)
-        |SELECT doc_id, best.p AS pair, best.c AS pair_count,
-        |  TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |    ' ' || best.p || ' ', ' ' || REPLACE(best.p, ' ', '_') || ' ',
-        |    'g')) AS merged,
-        |  CAST(LEN(STRING_SPLIT(text, ' ')) -
-        |    LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |      ' ' || best.p || ' ', ' ' || REPLACE(best.p, ' ', '_') || ' ',
-        |      'g')), ' ')) AS BIGINT) AS n_merges
-        |FROM toks, best ORDER BY doc_id""".stripMargin,
+      s"""WITH toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t
+         |    FROM documents),
+         |pairs AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p FROM toks WHERE LEN(t) >= 2),
+         |cnt AS (SELECT p, COUNT(*) AS c FROM pairs GROUP BY p),
+         |best AS (SELECT p, c FROM cnt ORDER BY c DESC, p LIMIT 1)
+         |SELECT doc_id, best.p AS pair, best.c AS pair_count,
+         |  ${duckMerge("text", "best.p")} AS merged,
+         |  CAST(LEN(STRING_SPLIT(text, ' ')) -
+         |    LEN(STRING_SPLIT(${duckMerge("text", "best.p")}, ' '))
+         |    AS BIGINT) AS n_merges
+         |FROM toks, best ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" ->
-      """WITH d0 AS (SELECT text FROM documents),
-        |p1 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p
-        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d0) WHERE LEN(t) >= 2),
-        |b1 AS (SELECT p, COUNT(*) AS c FROM p1 GROUP BY p ORDER BY c DESC, p LIMIT 1),
-        |d1 AS (SELECT TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |    ' \Q' || b1.p || '\E ', ' ' || REPLACE(b1.p, ' ', '_') || ' ',
-        |    'g')) AS text FROM d0, b1),
-        |p2 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p
-        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d1) WHERE LEN(t) >= 2),
-        |b2 AS (SELECT p, COUNT(*) AS c FROM p2 GROUP BY p ORDER BY c DESC, p LIMIT 1),
-        |d2 AS (SELECT TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |    ' \Q' || b2.p || '\E ', ' ' || REPLACE(b2.p, ' ', '_') || ' ',
-        |    'g')) AS text FROM d1, b2),
-        |p3 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p
-        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d2) WHERE LEN(t) >= 2),
-        |b3 AS (SELECT p, COUNT(*) AS c FROM p3 GROUP BY p ORDER BY c DESC, p LIMIT 1)
-        |SELECT CAST(1 AS INT) AS round, p AS pair, CAST(c AS BIGINT) AS pair_count FROM b1
-        |UNION ALL SELECT CAST(2 AS INT), p, CAST(c AS BIGINT) FROM b2
-        |UNION ALL SELECT CAST(3 AS INT), p, CAST(c AS BIGINT) FROM b3
-        |ORDER BY round""".stripMargin,
+      s"""WITH d0 AS (SELECT text FROM documents),
+         |p1 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p
+         |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d0) WHERE LEN(t) >= 2),
+         |b1 AS (SELECT p, COUNT(*) AS c FROM p1 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+         |d1 AS (SELECT ${duckMerge("text", "b1.p")} AS text FROM d0, b1),
+         |p2 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p
+         |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d1) WHERE LEN(t) >= 2),
+         |b2 AS (SELECT p, COUNT(*) AS c FROM p2 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+         |d2 AS (SELECT ${duckMerge("text", "b2.p")} AS text FROM d1, b2),
+         |p3 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p
+         |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d2) WHERE LEN(t) >= 2),
+         |b3 AS (SELECT p, COUNT(*) AS c FROM p3 GROUP BY p ORDER BY c DESC, p LIMIT 1)
+         |SELECT CAST(1 AS INT) AS round, p AS pair, CAST(c AS BIGINT) AS pair_count FROM b1
+         |UNION ALL SELECT CAST(2 AS INT), p, CAST(c AS BIGINT) FROM b2
+         |UNION ALL SELECT CAST(3 AS INT), p, CAST(c AS BIGINT) FROM b3
+         |ORDER BY round""".stripMargin,
 
     "q_bpe_apply" ->
-      """WITH d0 AS (SELECT doc_id, text FROM documents),
-        |p1 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p
-        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d0) WHERE LEN(t) >= 2),
-        |b1 AS (SELECT p, COUNT(*) AS c FROM p1 GROUP BY p ORDER BY c DESC, p LIMIT 1),
-        |d1 AS (SELECT doc_id, TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |    ' \Q' || b1.p || '\E ', ' ' || REPLACE(b1.p, ' ', '_') || ' ',
-        |    'g')) AS text FROM d0, b1),
-        |p2 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p
-        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d1) WHERE LEN(t) >= 2),
-        |b2 AS (SELECT p, COUNT(*) AS c FROM p2 GROUP BY p ORDER BY c DESC, p LIMIT 1),
-        |d2 AS (SELECT doc_id, TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |    ' \Q' || b2.p || '\E ', ' ' || REPLACE(b2.p, ' ', '_') || ' ',
-        |    'g')) AS text FROM d1, b2),
-        |p3 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |    i -> t[i] || ' ' || t[i + 1])) AS p
-        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d2) WHERE LEN(t) >= 2),
-        |b3 AS (SELECT p, COUNT(*) AS c FROM p3 GROUP BY p ORDER BY c DESC, p LIMIT 1),
-        |d3 AS (SELECT doc_id, TRIM(REGEXP_REPLACE(' ' || text || ' ',
-        |    ' \Q' || b3.p || '\E ', ' ' || REPLACE(b3.p, ' ', '_') || ' ',
-        |    'g')) AS text FROM d2, b3)
-        |SELECT d0.doc_id,
-        |  CAST(LEN(STRING_SPLIT(d0.text, ' ')) AS INT) AS n_before,
-        |  CAST(LEN(STRING_SPLIT(d3.text, ' ')) AS INT) AS n_after,
-        |  CAST(LEN(STRING_SPLIT(d0.text, ' '))
-        |    - LEN(STRING_SPLIT(d3.text, ' ')) AS INT) AS n_merged
-        |FROM d0 JOIN d3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+         |p1 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p
+         |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d0) WHERE LEN(t) >= 2),
+         |b1 AS (SELECT p, COUNT(*) AS c FROM p1 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+         |d1 AS (SELECT doc_id, ${duckMerge("text", "b1.p")} AS text FROM d0, b1),
+         |p2 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p
+         |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d1) WHERE LEN(t) >= 2),
+         |b2 AS (SELECT p, COUNT(*) AS c FROM p2 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+         |d2 AS (SELECT doc_id, ${duckMerge("text", "b2.p")} AS text FROM d1, b2),
+         |p3 AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS p
+         |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM d2) WHERE LEN(t) >= 2),
+         |b3 AS (SELECT p, COUNT(*) AS c FROM p3 GROUP BY p ORDER BY c DESC, p LIMIT 1),
+         |d3 AS (SELECT doc_id, ${duckMerge("text", "b3.p")} AS text FROM d2, b3)
+         |SELECT d0.doc_id,
+         |  CAST(LEN(STRING_SPLIT(d0.text, ' ')) AS INT) AS n_before,
+         |  CAST(LEN(STRING_SPLIT(d3.text, ' ')) AS INT) AS n_after,
+         |  CAST(LEN(STRING_SPLIT(d0.text, ' '))
+         |    - LEN(STRING_SPLIT(d3.text, ' ')) AS INT) AS n_merged
+         |FROM d0 JOIN d3 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks

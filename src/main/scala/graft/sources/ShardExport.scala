@@ -39,6 +39,13 @@ object ShardExport {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     require(!df.columns.contains("shard") && !df.columns.contains("__graft_ord"),
       "input must not carry a 'shard' or '__graft_ord' column")
+    // a NULL id nulls its order key AND its shard — the row would land
+    // silently in shard=__HIVE_DEFAULT_PARTITION__, breaking the
+    // one-file-per-shard and determinism contracts; fail loudly instead.
+    // The probe is a column-pruned limit-1 scan of idCol only.
+    require(df.select(col(idCol)).filter(col(idCol).isNull).isEmpty,
+      s"export id column '$idCol' contains NULLs — every row needs a " +
+        "non-null id for its deterministic order key and shard assignment")
     val keyed = df
       .withColumn("__graft_ord", orderKey(idCol, seed))
       .withColumn("shard",
@@ -66,7 +73,10 @@ object ShardExport {
 
   /** Read an export in its global training order (shard-major, then the
     * seeded order within the shard — the order a sequential loader
-    * walking shard files sees). */
+    * walking shard files sees). NOTE: this REINTRODUCES a global sort —
+    * fine for a single sequential loader, wrong for a distributed
+    * reader, which should read per-shard files as-is (each is already
+    * sorted) and order within shards only. */
   def readOrdered(spark: SparkSession, path: String, idCol: String,
                   seed: String = "shard"): DataFrame =
     spark.read.parquet(path)

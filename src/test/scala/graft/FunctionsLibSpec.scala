@@ -197,6 +197,17 @@ class FunctionsLibSpec extends SparkSpec {
     }
   }
 
+  test("SimHash.nearDuplicatePairs: empty corpus yields empty, no NPE") {
+    // blocksForCorpus's candidate-volume sum over an empty signature
+    // relation is NULL — pre-fix this path NPE'd on head().getLong
+    // (round-8 advice item)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val out = SimHash.nearDuplicatePairs(empty, "doc_id", "toks",
+      d = 3, corpusCount = 0L)
+    assert(out.count() == 0L)
+  }
+
   test("SimHash.nearDuplicatePairs: finds planted dups, matches brute force") {
     val d = 3
     val tok = planted.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -295,9 +306,6 @@ class FunctionsLibSpec extends SparkSpec {
   }
 
   test("BpeTrainer.applyMerge: regex-special tokens merge literally") {
-    // "k" separates the occurrences so neither consumes the other's
-    // delimiter space (back-to-back occurrences merge on the NEXT round —
-    // the padded-regex non-overlap rule both engines share)
     val docs = Seq((1L, "x.y z k x.y z"), (2L, "xAy z")).toDF("doc_id", "text")
     val out = docs.select(col("doc_id"),
         BpeTrainer.applyMerge(col("text"), "x.y z").as("t"))
@@ -305,6 +313,34 @@ class FunctionsLibSpec extends SparkSpec {
     // unquoted, the "." would also match "xAy z"; quoted, it must not
     assert(out(1L) == "x.y_z k x.y_z", s"got ${out(1L)}")
     assert(out(2L) == "xAy z", s"dot matched as wildcard: ${out(2L)}")
+  }
+
+  test("BpeTrainer.applyMerge: greedy left-to-right scan (round-8 advice)") {
+    // consecutive occurrences share their delimiter space — the consuming
+    // regex this replaced merged only every other one ("a b a b" →
+    // "a_b a b"); the lookahead scan merges all of them in ONE pass,
+    // while overlapping occurrences (w1 == w2) stay non-overlapping,
+    // exactly BPE's greedy rule
+    val cases = Seq(
+      (1L, "a b a b"), (2L, "a b a b a b"), (3L, "x a b a b"),
+      (4L, "a a a"), (5L, "a b"), (6L, "b a"), (7L, "q"))
+    val docs = cases.toDF("doc_id", "text")
+    val ab = docs.select(col("doc_id"),
+        BpeTrainer.applyMerge(col("text"), "a b").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ab == Map(1L -> "a_b a_b", 2L -> "a_b a_b a_b",
+      3L -> "x a_b a_b", 4L -> "a a a", 5L -> "a_b", 6L -> "b a",
+      7L -> "q"), s"pair (a,b): $ab")
+    val aa = docs.select(col("doc_id"),
+        BpeTrainer.applyMerge(col("text"), "a a").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "a a a" → first two fuse, third is left (non-overlap); a run of 5
+    // would give "a_a a_a a" — the canonical greedy trace
+    assert(aa(4L) == "a_a a", s"pair (a,a) on 'a a a': ${aa(4L)}")
+    val run5 = Seq((9L, "a a a a a")).toDF("doc_id", "text")
+      .select(BpeTrainer.applyMerge(col("text"), "a a").as("t"))
+      .head().getString(0)
+    assert(run5 == "a_a a_a a", s"greedy run-of-5 trace: $run5")
   }
 
   test("DedupClusters: transitive components collapse to one survivor") {

@@ -78,4 +78,15 @@ class ShardSpec extends SparkSpec {
       ShardExport.export(bad, "doc_id", tmp(), shards = 2)
     }
   }
+
+  test("NULL ids fail fast instead of landing in a default partition") {
+    // a NULL id would get a NULL order key and shard — silently exported
+    // under shard=__HIVE_DEFAULT_PARTITION__, breaking the exactly-N-files
+    // and manifest-determinism contracts (round-8 advice item)
+    val bad = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      ShardExport.export(bad, "doc_id", tmp(), shards = 2)
+    }
+  }
 }
