@@ -1,43 +1,67 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import scala.jdk.CollectionConverters._
 
 /** Materialized-rollup rewrite — the classic 100 TB accelerator: a fact
   * table's common aggregates are precomputed ONCE into a small rollup of
-  * partial aggregates (per-group count / sum / min / max), and matching
-  * queries are rewritten by an optimizer rule to RE-AGGREGATE the rollup
-  * instead of scanning the fact table. A petabyte fact scan becomes a
-  * kilobyte rollup scan for every dashboard-shaped query, because count,
-  * sum, min and max are re-aggregable: any grouping that is a SUBSET of
-  * the rollup's grouping folds partials exactly (sum of partial sums,
-  * sum of partial counts, min of mins, max of maxes).
+  * partial aggregates (per-group count / sum / non-null count / min /
+  * max), and matching queries are rewritten by an optimizer rule to
+  * RE-AGGREGATE the rollup instead of scanning the fact table. A petabyte
+  * fact scan becomes a kilobyte rollup scan for every dashboard-shaped
+  * query, because the partials are re-aggregable: any grouping that is a
+  * SUBSET of the rollup's grouping folds exactly (sum of partial sums,
+  * sum of partial counts, min of mins, max of maxes — and avg as
+  * sum-of-sums over sum-of-non-null-counts).
   *
-  * Scope (v1, deliberately conservative — a miss means "scan the fact
+  * Scope (deliberately conservative — a miss means "scan the fact
   * table", never a wrong answer):
   *   - the Aggregate's child must be the registered fact plan (modulo
   *     attribute-only Projects; compared with canonicalized sameResult);
   *   - grouping keys: plain columns, a subset of the rollup's keys;
-  *   - aggregates: non-distinct, unfiltered sum / min / max over
+  *   - aggregates: non-distinct, unfiltered sum / min / max / avg over
   *     registered measure columns, and count(1)/count(*) — each rebuilt
   *     with `withNewChildren` so eval modes carry over, and only rewritten
   *     when the re-aggregated type is IDENTICAL to the original (this
-  *     rejects decimal sums, whose re-aggregation widens the type);
-  *   - sum over float/double re-associates partial additions — register
+  *     rejects decimal sums/avgs, whose re-aggregation widens the type);
+  *   - sum/avg over float/double re-associate partial additions — register
   *     integral measures when bit-exact results are required (the specs
   *     do; the DuckDB-oracle queries never pass through this rule's
-  *     registry, which is per-session and starts empty).
+  *     registry, which is per-session and starts empty);
+  *   - when several registered rollups match, the one with the FEWEST
+  *     grouping columns (the coarsest, hence smallest, relation that can
+  *     still answer) wins.
   * Output attribute exprIds are preserved via aliases, so parent plans
-  * resolve untouched.
+  * resolve untouched. Facts whose output carries duplicate column names
+  * are rejected at registration: rollup measures bind by NAME after the
+  * sameResult fact check, and a duplicate name could mis-bind.
   *
-  * The registered rollup is MATERIALIZED at registration (localCheckpoint
-  * here; a production deployment registers a read-back of the written
-  * rollup table) — both so the fact scan is actually avoided and so the
-  * rollup's own defining Aggregate cannot recursively match the rule.
+  * STALENESS CONTRACT: a registered rollup is a SNAPSHOT of the fact at
+  * registration time. The rule matches on the fact's logical plan — if
+  * the underlying files are overwritten afterwards, a re-read of the same
+  * path still sameResult-matches and would be served the stale snapshot.
+  * After rewriting fact data, either [[unregister]]+re-register (or
+  * [[clear]]), or re-run [[registerPersisted]], which rebuilds the stored
+  * rollup from the current fact. This mirrors every production
+  * materialized-view system: the view is valid as of its refresh, and
+  * refresh is the owner's job.
+  *
+  * Registration flavors:
+  *   - [[register]]: rollup materialized in-session (localCheckpoint) —
+  *     fast, lives and dies with the session;
+  *   - [[registerPersisted]]: rollup WRITTEN as a parquet table and
+  *     registered as its read-back plan — survives the session; any later
+  *     session calls [[loadPersisted]] (the column contract is encoded in
+  *     the rollup's own schema) and skips the fact scan entirely.
+  * Either way the registered plan is never itself an Aggregate, so the
+  * rule cannot recurse into the rollup's own definition.
   */
 object RollupRewrite extends Rule[LogicalPlan] {
 
@@ -47,8 +71,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
                                  groupCols: Seq[String], sumCols: Seq[String],
                                  minCols: Seq[String], maxCols: Seq[String]) {
     def rollupAttr(name: String): Attribute =
-      rollup.output.find(_.name == name).getOrElse(
+      rollupAttrOpt(name).getOrElse(
         throw new IllegalStateException(s"rollup misses column $name"))
+    def rollupAttrOpt(name: String): Option[Attribute] =
+      rollup.output.find(_.name == name)
+    /** avg(c) is rewritable iff the rollup carries c's non-null count
+      * (older persisted rollups may predate the __cntn columns). */
+    def avgCapable(c: String): Boolean =
+      sumCols.contains(c) && rollupAttrOpt(s"__cntn_$c").isDefined
   }
 
   private val entries =
@@ -61,29 +91,92 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * the fact scan is correct but defeats the point). */
   def rewriteCount: Long = rewrites.get()
 
-  /** Partial-aggregate rollup of `fact`: per-group `__cnt`, `__sum_c`,
-    * `__min_c`, `__max_c`. The relation a deployment writes as a table. */
+  /** Partial-aggregate rollup of `fact`: per-group `__cnt` (row count),
+    * and per measure `__sum_c` + `__cntn_c` (non-null count — the avg
+    * denominator; `__cnt` would over-divide when c has NULLs), `__min_c`,
+    * `__max_c`. The relation a deployment writes as a table; the schema
+    * IS the contract ([[loadPersisted]] re-derives it from column names). */
   def build(fact: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
     val aggs = count(lit(1)).as("__cnt") +:
-      (sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+      (sumCols.flatMap(c => Seq(sum(col(c)).as(s"__sum_$c"),
+        count(col(c)).as(s"__cntn_$c"))) ++
         minCols.map(c => min(col(c)).as(s"__min_$c")) ++
         maxCols.map(c => max(col(c)).as(s"__max_$c")))
     fact.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Build, materialize, and register a rollup for `fact`; returns the
-    * materialized rollup (also the relation to persist for reuse across
-    * sessions). Attaches the rule to the session idempotently. */
+    * materialized rollup. In-session only — see [[registerPersisted]]
+    * for the durable flavor. Attaches the rule idempotently. */
   def register(fact: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
                minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
+    checkFact(fact)
     val rollup = graft.functions.Materialize(
       build(fact, groupCols, sumCols, minCols, maxCols))
+    addEntry(fact, rollup, groupCols, sumCols, minCols, maxCols)
+    rollup
+  }
+
+  /** Build the rollup, WRITE it as a parquet table at `path`, and
+    * register the read-back plan — the production flavor: the rollup
+    * survives the session, and later sessions re-attach with
+    * [[loadPersisted]] without touching the fact. Re-running this after
+    * a fact rewrite is the refresh operation of the staleness contract. */
+  def registerPersisted(fact: DataFrame, path: String, groupCols: Seq[String],
+                        sumCols: Seq[String], minCols: Seq[String] = Nil,
+                        maxCols: Seq[String] = Nil): DataFrame = {
+    checkFact(fact)
+    build(fact, groupCols, sumCols, minCols, maxCols)
+      .write.mode("overwrite").parquet(path)
+    loadPersisted(fact, path)
+  }
+
+  /** Register a previously written rollup table for `fact`. The column
+    * contract is decoded from the rollup's own schema (group columns =
+    * the non-`__` names; measures from the `__sum_`/`__min_`/`__max_`
+    * prefixes), so the parquet table is fully self-describing. */
+  def loadPersisted(fact: DataFrame, path: String): DataFrame = {
+    val rollup = fact.sparkSession.read.parquet(path)
+    val cols = rollup.columns.toSeq
+    require(cols.contains("__cnt"),
+      s"$path is not a RollupRewrite table (missing __cnt)")
+    def strip(p: String) = cols.filter(_.startsWith(p)).map(_.stripPrefix(p))
+    addEntry(fact, rollup, cols.filterNot(_.startsWith("__")),
+      strip("__sum_"), strip("__min_"), strip("__max_"))
+    rollup
+  }
+
+  /** Reject facts whose output names are ambiguous BEFORE build() can
+    * turn the ambiguity into an opaque AnalysisException: measure binding
+    * is by name after the sameResult fact check, and a duplicate name
+    * could mis-bind. */
+  private def checkFact(fact: DataFrame): Unit = {
+    val names = fact.columns
+    require(names.distinct.length == names.length,
+      "fact output carries duplicate column names — alias them apart " +
+        s"first (duplicates: ${names.diff(names.distinct).distinct.mkString(", ")})")
+  }
+
+  private def addEntry(fact: DataFrame, rollup: DataFrame,
+                       groupCols: Seq[String], sumCols: Seq[String],
+                       minCols: Seq[String], maxCols: Seq[String]): Unit = {
+    checkFact(fact)
     entries.add(Entry(fact.queryExecution.analyzed,
       rollup.queryExecution.analyzed, groupCols, sumCols, minCols, maxCols))
     attach(fact.sparkSession)
-    rollup
+  }
+
+  /** Drop every rollup registered for `fact` (by canonicalized plan
+    * equality) — the invalidation half of the staleness contract.
+    * Returns how many were dropped. */
+  def unregister(fact: DataFrame): Int = {
+    val target = stripProjects(fact.queryExecution.analyzed)
+    val stale = entries.asScala
+      .filter(e => stripProjects(e.fact).sameResult(target)).toSeq
+    stale.foreach(entries.remove)
+    stale.size
   }
 
   /** Drop every registered rollup (the rule stays attached but matches
@@ -108,21 +201,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (entries.isEmpty) return plan
     plan.transform {
-      case agg @ Aggregate(groupings, aggExprs, child, _)
+      case agg @ Aggregate(groupings, _, child, _)
           if groupings.forall(_.isInstanceOf[AttributeReference]) =>
         val base = stripProjects(child)
-        val it = entries.iterator()
-        var out: LogicalPlan = agg
-        var done = false
-        while (it.hasNext && !done) {
-          val e = it.next()
-          if (base.sameResult(stripProjects(e.fact)) &&
-            groupings.forall(g =>
-              e.groupCols.contains(g.asInstanceOf[AttributeReference].name))) {
-            rewrite(agg, e).foreach { r => out = r; done = true }
-          }
-        }
-        out
+        val names = groupings.map(_.asInstanceOf[AttributeReference].name)
+        // all rollups that can answer, smallest first: fewest grouping
+        // columns = coarsest pre-aggregation = fewest rows to re-fold
+        val matching = entries.asScala.toSeq
+          .filter(e => names.forall(e.groupCols.contains) &&
+            base.sameResult(stripProjects(e.fact)))
+          .sortBy(e => (e.groupCols.size, e.rollup.output.size))
+        matching.iterator.map(rewrite(agg, _)).collectFirst {
+          case Some(r) => r
+        }.getOrElse(agg)
     }
   }
 
@@ -150,6 +241,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
             Some(ae.copy(aggregateFunction =
               m.withNewChildren(Seq(e.rollupAttr(s"__max_${a.name}")))
                 .asInstanceOf[Max]))
+          case Average(a: AttributeReference, _) if e.avgCapable(a.name) =>
+            // avg folds as Σ partial sums / Σ partial NON-NULL counts
+            // (a group whose measure is all-NULL has cntn 0 → NULL, the
+            // same answer Average gives). The type filter below rejects
+            // decimal averages, whose result type this double math would
+            // change.
+            val sums = Sum(e.rollupAttr(s"__sum_${a.name}"))
+              .toAggregateExpression()
+            val cnts = Sum(e.rollupAttr(s"__cntn_${a.name}"))
+              .toAggregateExpression()
+            Some(Divide(Cast(sums, DoubleType),
+              Cast(If(EqualTo(cnts, Literal(0L)),
+                Literal(null, LongType), cnts), DoubleType)))
           case Count(Seq(Literal(v, _))) if v != null =>
             // count(1)/count(*) → sum of partial counts; coalesce pins the
             // empty-relation global aggregate to 0 and non-nullability.
