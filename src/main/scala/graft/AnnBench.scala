@@ -147,7 +147,42 @@ object AnnBench {
         .join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
       println(f"[annbench] topk-ivfpq-np$nProbe recall@$k ${h.toDouble / math.max(1, itot)}%.4f ($h of $itot)")
     }
+
+    // ---- 4. unified router (round-8 task #1): the auto routes must land
+    // within ~1.2× of the best manual configuration at this corpus size,
+    // with the same recall story — the router encodes the ladder above as
+    // defaults, so a drift here means the defaults no longer match the
+    // measurements.
+    def recallOf(label: String, df: DataFrame): Unit = {
+      val h = df.select("probe_id", "vec_id")
+        .join(bt, Seq("probe_id", "vec_id"), "left_semi").count()
+      println(f"[annbench] $label recall@$k ${h.toDouble / math.max(1, itot)}%.4f ($h of $itot)")
+    }
+    def autoTopK: DataFrame = functions.Ann.topK(e, probes,
+      "vec_id", "embedding", k, corpusCount = Some(n))
+    timeMedian("topk-auto")(() => autoTopK.count())
+    recallOf("topk-auto", autoTopK)
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("annbench_idx_").toString
+    val tIdx = System.nanoTime()
+    functions.ProductQuantizer
+      .writeIndex(e, "vec_id", "embedding", pq, model, idxDir)
+    println(f"[annbench] index-write ${(System.nanoTime() - tIdx) / 1e9}%.3f s (one-time)")
+    def autoIdxTopK: DataFrame = functions.Ann.topK(e, probes,
+      "vec_id", "embedding", k, indexPath = Some(idxDir), nProbe = 6)
+    timeMedian("topk-auto-idx")(() => autoIdxTopK.count())
+    recallOf("topk-auto-idx", autoIdxTopK)
     bt.unpersist()
+
+    def autoPairs: DataFrame = functions.Ann.nearDupPairs(e, "vec_id",
+      "embedding", threshold, dim = dim, corpusCount = Some(n))
+    timeMedian("pairs-auto")(() => autoPairs.count())
+    val exact2 = exactPairs.cache(); val tot2 = exact2.count()
+    val ah = autoPairs.select("a_id", "b_id")
+      .join(exact2, Seq("a_id", "b_id"), "left_semi").count()
+    println(f"[annbench] pairs-auto recall ${ah.toDouble / math.max(1, tot2)}%.4f ($ah of $tot2)")
+    exact2.unpersist()
     spark.stop()
   }
 }

@@ -88,6 +88,33 @@ object IncrBench {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     println(s"[incrbench] kept full=${fullKept.size} incr=${incrKept.size} " +
       s"onlyFull=${(fullKept -- incrKept).size} onlyIncr=${(incrKept -- fullKept).size}")
+
+    // —— 5 successive increments with index APPEND (round-8 task #3):
+    // each step dedups its batch against the CURRENT index, then
+    // updateIndex-appends the kept rows — no corpus rebuild anywhere.
+    // Per-step time should stay ~flat: the work scales with the batch
+    // (plus the key-join against an index that grows only by batches).
+    val nInc = 5
+    val mod = pmod(xxhash64(col("doc_id")), lit(2 * nInc))
+    val base = docs.filter(mod >= nInc).localCheckpoint(true)
+    val t1 = System.nanoTime()
+    val raw2 = MinHashDedup.buildIndex(base, "doc_id", "text")
+    var idx = MinHashDedup.Index(
+      raw2.keys.localCheckpoint(true), raw2.shingles.localCheckpoint(true))
+    println(f"[incrbench] inc-base build ${(System.nanoTime() - t1) / 1e9}%.3f s " +
+      s"(corpus=${base.count()})")
+    (0 until nInc).foreach { i =>
+      val b = docs.filter(mod === i).localCheckpoint(true)
+      val t = System.nanoTime()
+      val kept = MinHashDedup
+        .dedupIncremental(idx, b, "doc_id", "text", threshold)
+        .localCheckpoint(true)
+      val updated = MinHashDedup.updateIndex(idx, kept, "doc_id", "text")
+      idx = MinHashDedup.Index(updated.keys.localCheckpoint(true),
+        updated.shingles.localCheckpoint(true))
+      println(f"[incrbench] inc${i + 1} ${(System.nanoTime() - t) / 1e9}%.3f s " +
+        s"batch=${b.count()} kept=${kept.count()} keys=${idx.keys.count()}")
+    }
     spark.stop()
   }
 }

@@ -134,16 +134,44 @@ object IvfIndex {
       .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
   }
 
+  /** Persist the trained centroids under an index root (one row per
+    * cell). The `_`-prefixed subdirectory is invisible to Spark's parquet
+    * discovery over `path`, so the cell files and their model co-locate —
+    * the index directory is fully self-contained. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, m: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    m.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_ivf_model")
+  }
+
+  /** Re-open the centroids persisted by [[saveModel]] — a bounded
+    * (k rows) driver collect. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val rows = spark.read.parquet(s"$path/_ivf_model")
+      .orderBy("cell").collect()
+    require(rows.nonEmpty, s"no IVF model at $path/_ivf_model")
+    Model(rows.map(_.getSeq[Double](1).toArray))
+  }
+
   /** Materialize the on-disk IVF index: the corpus written PARTITIONED BY
-    * cell id. The "index" is nothing but a directory layout — it inherits
+    * cell id, with the centroids saved alongside ([[saveModel]]) so the
+    * directory is self-contained — a later session needs only the path.
+    * The "index" is nothing but a directory layout — it inherits
     * parquet's durability/compaction story, any engine can read it, and
     * at 100 TB each cell is a directory a planner can skip wholesale. */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                 m: Model, path: String): Unit =
+                 m: Model, path: String): Unit = {
     Materialize.spread(
         corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
       .withColumn("cell", assign(col("cv"), m))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveModel(corpus.sparkSession, m, path)
+  }
 
   /** Search an on-disk index written by [[writeIndex]]: the equi-join on
     * the PARTITION column `cell` lets the planner prune every non-probed
@@ -155,4 +183,12 @@ object IvfIndex {
                   m: Model, k: Int, nProbe: Int = 2): DataFrame =
     topKAssigned(spark.read.parquet(path), probes, idCol, vecCol, m, k,
       nProbe)
+
+  /** [[topKIndexed]] with the centroids loaded from the index directory
+    * itself — the self-contained open path a new session uses. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  probes: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int): DataFrame =
+    topKIndexed(spark, path, probes, idCol, vecCol, loadModel(spark, path),
+      k, nProbe)
 }

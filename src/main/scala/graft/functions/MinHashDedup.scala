@@ -229,6 +229,53 @@ object MinHashDedup {
     Index(bandedKeysFromShingles(sh, bands, rows), sh)
   }
 
+  /** APPEND an accepted batch to a standing [[Index]] WITHOUT rebuilding
+    * (round-8 verdict task #3): one text scan over the batch derives its
+    * shingles + banded keys, unioned onto the index relations.
+    * Invariant (spec-pinned): updateIndex(buildIndex(C), B) is
+    * relation-identical to buildIndex(C ∪ B) — so N successive daily
+    * increments cost N batch scans, never N corpus rebuilds. Pass the
+    * KEPT rows from [[dedupIncremental]] (appending dropped near-dups
+    * would poison future verifies with documents the corpus rejected).
+    * Use the same shingleN/bands/rows the index was built with — the
+    * band-key formula must not fork mid-index. The caller re-persists
+    * (checkpoint or [[appendIndex]] for the on-disk flavor). */
+  def updateIndex(index: Index, accepted: DataFrame, idCol: String,
+                  textCol: String, shingleN: Int = 2, bands: Int = 4,
+                  rows: Int = 4): Index = {
+    val sh = shingleRel(accepted, idCol, textCol, shingleN)
+    Index(index.keys.unionByName(bandedKeysFromShingles(sh, bands, rows)),
+      index.shingles.unionByName(sh))
+  }
+
+  /** Persist an [[Index]] as two parquet tables under `path` (keys/ and
+    * shingles/) — the stored artifact a living corpus maintains. At
+    * 100 TB, write keys bucketed by (band_idx, band_hash) and shingles
+    * by id so increments join without reshuffling the standing side. */
+  def writeIndex(index: Index, path: String): Unit = {
+    index.keys.write.mode("overwrite").parquet(s"$path/keys")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Re-open a persisted index. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): Index =
+    Index(spark.read.parquet(s"$path/keys"),
+      spark.read.parquet(s"$path/shingles"))
+
+  /** The on-disk twin of [[updateIndex]]: derive the accepted batch's
+    * delta relations in ONE materialized text scan and parquet-APPEND
+    * them to the stored tables — the standing corpus is never read, let
+    * alone rebuilt. */
+  def appendIndex(path: String, accepted: DataFrame, idCol: String,
+                  textCol: String, shingleN: Int = 2, bands: Int = 4,
+                  rows: Int = 4): Unit = {
+    val sh = Materialize(shingleRel(accepted, idCol, textCol, shingleN))
+    bandedKeysFromShingles(sh, bands, rows)
+      .write.mode("append").parquet(s"$path/keys")
+    sh.write.mode("append").parquet(s"$path/shingles")
+  }
+
   /** INCREMENTAL dedup — the operation a living 100 TB corpus actually
     * runs: a new batch arrives and must be deduped (a) against the
     * standing corpus and (b) within itself, WITHOUT ever re-pairing the
