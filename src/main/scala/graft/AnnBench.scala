@@ -173,6 +173,18 @@ object AnnBench {
       "vec_id", "embedding", k, indexPath = Some(idxDir), nProbe = 6)
     timeMedian("topk-auto-idx")(() => autoIdxTopK.count())
     recallOf("topk-auto-idx", autoIdxTopK)
+
+    // distributed-trained codebooks (round-8 task #7): every corpus row
+    // contributes, no driver-side data — same serving path, so the leg
+    // measures whether full-corpus training beats the 1000-row sample
+    val tD = System.nanoTime()
+    val pqD = functions.ProductQuantizer
+      .trainDistributed(e, "embedding", m = 16, k = 64, iters = 4)
+    println(f"[annbench] pq-train-dist ${(System.nanoTime() - tD) / 1e9}%.3f s (4 iters, full corpus)")
+    def pqDistTopK: DataFrame = functions.ProductQuantizer
+      .topK(e, probes, "vec_id", "embedding", pqD, k, rerank = 5 * k)
+    timeMedian("topk-pq-dist")(() => pqDistTopK.count())
+    recallOf("topk-pq-dist", pqDistTopK)
     bt.unpersist()
 
     def autoPairs: DataFrame = functions.Ann.nearDupPairs(e, "vec_id",

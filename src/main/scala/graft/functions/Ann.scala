@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * Routing (see [[routeTopK]] / [[routePairs]] — pure given the probe
   * result, so specs assert them directly):
   *   - top-k with an index directory → the index's own search path
-  *     (`_pq_model` present → IVF-PQ codes index; `_ivf_model` alone →
+  *     (`pq_model` present → IVF-PQ codes index; `ivf_model` alone →
   *     IVF cells index) — probed cells are the only bytes scanned;
   *   - top-k, corpus ≤ [[BruteTopKMax]] → exact brute scan (measured at
   *     parity with IVF up to 20k vectors — below that an index buys
@@ -82,16 +82,38 @@ object Ann {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** Model sidecars are tiny but cost a driver parquet job per open —
+    * per-call loading measured ~0.9 s of the indexed route's latency.
+    * Cache them keyed by (path, directory mtime): a re-written index
+    * bumps the mtime, so staleness self-invalidates without an explicit
+    * eviction API. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
+
+  private def cached[A <: AnyRef](spark: SparkSession, dir: String)
+                                 (load: => A): A = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val mtime = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).getModificationTime
+    modelCache.computeIfAbsent((dir, mtime), _ => load).asInstanceOf[A]
+  }
+
+  private def pqModels(spark: SparkSession, path: String)
+      : (ProductQuantizer.Model, IvfIndex.Model) =
+    (cached(spark, s"$path/pq_model")(ProductQuantizer.loadModel(spark, path)),
+      cached(spark, s"$path/ivf_model")(IvfIndex.loadModel(spark, path)))
+
   /** The top-k route for (corpus count, optional index directory) — the
-    * index probe looks for the model sidecars [[ProductQuantizer.writeIndex]]
-    * / [[IvfIndex.writeIndex]] leave behind. */
+    * index probe looks for the model sidecars (`pq_model` / `ivf_model`)
+    * that [[ProductQuantizer.writeIndex]] / [[IvfIndex.writeIndex]]
+    * leave next to their data tables. */
   def routeTopK(spark: SparkSession, corpusCount: Long,
                 indexPath: Option[String]): Route =
     indexPath match {
-      case Some(p) if pathExists(spark, s"$p/_pq_model") => IndexedPqRoute
-      case Some(p) if pathExists(spark, s"$p/_ivf_model") => IndexedIvfRoute
+      case Some(p) if pathExists(spark, s"$p/pq_model") => IndexedPqRoute
+      case Some(p) if pathExists(spark, s"$p/ivf_model") => IndexedIvfRoute
       case Some(p) => throw new IllegalArgumentException(
-        s"$p is not a graft ANN index (no _pq_model or _ivf_model sidecar)")
+        s"$p is not a graft ANN index (no pq_model or ivf_model sidecar)")
       case None if corpusCount <= BruteTopKMax => BruteRoute
       case None => IvfRoute
     }
@@ -118,11 +140,14 @@ object Ann {
       if (indexPath.isDefined) routeTopK(spark, 0L, indexPath)
       else routeTopK(spark, n, None)
     route match {
-      case IndexedPqRoute => ProductQuantizer.topKIndexed(spark,
-        indexPath.get, corpus, probes, idCol, vecCol, k, nProbe,
-        rerank = DefaultRerankPerK * k)
+      case IndexedPqRoute =>
+        val (pq, ivf) = pqModels(spark, indexPath.get)
+        ProductQuantizer.topKIndexed(spark, indexPath.get, corpus, probes,
+          idCol, vecCol, pq, ivf, k, nProbe, rerank = DefaultRerankPerK * k)
       case IndexedIvfRoute => IvfIndex.topKIndexed(spark, indexPath.get,
-        probes, idCol, vecCol, k, nProbe)
+        probes, idCol, vecCol,
+        cached(spark, s"${indexPath.get}/ivf_model")(
+          IvfIndex.loadModel(spark, indexPath.get)), k, nProbe)
       case BruteRoute => bruteTopK(corpus, probes, idCol, vecCol, k)
       case IvfRoute =>
         val cells = cellsFor(n)

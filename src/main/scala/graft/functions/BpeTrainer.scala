@@ -65,9 +65,11 @@ object BpeTrainer {
 
   /** Train `rounds` merges over `docs(textCol)`. Returns the merged
     * corpus (same schema, textCol rewritten) and the learned merge
-    * sequence in order. */
+    * sequence in order. `onRound` observes (step, seconds) per round —
+    * the BpeBench per-round-cost hook. */
   def train(docs: DataFrame, textCol: String, rounds: Int,
-            minCount: Long = 1L, checkpointEvery: Int = 8)
+            minCount: Long = 1L, checkpointEvery: Int = 8,
+            onRound: (MergeStep, Double) => Unit = (_, _) => ())
       : (DataFrame, Seq[MergeStep]) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -76,16 +78,85 @@ object BpeTrainer {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
+      val t0 = System.nanoTime()
       val best = pairCounts(cur, textCol)
         .orderBy(col("c").desc, col("p").asc).limit(1).collect()
       if (best.isEmpty || best(0).getLong(1) < minCount) exhausted = true
       else {
         val pair = best(0).getString(0)
-        steps += MergeStep(r, pair, best(0).getLong(1))
+        val step = MergeStep(r, pair, best(0).getLong(1))
+        steps += step
         cur = cur.withColumn(textCol, applyMerge(col(textCol), pair))
         if (r % checkpointEvery == 0) cur = Materialize(cur)
+        onRound(step, (System.nanoTime() - t0) / 1e9)
       }
       r += 1
+    }
+    (cur, steps.result())
+  }
+
+  /** Padded-substring predicate: does the doc contain the pair as
+    * ADJACENT tokens? Exactly the rows [[applyMerge]] can change. */
+  private def containsPair(text: org.apache.spark.sql.Column, pair: String)
+      : org.apache.spark.sql.Column =
+    concat(lit(" "), text, lit(" ")).contains(" " + pair + " ")
+
+  /** [[train]] with DELTA pair recounting (round-8 verdict task #5) —
+    * the fix for naive BPE's per-round wall: [[train]] re-shuffles the
+    * FULL pair vocabulary every round (cost ∝ corpus × rounds), but a
+    * merge only changes documents that actually CONTAIN the winning pair
+    * — a fast-shrinking fraction as training walks down the frequency
+    * curve. This variant keeps the standing pair-count relation
+    * materialized and, per round, recounts ONLY the affected documents:
+    *   counts' = counts − pairs(affected_before) + pairs(affected_after)
+    * (one re-aggregation over counts ∪ delta — vocabulary-sized, tiny
+    * next to a corpus recount — then filter c > 0). The argmax and merge
+    * application are unchanged, so trainDelta ≡ train step for step and
+    * byte for byte (spec-pinned); only the counting plan differs.
+    * After merge 1 the per-round cost falls with the affected-doc count
+    * (BpeBench measures the curve); at rounds in the hundreds this is
+    * the difference between a trainer and a toy. */
+  def trainDelta(docs: DataFrame, textCol: String, rounds: Int,
+                 minCount: Long = 1L, checkpointEvery: Int = 8,
+                 onRound: (MergeStep, Double) => Unit = (_, _) => ())
+      : (DataFrame, Seq[MergeStep]) = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val steps = Seq.newBuilder[MergeStep]
+    var cur = docs
+    if (rounds > 0) {
+      // round 1 pays the one full corpus count; every later round pays
+      // only its affected slice + a vocabulary-sized re-aggregation
+      var counts = Materialize(pairCounts(docs, textCol))
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val t0 = System.nanoTime()
+        val best = counts.orderBy(col("c").desc, col("p").asc)
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getLong(1) < minCount) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val step = MergeStep(r, pair, best(0).getLong(1))
+          steps += step
+          if (r < rounds) {
+            val affected = Materialize(
+              cur.filter(containsPair(col(textCol), pair)))
+            val after = affected
+              .withColumn(textCol, applyMerge(col(textCol), pair))
+            val delta = pairCounts(affected, textCol)
+              .select(col("p"), (-col("c")).as("c"))
+              .unionAll(pairCounts(after, textCol))
+            counts = Materialize(counts.unionAll(delta)
+              .groupBy("p").agg(sum(col("c")).as("c"))
+              .filter(col("c") > 0))
+          }
+          cur = cur.withColumn(textCol, applyMerge(col(textCol), pair))
+          if (r % checkpointEvery == 0) cur = Materialize(cur)
+          onRound(step, (System.nanoTime() - t0) / 1e9)
+        }
+        r += 1
+      }
     }
     (cur, steps.result())
   }

@@ -135,9 +135,10 @@ object IvfIndex {
   }
 
   /** Persist the trained centroids under an index root (one row per
-    * cell). The `_`-prefixed subdirectory is invisible to Spark's parquet
-    * discovery over `path`, so the cell files and their model co-locate —
-    * the index directory is fully self-contained. */
+    * cell), next to the `cells/` data table — the index directory is
+    * fully self-contained. (Not an underscore-prefixed subdir INSIDE the
+    * data table: Spark reads such paths only via a fragile
+    * explicit-path exemption, with an "All paths were ignored" warning.) */
   def saveModel(spark: org.apache.spark.sql.SparkSession, m: Model,
                 path: String): Unit = {
     import spark.implicits._
@@ -145,16 +146,16 @@ object IvfIndex {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/_ivf_model")
+      .write.mode("overwrite").parquet(s"$path/ivf_model")
   }
 
   /** Re-open the centroids persisted by [[saveModel]] — a bounded
     * (k rows) driver collect. */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 path: String): Model = {
-    val rows = spark.read.parquet(s"$path/_ivf_model")
+    val rows = spark.read.parquet(s"$path/ivf_model")
       .orderBy("cell").collect()
-    require(rows.nonEmpty, s"no IVF model at $path/_ivf_model")
+    require(rows.nonEmpty, s"no IVF model at $path/ivf_model")
     Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
@@ -169,7 +170,7 @@ object IvfIndex {
     Materialize.spread(
         corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
       .withColumn("cell", assign(col("cv"), m))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     saveModel(corpus.sparkSession, m, path)
   }
 
@@ -181,7 +182,7 @@ object IvfIndex {
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   probes: DataFrame, idCol: String, vecCol: String,
                   m: Model, k: Int, nProbe: Int = 2): DataFrame =
-    topKAssigned(spark.read.parquet(path), probes, idCol, vecCol, m, k,
+    topKAssigned(spark.read.parquet(s"$path/cells"), probes, idCol, vecCol, m, k,
       nProbe)
 
   /** [[topKIndexed]] with the centroids loaded from the index directory

@@ -86,6 +86,60 @@ object ProductQuantizer {
     Model(codebooks)
   }
 
+  /** DISTRIBUTED per-subspace Lloyd's k-means (round-8 verdict task #7):
+    * [[train]]'s driver sample caps at sampleN rows, which can under-fit
+    * a 100 TB corpus's diversity; this variant trains on EVERY row with
+    * no driver-side data beyond the m·k·subDim centroid table.
+    *
+    * Per iteration: ONE corpus pass — normalize (HOF fold, linear),
+    * assign codes with the native [[PqEncode]] kernel against the current
+    * codebooks (the assignment step IS the encoder, so training and
+    * serving can never disagree), explode to (subspace, code, dim,
+    * value), and one map-side-combined aggregate down to m·k·subDim
+    * means (bounded driver collect, 4096 rows at m=16/k=64/subDim=4).
+    * Empty cells keep their centroid, the [[train]] convention.
+    * Initialization reuses [[train]] with iters = 0 (the seeded
+    * hash-ordered sample shuffle), so trainDistributed(iters = n) on a
+    * corpus the driver sample covers fully is ARITHMETICALLY IDENTICAL
+    * to train(iters = n) — the parity the spec pins on a dyadic-exact
+    * fixture. */
+  def trainDistributed(df: DataFrame, vecCol: String, m: Int, k: Int = 16,
+                       seed: Long = 42L, iters: Int = 8,
+                       initSampleN: Int = 1000): Model = {
+    var model = train(df, vecCol, m, k, seed, initSampleN, iters = 0)
+    val subDim = model.subDim
+    val clean = df.select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), x => x.isNull) &&
+        size(col("v")) === m * subDim)
+    val nrm = sqrt(aggregate(col("v"), lit(0d),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val unit = transform(col("v"),
+      x => x.cast("double") / when(nrm === 0d, lit(1d)).otherwise(nrm))
+    // normalize ONCE (the HOF fold is interpreted — re-running it every
+    // iteration multiplied training cost ~3×) and keep the raw vector
+    // alongside for the native re-encode each round
+    val normed = Materialize(clean.select(unit.as("u"), col("v")))
+    for (_ <- 0 until iters) {
+      val stats = normed
+        .select(col("u"), codes(col("v"), model).as("cd"))
+        .filter(col("cd").isNotNull)
+        .select(col("u"), posexplode(col("cd")))
+        .toDF("u", "j", "code")
+        .select(col("j"), col("code"),
+          posexplode(slice(col("u"), col("j") * lit(subDim) + 1,
+            lit(subDim))))
+        .toDF("j", "code", "t", "x")
+        .groupBy("j", "code", "t").agg(avg("x").as("mean"))
+        .collect()
+      val next = model.codebooks.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      model = Model(next)
+    }
+    model
+  }
+
   private def normalize(v: Array[Double]): Array[Double] = {
     var s = 0d; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -223,8 +277,8 @@ object ProductQuantizer {
       .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
   }
   /** Persist the PQ codebooks under an index root (one row per (subspace,
-    * code)); the `_`-prefix keeps the model invisible to parquet
-    * discovery over the codes table, so index + model share a directory. */
+    * code)), next to the `codes/` data table — index + models share one
+    * self-contained directory. */
   def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
                 path: String): Unit = {
     import spark.implicits._
@@ -232,16 +286,16 @@ object ProductQuantizer {
       yield (j, c, model.codebooks(j)(c).toSeq))
       .toDF("sub", "code", "centroid")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/_pq_model")
+      .write.mode("overwrite").parquet(s"$path/pq_model")
   }
 
   /** Re-open codebooks persisted by [[saveModel]] — a bounded (m·k rows)
     * driver collect. */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 path: String): Model = {
-    val rows = spark.read.parquet(s"$path/_pq_model")
+    val rows = spark.read.parquet(s"$path/pq_model")
       .orderBy("sub", "code").collect()
-    require(rows.nonEmpty, s"no PQ model at $path/_pq_model")
+    require(rows.nonEmpty, s"no PQ model at $path/pq_model")
     val bySub = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
     Model(bySub.map { case (_, rs) =>
       rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
@@ -264,7 +318,7 @@ object ProductQuantizer {
       .withColumn("cell", IvfIndex.assign(col("cv"), ivf))
       .withColumn("codes", codes(col("cv"), model))
       .select("vec_id", "cell", "codes")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     saveModel(corpus.sparkSession, model, path)
     IvfIndex.saveModel(corpus.sparkSession, ivf, path)
   }
@@ -287,7 +341,7 @@ object ProductQuantizer {
       .orderBy(col("adc").asc, col("vec_id").asc)
     val wCos = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val survivors = spark.read.parquet(path)
+    val survivors = spark.read.parquet(s"$path/codes")
       .join(p, "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("pv"),

@@ -315,6 +315,26 @@ class FunctionsLibSpec extends SparkSpec {
     assert(gated == Seq(MergeStep(1, "a a", 3)), s"minCount gate broke: $gated")
   }
 
+  test("BpeTrainer.trainDelta: identical merges and corpus to the full recount") {
+    // the delta recount (counts - pairs(affected_before) +
+    // pairs(affected_after)) must be indistinguishable from train's full
+    // per-round recount — steps, counts, and the merged corpus itself
+    val hand = Seq((1L, "a a a b"), (2L, "a a b")).toDF("doc_id", "text")
+    val corpus = table("documents").limit(50).select(col("doc_id"), col("text"))
+    for ((docs, rounds) <- Seq((hand, 10), (corpus, 6))) {
+      val (mFull, sFull) = BpeTrainer.train(docs, "text", rounds)
+      val (mDelta, sDelta) = BpeTrainer.trainDelta(docs, "text", rounds)
+      assert(sDelta == sFull, s"merge sequences differ: $sDelta vs $sFull")
+      val full = mFull.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val delta = mDelta.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(delta == full, "merged corpora differ")
+    }
+    // minCount gate behaves identically
+    val (_, g1) = BpeTrainer.train(hand, "text", 10, minCount = 2)
+    val (_, g2) = BpeTrainer.trainDelta(hand, "text", 10, minCount = 2)
+    assert(g1 == g2)
+  }
+
   test("BpeTrainer.tokenize replays a learned merge table exactly") {
     val docs = Seq((1L, "a a a b"), (2L, "a a b")).toDF("doc_id", "text")
     val (merged, steps) = BpeTrainer.train(docs, "text", rounds = 3)

@@ -89,8 +89,9 @@ class IvfSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val e = table("embeddings").select("vec_id", "embedding")
     IvfIndex.writeIndex(e, "vec_id", "embedding", model, dir)
-    // layout: one directory per cell (the index IS the partitioning)
-    val cellDirs = new java.io.File(dir).listFiles()
+    // layout: one directory per cell under cells/ (the index IS the
+    // partitioning), with the centroid sidecar as a sibling
+    val cellDirs = new java.io.File(dir, "cells").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty, "expected cell= partition directories")
     val probes = e.filter(col("vec_id") < 5)

@@ -134,7 +134,7 @@ class PqSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     ProductQuantizer.writeIndex(emb, "vec_id", "embedding", model, ivf, dir)
     // the served table carries codes, never raw vectors
-    val idx = spark.read.parquet(dir)
+    val idx = spark.read.parquet(s"$dir/codes")
     assert(idx.columns.sorted.sameElements(Array("cell", "codes", "vec_id")))
     // result parity with the in-memory composition
     val mem = ProductQuantizer
@@ -155,6 +155,44 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") ||
       plan.contains("partitionfilters: [isnotnull(cell"),
       s"no partition pruning on the cell key:\n$plan")
+  }
+
+  test("trainDistributed: arithmetic parity with the driver trainer") {
+    // a corpus the driver sample covers FULLY, whose values are dyadic
+    // (sums exact in double in ANY order) and unit-norm (so PqEncode's
+    // multiply-by-reciprocal equals the driver's divide-by-norm) —
+    // under those conditions the distributed assign/mean rounds must be
+    // bit-identical to the driver Lloyd's iterations, not just close
+    import spark.implicits._
+    val rows = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0.5f, 0.5f, 0.5f, 0.5f), Seq(0f, 0f, 1f, 0f),
+      Seq(0f, 0f, 0f, 1f), Seq(1f, 0f, 0f, 0f),
+      Seq(0.5f, 0.5f, 0.5f, 0.5f), Seq(0f, 1f, 0f, 0f)).toDF("v")
+    for (iters <- Seq(1, 3)) {
+      val drv = ProductQuantizer.train(rows, "v", m = 2, k = 2, seed = 7L,
+        sampleN = 100, iters = iters)
+      val dst = ProductQuantizer.trainDistributed(rows, "v", m = 2, k = 2,
+        seed = 7L, iters = iters, initSampleN = 100)
+      assert(dst.codebooks.flatten.flatten.toSeq ==
+        drv.codebooks.flatten.flatten.toSeq,
+        s"iters=$iters: distributed k-means diverged from the driver model")
+    }
+  }
+
+  test("trainDistributed model serves the full search path") {
+    // the fixture's operating point (near-isotropic gaussians need the
+    // fine m=16/k=64 codebook — same as the driver-trained `model`)
+    val dist = ProductQuantizer
+      .trainDistributed(emb, "embedding", m = 16, k = 64, iters = 4)
+    val exact = bruteTopK(10).select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val got = ProductQuantizer
+      .topK(emb, emb, "vec_id", "embedding", dist, k = 10, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"distributed-trained PQ recall@10 = $recall%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f below 0.85")
   }
 
   test("IVF-PQ composition keeps recall on probed cells") {

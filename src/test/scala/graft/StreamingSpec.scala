@@ -431,6 +431,45 @@ class StreamingSpec extends SparkSpec {
     assert(j12 == 1.0, s"exact dup jaccard $j12")
   }
 
+  test("s_ann pqAgainstIndex: arrivals probe the standing PQ codes index") {
+    // planted geometry: near-orthogonal corpus vectors, an arrival near
+    // vec 1, an exact dup of vec 2 in a LATER batch, a novel orthogonal
+    // vector, and a replayed corpus id (self-match guard) — round-8
+    // verdict task #8
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    val corpus = Seq((1L, axis(0)), (2L, axis(1)), (3L, axis(2)))
+      .toDF("vec_id", "embedding")
+    val pq = graft.functions.ProductQuantizer
+      .train(corpus, "embedding", m = 4, k = 4, sampleN = 10)
+    val ivf = graft.functions.IvfIndex.train(corpus, "embedding", k = 2,
+      sampleN = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sann_").toString
+    graft.functions.ProductQuantizer
+      .writeIndex(corpus, "vec_id", "embedding", pq, ivf, dir)
+    val nearOne = Seq(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val novel = Seq.tabulate(8)(j => if (j == 7) 1f else 0f)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = runToTable(
+      StreamingAnn.pqAgainstIndex(spark,
+        in.toDF.toDF("vec_id", "embedding"), dir, corpus, "vec_id",
+        "embedding", threshold = 0.9, nProbe = 2),
+      "append",
+      () => in.addData((10L, nearOne), (11L, novel)),
+      // a later batch still probes the same static index; the replayed
+      // corpus id must not self-match
+      () => in.addData((12L, axis(1)), (1L, axis(0))))
+    val hits = out.select("doc_id", "matched_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L), (12L, 2L)), s"hits $hits")
+    val c12 = out.filter(col("doc_id") === 12L).select("cos")
+      .as[Double].head()
+    assert(c12 == 1.0, s"exact dup cosine $c12")
+    val c10 = out.filter(col("doc_id") === 10L).select("cos")
+      .as[Double].head()
+    assert(c10 >= 0.99 && c10 < 1.0, s"near-dup cosine $c10")
+  }
+
   test("s_wordcount_e2e: windowed word count equals its batch twin") {
     val sentences = Seq(
       (ts("2024-01-01 10:00:10"), "hello world"),
