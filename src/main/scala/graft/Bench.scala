@@ -1,6 +1,7 @@
 package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line (the driver's contract) and ALSO
   * writes the identical JSON to BENCH_LOCAL.json in the working directory:
@@ -33,6 +34,28 @@ object Bench {
     // footers, scheduler spin-up) — run the flagship once untimed so the
     // first measured query isn't charged ~5s of one-time cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    // Self-calibration (round-8 verdict task #6): a FIXED synthetic
+    // workload — one CPU-bound hash pass over spark.range plus one
+    // 1000-key shuffle, constant input at every SF — timed (median of 3)
+    // BEFORE and AFTER the query sweep. Three rounds of grading were
+    // muddied by 1.2–1.3× VM-load skew on sub-second query timings;
+    // the calibration fields let any grader normalize cross-run numbers
+    // (query_time / calibration) and detect load DRIFT within a run
+    // (pre vs post).
+    def calibrate(): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 30000000L, 1, 32)
+          .select(xxhash64(col("id")).as("h"))
+          .groupBy(pmod(col("h"), lit(1000)).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum("c")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(1)
+    }
+    val calPre = calibrate()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // flaky queries (0 < successes < runs) get their success count recorded
@@ -77,10 +100,12 @@ object Bench {
       .mkString("{", ",", "}")
     val partialJson = partial.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val calPost = calibrate()
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jstr(sfDir)},"runs":$runs,"stat":"median",""" +
+      s""""calibration":{"pre":$calPre,"post":$calPost},""" +
       s""""partialRuns":$partialJson,"errors":$errJson}"""
     // a filtered run must never masquerade as the durable full-registry
     // artifact the driver (and round-over-round comparisons) read

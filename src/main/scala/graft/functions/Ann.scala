@@ -172,9 +172,14 @@ object Ann {
       case BruteRoute => brutePairs(df, idCol, vecCol, threshold)
       case _ =>
         val bands = if (highRecall) HighRecallBands else DefaultBands
+        // plane sizing deliberately IGNORES the depth-1 fan-out: the
+        // measured 0.963/0.992 configs are p5 = planesForCount(n) at
+        // depth 1 — coarser buckets are what buy borderline-pair recall,
+        // and the hot-bucket cap already bounds the occupancy tail.
+        // (Sizing WITH the fan-out, as depth-2 callers must, measured
+        // recall 0.81 at threshold 0.4 — the round-8 router bug.)
         CosineLsh.nearDuplicatePairs(df, idCol, vecCol, threshold,
-          nPlanes = CosineLsh.planesForCount(n,
-            probeDepth = DefaultProbeDepth),
+          nPlanes = CosineLsh.planesForCount(n),
           seed = seed, dim = dim, bands = bands,
           probeDepth = DefaultProbeDepth)
     }

@@ -94,30 +94,33 @@ object SimilarityQueries extends QueryModule {
 
     // Embedding-cosine near-duplicate pairs — the vector-space member of
     // the dedup family (exact / MinHash / SimHash / n-gram Jaccard live in
-    // DedupQueries). All-pairs over the BOUNDED probe corpus (embeddings is
-    // a fixed 500-row table at every SF): one broadcast nested-loop join,
-    // corpus streamed once, codegen'd CosineSim. At 100 TB all-pairs is
-    // quadratic and forbidden — the scale path is the LSH-bucketed
-    // candidate join (functions/CosineLsh.nearDuplicatePairs, ScalaTest'd)
-    // with this exact cosine as the verify step. The 0.4 threshold
+    // DedupQueries). Round-8 re-scope (verdict task #4): the old contract
+    // was ALL pairs a<b — quadratic in the corpus by its own output
+    // definition (the last such anchor). The declared contract is now a
+    // BOUNDED probe set (vec_id < 50) joined against the full corpus:
+    // O(probes × corpus) — LINEAR in the corpus, the same plan shape a
+    // production "audit these N documents against the corpus" pass has.
+    // Probes broadcast; the corpus streams once through a codegen'd
+    // CosineSim; Ann.nearDupPairs / CosineLsh.nearDuplicatePairs remain
+    // the sublinear paths for the all-pairs problem. The 0.4 threshold
     // compares RAW doubles that are bit-identical cross-engine (same fold
     // order), so the predicate cannot flake.
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // the fixture parquet is one row-group → one scan task; spread the
-      // STREAM side so the nested-loop pair generation parallelizes (at
-      // 100 TB the stream side arrives partitioned — this reproduces that
-      // shape locally). The broadcast side stays whole on every task.
-      val a = e.repartition(col("vec_id"))
+      // STREAM (corpus) side so the nested-loop pair generation
+      // parallelizes. The broadcast probe side stays whole on every task.
+      val b = e.repartition(col("vec_id"))
+        .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val a = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       val cos = cosine(s, "ea", "eb")
       // both predicates live IN the join condition, cheap one first: a
       // pushed-down filter lands AHEAD of the join's own condition, making
-      // every ordered pair pay the cosine before the id short-circuit —
-      // conjunct order here halves the cosine evaluations. The projection
+      // every pair pay the cosine before the id short-circuit — conjunct
+      // order here skips the cosine for half the pairs. The projection
       // re-evaluates cosine only for the surviving pairs.
-      a.join(broadcast(b), col("id_a") < col("id_b") && cos > 0.4)
+      b.join(broadcast(a), col("id_a") < col("id_b") && cos > 0.4)
         .select(col("id_a"), col("id_b"), round(cos, 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -169,7 +172,8 @@ object SimilarityQueries extends QueryModule {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${duckCosine("a.embedding", "b.embedding")}, 4) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} > 0.4
+         |WHERE a.vec_id < 50
+         |  AND ${duckCosine("a.embedding", "b.embedding")} > 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_vector_mean" ->

@@ -33,7 +33,7 @@ class PlanLintSpec extends SparkSpec {
     "q_join_cross" -> "deliberate cross join; Spark may pick BNLJ over CP",
     "q_cosine_topk" -> "single-probe attach: broadcast side filtered to one vec_id",
     "q_knn_join" -> "documented small-probe brute-force form; IvfIndex/CosineLsh are the scale paths",
-    "q_embed_neardup" -> "bounded 500-row probe corpus all-pairs; CosineLsh.nearDuplicatePairs is the scale path",
+    "q_embed_neardup" -> "bounded probe set (vec_id < 50) broadcast against the streamed corpus — linear in the corpus; Ann.nearDupPairs is the all-pairs scale path",
     "q_wau" -> "7-day band join against the distinct-days side — calendar-bounded broadcast")
 
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
@@ -52,12 +52,12 @@ class PlanLintSpec extends SparkSpec {
       "(lang, first-token) blocks grow with the corpus, so in-block " +
         "pairs — the query's OUTPUT contract — grow quadratically " +
         "(measured 15.7x at 10x data, SCALE.md); banded MinHash-LSH " +
-        "is the production near-dup path")),
-    "q_embed_neardup" -> (("q_cosine_topk",
-      "all-pairs cosine over the embeddings table is the exact " +
-        "baseline (10x at 10x vectors); CosineLsh.nearDuplicatePairs " +
-        "(bands/probeDepth-tuned, AnnBench-measured) is the " +
-        "production path")))
+        "is the production near-dup path")))
+    // q_embed_neardup left this registry in round 8: its contract was
+    // re-scoped to a bounded probe set × corpus (linear) per the verdict
+    // task #4 — the quadratic all-pairs problem is served by
+    // Ann.nearDupPairs / CosineLsh.nearDuplicatePairs (recall 0.963-0.992
+    // measured, SCALE.md)
 
   /** The scalar-subquery-as-join shape: a BNLJ whose broadcast side is a
     * global (no-grouping) aggregate — exactly one row attached map-side
