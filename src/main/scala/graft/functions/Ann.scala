@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** ONE entry point for the similarity family (round-8 verdict task #1):
   * the engine carries three ANN legs with measured ≥0.95-recall
@@ -95,6 +94,10 @@ object Ann {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val mtime = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(hp).getModificationTime
+    // evict superseded snapshots of the same dir: the mtime key means a
+    // stale entry can never be READ again, so keeping it is a pure leak
+    // for a session that rewrites its indexes (self-review finding)
+    modelCache.keySet.removeIf(k => k._1 == dir && k._2 != mtime)
     modelCache.computeIfAbsent((dir, mtime), _ => load).asInstanceOf[A]
   }
 
@@ -151,7 +154,12 @@ object Ann {
       case BruteRoute => bruteTopK(corpus, probes, idCol, vecCol, k)
       case IvfRoute =>
         val cells = cellsFor(n)
-        val model = IvfIndex.train(corpus, vecCol, cells, seed)
+        // train's centroid count is capped by its driver sample — size
+        // the sample to >= 8 vectors/cell (bounded: <= 32k rows at the
+        // 4096-cell cap) or large corpora would silently get fewer,
+        // fatter cells than the CellTarget contract (self-review finding)
+        val model = IvfIndex.train(corpus, vecCol, cells, seed,
+          sampleN = math.max(1000, cells * 8))
         IvfIndex.topK(corpus, probes, idCol, vecCol, model, k,
           nProbe = math.min(nProbe, cells))
       case r => throw new IllegalStateException(s"topK cannot route to $r")
@@ -171,6 +179,11 @@ object Ann {
     routePairs(n) match {
       case BruteRoute => brutePairs(df, idCol, vecCol, threshold)
       case _ =>
+        val d =
+          if (dim > 0) dim
+          else df.select(size(col(vecCol)).as("__d"))
+            .filter(col("__d") > 0).head(1).headOption
+            .map(_.getInt(0)).getOrElse(CosineLsh.DefaultDim)
         val bands = if (highRecall) HighRecallBands else DefaultBands
         // plane sizing deliberately IGNORES the depth-1 fan-out: the
         // measured 0.963/0.992 configs are p5 = planesForCount(n) at
@@ -180,24 +193,18 @@ object Ann {
         // recall 0.81 at threshold 0.4 — the round-8 router bug.)
         CosineLsh.nearDuplicatePairs(df, idCol, vecCol, threshold,
           nPlanes = CosineLsh.planesForCount(n),
-          seed = seed, dim = dim, bands = bands,
+          seed = seed, dim = d, bands = bands,
           probeDepth = DefaultProbeDepth)
     }
   }
 
-  /** The exact cosine column with the [[CosineLsh]] element-type
-    * dispatch: float/double arrays verify in their own precision, other
-    * numeric elements widen to double. */
+  /** The exact cosine column — [[CosineLsh]]'s element-type dispatch
+    * (ONE implementation: float/double arrays verify in their own
+    * precision, other numeric elements widen to double). */
   private def cosineOf(df: DataFrame, vecCol: String, a: Column,
-                       b: Column): Column = {
-    NativeCosine.register(df.sparkSession)
-    df.schema(vecCol).dataType match {
-      case org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _) =>
-        call_function(NativeCosine.name, a, b)
-      case _ => call_function(NativeCosine.name,
-        a.cast("array<double>"), b.cast("array<double>"))
-    }
-  }
+                       b: Column): Column =
+    CosineLsh.cosine(df.sparkSession, a, b,
+      CosineLsh.elemType(df, vecCol))
 
   /** Exact top-k: corpus streamed once, probes broadcast, per-probe
     * window — the right baseline below [[BruteTopKMax]] and the recall

@@ -181,9 +181,9 @@ object CosineLsh {
     * numeric element type is widened to double (exact for int/long ≤ 2^53,
     * the embedding-id regime). `elem` is the corpus column's element type
     * from the caller's schema — Columns carry no type pre-analysis. */
-  private def cosine(spark: org.apache.spark.sql.SparkSession,
-                     a: Column, b: Column,
-                     elem: org.apache.spark.sql.types.DataType): Column = {
+  private[graft] def cosine(spark: org.apache.spark.sql.SparkSession,
+                            a: Column, b: Column,
+                            elem: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     NativeCosine.register(spark)
     elem match {
@@ -194,7 +194,7 @@ object CosineLsh {
   }
 
   /** Element type of `df.vecCol`, for the [[cosine]] dispatch. */
-  private def elemType(df: DataFrame, vecCol: String)
+  private[graft] def elemType(df: DataFrame, vecCol: String)
       : org.apache.spark.sql.types.DataType =
     df.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(et, _) => et

@@ -26,7 +26,7 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
-  private def sqDist(a: Array[Double], b: Array[Float]): Double = {
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0d; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
@@ -45,15 +45,23 @@ object IvfIndex {
     * corpus size. Seed-fixed for reproducibility. */
   def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
             sampleN: Int = 1000, iters: Int = 5): Model = {
-    val sample: Array[Array[Float]] = df.select(col(vecCol))
+    // float AND double corpora: a float element widens to double exactly,
+    // so the float path's arithmetic is bit-unchanged; a double corpus
+    // previously ClassCastException'd in getSeq[Float] (self-review)
+    val sample: Array[Array[Double]] = df.select(col(vecCol))
       .orderBy(xxhash64(lit(seed), col(vecCol)).asc)
       .limit(sampleN)
-      .collect().map(_.getSeq[Float](0).toArray)
+      .collect().map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"$vecCol must be ARRAY<FLOAT> or ARRAY<DOUBLE>, found element $other")
+      }.toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val rnd = new Random(seed)
     val dim = sample.head.length
     var centroids = rnd.shuffle(sample.toSeq).take(k)
-      .map(_.map(_.toDouble)).toArray
+      .map(_.clone()).toArray
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)

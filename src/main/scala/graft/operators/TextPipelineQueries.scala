@@ -57,15 +57,25 @@ object TextPipelineQueries extends QueryModule {
             |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
             .stripMargin)).as("p"))
         .groupBy("p").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("p")).limit(1).collect()(0)
-      val (pair, pairCount) = (best.getString(0), best.getLong(1))
-      val merged = graft.functions.BpeTrainer.applyMerge(col("text"), pair)
-      docs
-        .select(col("doc_id"), lit(pair).as("pair"),
-          lit(pairCount).as("pair_count"), merged.as("merged"),
-          (size(split(col("text"), " ")) - size(split(merged, " ")))
-            .cast("bigint").as("n_merges"))
-        .orderBy("doc_id")
+        .orderBy(col("c").desc, col("p")).limit(1).collect()
+      // no pair anywhere (empty corpus / all single-token docs): the
+      // oracle's `FROM toks, best` cross join is empty — mirror that
+      // instead of indexing into an empty argmax (self-review finding)
+      if (best.isEmpty)
+        docs.filter(lit(false))
+          .select(col("doc_id"), lit(null).cast("string").as("pair"),
+            lit(null).cast("bigint").as("pair_count"),
+            col("text").as("merged"), lit(null).cast("bigint").as("n_merges"))
+      else {
+        val (pair, pairCount) = (best(0).getString(0), best(0).getLong(1))
+        val merged = graft.functions.BpeTrainer.applyMerge(col("text"), pair)
+        docs
+          .select(col("doc_id"), lit(pair).as("pair"),
+            lit(pairCount).as("pair_count"), merged.as("merged"),
+            (size(split(col("text"), " ")) - size(split(merged, " ")))
+              .cast("bigint").as("n_merges"))
+          .orderBy("doc_id")
+      }
     }),
 
     // Three-round BPE training (functions/BpeTrainer — the q_bpe_merge
@@ -142,7 +152,11 @@ object TextPipelineQueries extends QueryModule {
     * Different mechanism than Spark's lookahead regex, identical
     * semantics for every input. */
   private def duckMerge(text: String, pair: String): String =
-    s"""list_reduce(list_prepend('', string_split($text, ' ')),
+    // outer trim: Spark's applyMerge trims its padded text, which also
+    // strips a document's own leading/trailing spaces; the fold preserves
+    // a trailing empty token as ' ' — trim keeps the engines identical on
+    // space-ragged documents (self-review finding)
+    s"""trim(list_reduce(list_prepend('', string_split($text, ' ')),
        |    (acc, x) -> CASE
        |      WHEN acc = '' THEN x
        |      WHEN x = string_split($pair, ' ')[2]
@@ -152,7 +166,7 @@ object TextPipelineQueries extends QueryModule {
        |        THEN replace($pair, ' ', '_')
        |        ELSE left(acc, length(acc) - length(string_split($pair, ' ')[1]))
        |          || replace($pair, ' ', '_') END
-       |      ELSE acc || ' ' || x END)""".stripMargin
+       |      ELSE acc || ' ' || x END))""".stripMargin
       // single line: this snippet is interpolated into SQL strings whose
       // own stripMargin would otherwise eat one pipe of every leading ||
       .replace("\n", " ")

@@ -138,6 +138,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * the non-`__` names; measures from the `__sum_`/`__min_`/`__max_`
     * prefixes), so the parquet table is fully self-describing. */
   def loadPersisted(fact: DataFrame, path: String): DataFrame = {
+    checkFact(fact)
     val rollup = fact.sparkSession.read.parquet(path)
     val cols = rollup.columns.toSeq
     require(cols.contains("__cnt"),
@@ -162,7 +163,6 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def addEntry(fact: DataFrame, rollup: DataFrame,
                        groupCols: Seq[String], sumCols: Seq[String],
                        minCols: Seq[String], maxCols: Seq[String]): Unit = {
-    checkFact(fact)
     entries.add(Entry(fact.queryExecution.analyzed,
       rollup.queryExecution.analyzed, groupCols, sumCols, minCols, maxCols))
     attach(fact.sparkSession)

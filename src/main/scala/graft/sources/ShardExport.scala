@@ -41,13 +41,18 @@ object ShardExport {
       "input must not carry a 'shard' or '__graft_ord' column")
     // a NULL id nulls its order key AND its shard — the row would land
     // silently in shard=__HIVE_DEFAULT_PARTITION__, breaking the
-    // one-file-per-shard and determinism contracts; fail loudly instead.
-    // The probe is a column-pruned limit-1 scan of idCol only.
-    require(df.select(col(idCol)).filter(col(idCol).isNull).isEmpty,
-      s"export id column '$idCol' contains NULLs — every row needs a " +
-        "non-null id for its deterministic order key and shard assignment")
+    // one-file-per-shard and determinism contracts. Guard IN the export
+    // pass itself (raise_error on the first NULL aborts the job before
+    // the output commits), not as a separate pre-scan: a pre-check could
+    // only short-circuit when a NULL exists, so clean data — the common
+    // case — would pay a whole extra pass over the id lineage.
+    val guardedOrd = when(col(idCol).isNull,
+        raise_error(lit(s"export id column '$idCol' contains NULLs — " +
+          "every row needs a non-null id for its deterministic order " +
+          "key and shard assignment")))
+      .otherwise(orderKey(idCol, seed))
     val keyed = df
-      .withColumn("__graft_ord", orderKey(idCol, seed))
+      .withColumn("__graft_ord", guardedOrd)
       .withColumn("shard",
         pmod(col("__graft_ord"), lit(shards.toLong)).cast("int"))
     keyed

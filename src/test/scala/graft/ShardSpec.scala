@@ -79,14 +79,20 @@ class ShardSpec extends SparkSpec {
     }
   }
 
-  test("NULL ids fail fast instead of landing in a default partition") {
+  test("NULL ids fail the export job instead of landing in a default partition") {
     // a NULL id would get a NULL order key and shard — silently exported
     // under shard=__HIVE_DEFAULT_PARTITION__, breaking the exactly-N-files
-    // and manifest-determinism contracts (round-8 advice item)
+    // and manifest-determinism contracts (round-8 advice item). The guard
+    // is raise_error INSIDE the export pass (no extra pre-scan), so the
+    // failure surfaces as the aborted write job.
     val bad = Seq((java.lang.Long.valueOf(1L), "a"),
       (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
-    intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       ShardExport.export(bad, "doc_id", tmp(), shards = 2)
     }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("non-null id"), s"unexpected failure: $msgs")
   }
 }
