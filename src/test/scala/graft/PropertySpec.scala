@@ -262,4 +262,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bpe greedy merge: regex scan == independent token-scan model") {
+    // BpeTrainer.applyMerge is a lookahead regex; this pins its semantics
+    // to a plain left-to-right token scan (match -> emit merged, skip 2;
+    // else emit 1) over a tiny alphabet where consecutive AND overlapping
+    // (w1 == w2) occurrences are frequent — the shapes the round-8 advice
+    // bug got wrong
+    def refMerge(tokens: Seq[String], w1: String, w2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < tokens.length) {
+        if (i + 1 < tokens.length && tokens(i) == w1 && tokens(i + 1) == w2) {
+          out += s"${w1}_$w2"; i += 2
+        } else { out += tokens(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val alpha = Vector("a", "b", "c")
+    val cases = Seq.fill(120) {
+      val toks = Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(3)))
+      (toks, alpha(rnd.nextInt(3)), alpha(rnd.nextInt(3)))
+    }
+    for (((w1, w2), grp) <- cases.groupBy(c => (c._2, c._3))) {
+      val df = grp.map(_._1.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+          graft.functions.BpeTrainer.applyMerge(col("text"), s"$w1 $w2").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      grp.zipWithIndex.foreach { case ((toks, _, _), i) =>
+        val want = refMerge(toks, w1, w2).mkString(" ")
+        assert(got(i.toLong) == want,
+          s"pair ($w1,$w2) on ${toks.mkString(" ")}: got '${got(i.toLong)}' want '$want'")
+      }
+    }
+  }
+
+  test("bpe delta recount == full recount on random tiny-alphabet corpora") {
+    // tiny alphabet -> dense consecutive/overlapping pair occurrences,
+    // the hardest case for the delta algebra (counts - before + after)
+    for (_ <- 1 to 3) {
+      val docs = Seq.fill(30)(
+          Seq.fill(2 + rnd.nextInt(8))(Vector("a", "b", "c")(rnd.nextInt(3)))
+            .mkString(" "))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (mF, sF) = graft.functions.BpeTrainer.train(docs, "text", rounds = 4)
+      val (mD, sD) = graft.functions.BpeTrainer.trainDelta(docs, "text", rounds = 4)
+      assert(sD == sF, s"merge sequences diverge: $sD vs $sF")
+      val full = mF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val delta = mD.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(delta == full, "merged corpora diverge")
+    }
+  }
 }
