@@ -29,7 +29,8 @@ object SparkEntry {
     operators.TimeSeriesQueries,
     operators.ProfileQueries,
     operators.AnalyticsQueries,
-    operators.GraphQueries
+    operators.GraphQueries,
+    operators.SketchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -248,6 +248,42 @@ object DedupQueries extends QueryModule {
           sum(when(col("nd") > 1, 1).otherwise(0)).as("dup_spans"))
         .withColumn("keep", col("dup_spans") * 5 < col("n_spans"))
         .orderBy("doc_id")
+    }),
+
+    // Asymmetric containment (|A∩B| / |A| over 3-token shingle sets) of a
+    // bounded probe set against the corpus — the "is this document
+    // QUOTED inside another?" metric Jaccard under-reports (a short doc
+    // fully embedded in a long one has low Jaccard but containment 1).
+    // Bounded-probe contract like q_embed_neardup: probes (doc_id < 20)
+    // are broadcast, the corpus shingle relation streams once — linear in
+    // the corpus; the all-pairs version at scale rides MinHashDedup's
+    // banded candidates with this containment as the verify stage.
+    // Shingles shuffle as 16-hex md5 prefixes (16 B/shingle, not span
+    // text); a collision would be the same collision in the oracle.
+    "q_containment" -> ((s, dir) => {
+      // two consumers (probe side + corpus side of the hash equi-join):
+      // build the distinct (doc, shingle-hash) relation once
+      val sh = graft.functions.Materialize(t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> substring(md5(array_join(slice(toks, i, 3), ' ')), 1, 16))"""
+            .stripMargin)).as("shh"))
+        .distinct())
+      val probes = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("probe_id"), col("shh").as("psh"))
+      val pn = probes.groupBy("probe_id").agg(count(lit(1)).as("n_p"))
+      broadcast(probes)
+        .join(sh, col("psh") === col("shh") && col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id").as("cand_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(pn), "probe_id")
+        .filter(col("n_shared") * 10 >= col("n_p")) // containment ≥ 0.1, integer math
+        .select(col("probe_id"), col("cand_id"), col("n_shared"), col("n_p"),
+          pround4(col("n_shared").cast("double") / col("n_p")).as("containment"))
+        .orderBy("probe_id", "cand_id")
     })
   )
 
@@ -485,6 +521,27 @@ object DedupQueries extends QueryModule {
         |       CAST(SUM(CASE WHEN sd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 5 < COUNT(*) AS keep
         |FROM spans s JOIN sd USING (span_h)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         SUBSTRING(MD5(ARRAY_TO_STRING(t[i:i+2], ' ')), 1, 16) AS shh
+        |  FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+        |  WHERE LEN(t) >= 3),
+        |pn AS (SELECT doc_id AS probe_id, COUNT(*) AS n_p FROM sh
+        |  WHERE doc_id < 20 GROUP BY doc_id),
+        |shared AS (SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+        |    COUNT(*) AS n_shared
+        |  FROM sh p JOIN sh c ON p.shh = c.shh AND c.doc_id <> p.doc_id
+        |  WHERE p.doc_id < 20 GROUP BY p.doc_id, c.doc_id)
+        |SELECT probe_id, cand_id, n_shared, n_p,
+        |  FLOOR(CAST(n_shared AS DOUBLE) / n_p * 10000 + 0.5) / 10000
+        |    AS containment
+        |FROM shared JOIN pn USING (probe_id)
+        |WHERE n_shared * 10 >= n_p
+        |ORDER BY probe_id, cand_id""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH $minhashCtes

@@ -99,6 +99,51 @@ object GraphQueries extends QueryModule {
           coalesce(col("in_n"), lit(0L)).as("in_n"),
           coalesce(col("self_n"), lit(0L)).as("self_n"))
         .orderBy("node")
+    }),
+
+    // Triangle census of the urgent-order co-purchase graph: nodes =
+    // parts, an (undirected, deduped) edge wherever two parts share a
+    // 1-URGENT order; output = the 100 parts appearing in the most
+    // triangles (ties impossible — node id breaks them). The canonical
+    // a<b<c orientation makes each triangle count exactly once; the
+    // three-way equi-join IS the standard distributed triangle algorithm
+    // (wedges join the closing edge). Scale shape: per-order co-pair
+    // fan-out is bounded by order size² (≤17² here); the wedge join
+    // shuffles on single part keys and its volume is Σ deg(v)² with
+    // degree set by orders-per-part — constant as the corpus scales, so
+    // the whole census is linear at 10×. At 100 TB the refinement is
+    // degree-ordered orientation (low-degree node first) to cap skew;
+    // the a<b id orientation here is its fixture-scale stand-in. The
+    // top-100 is TakeOrderedAndProject (no global sort materializes),
+    // then ranks attach on the 100 survivors.
+    "q_graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // three triangle-join consumers — cut the self-join + distinct once
+      val co = graft.functions.Materialize(
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct())
+      val e2 = co.select(col("u").as("b2"), col("v").as("c2"))
+      val e3 = co.select(col("u").as("a3"), col("v").as("c3"))
+      val tri = co.select(col("u").as("a"), col("v").as("b"))
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .select(col("a"), col("b"), col("c2").as("c"))
+      val top = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(100)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("n_tri").desc, col("node"))))
+        .select(col("rnk"), col("node"), col("n_tri"))
+        .orderBy("rnk")
     })
   )
 
@@ -152,6 +197,22 @@ object GraphQueries extends QueryModule {
          |  COALESCE(out_deg, 0) AS out_deg, COALESCE(out_n, 0) AS out_n,
          |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_n, 0) AS in_n,
          |  COALESCE(self_n, 0) AS self_n
-         |FROM o FULL JOIN i ON node = inode ORDER BY node""".stripMargin
+         |FROM o FULL JOIN i ON node = inode ORDER BY node""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |co AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM co e1 JOIN co e2 ON e2.u = e1.v
+        |    JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |cnt AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY node),
+        |rk AS (SELECT node, n_tri,
+        |    ROW_NUMBER() OVER (ORDER BY n_tri DESC, node) AS rnk FROM cnt)
+        |SELECT rnk, node, n_tri FROM rk WHERE rnk <= 100 ORDER BY rnk""".stripMargin
   )
 }

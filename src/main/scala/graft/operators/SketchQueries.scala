@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — deterministic sketch operators with EXACT DuckDB
+  * oracles. Native approximate aggregates (approx_count_distinct, Spark's
+  * BloomFilterAggregate) are engine-specific hash pipelines no oracle can
+  * replay, so this module builds the two classic sketches from md5 — the
+  * one hash both engines compute bit-identically — and the estimates
+  * become hash-comparable numbers instead of "roughly right" ones:
+  *
+  *   - q_kmv_distinct: K-Minimum-Values distinct-count sketch [Bar-Yossef
+  *     et al. 2002]. Per group, keep the k smallest 48-bit hash values of
+  *     the element set; the kth smallest hash h estimates the cardinality
+  *     as (k-1) · 2⁴⁸ / h (the uniform-order-statistics estimator); groups
+  *     with fewer than k distinct hashes short-circuit to the exact count.
+  *   - q_bloom_prefilter: the Bloom-join pre-filter over a 3-token-shingle
+  *     blocklist (m = 2048 bits, j = 3 hash slices of one md5), with full
+  *     false-positive accounting per source — the decontamination-gate
+  *     pattern: ship the KB-sized bitset, not the blocklist.
+  *
+  * Scale notes (100 TB lens):
+  *   - Both queries shuffle HASHES, never element text: kmv distincts on
+  *     (group, 48-bit hv) — 16 bytes/row; bloom probes carry three 11-bit
+  *     positions derived scan-side (codegen'd conv/substring — no UDF).
+  *   - The kmv top-k per group rides row_number over a (group, hv) window;
+  *     group count here is the source alphabet. At billions of groups the
+  *     same sketch runs as a partial aggregate (per-partition k-smallest,
+  *     merge = k-smallest of unions) — the estimator line is unchanged.
+  *   - The bloom bitset is ≤ m rows (positions-present relation, ~KB) —
+  *     broadcast; the candidate side streams through three broadcast-hash
+  *     membership joins with zero shuffle before the final per-source
+  *     aggregate. The true-membership join (n_hit/n_fp columns) exists
+  *     only to AUDIT the filter — the production gate uses the bits alone.
+  *
+  * Determinism: md5 is bit-identical cross-engine; 48-bit hex prefixes fit
+  * doubles exactly (2⁴⁸ < 2⁵³); Spark's conv(hex,16,10) and the oracle's
+  * per-digit strpos fold produce the same integer; the estimator division
+  * is one IEEE double op on both sides under the portable round.
+  */
+object SketchQueries extends QueryModule {
+
+  /** KMV size: small enough that fixture sources (~31 distinct tokens)
+    * exercise the ESTIMATOR branch, not the exact short-circuit. */
+  private val K = 16
+
+  /** Bloom geometry: m bits, 3 hash functions = 4-hex-char md5 slices. */
+  private val M = 2048
+
+  private val HexScale = 281474976710656L // 16^12 = 2^48
+
+  /** 48-bit integer value of the first 12 md5 hex chars of a string. */
+  private def hv48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+
+  /** Bloom position j ∈ {0,1,2}: 4-hex-char slice of md5 mod M. */
+  private def bloomPos(c: Column, j: Int): Column =
+    conv(substring(md5(c.cast("binary")), 1 + 4 * j, 4), 16, 10)
+      .cast("bigint") % M
+
+  /** Distinct (source, 3-token shingle) relation over a documents subset. */
+  private def shingles(df: DataFrame): DataFrame =
+    df.repartition(col("doc_id")) // spread before the HOF shingle build
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+        .as("sh"))
+      .distinct()
+
+  override def queries: Map[String, Q] = Map(
+    // Per-source KMV distinct-token estimate vs the exact count. The
+    // distinct runs on (source, hv) — a 48-bit hash shuffle; the window
+    // ranks hashes within each source; the kth hash drives the estimator.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val hashes = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("source"), hv48(col("w")).as("hv"))
+        .distinct()
+      val w = Window.partitionBy("source").orderBy("hv")
+      hashes
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_exact"),
+          max(when(col("rn") === K, col("hv"))).as("kth"))
+        .select(col("source"), col("n_exact"),
+          pround4(when(col("n_exact") < K, col("n_exact").cast("double"))
+            .otherwise(lit((K - 1).toDouble * HexScale) / col("kth")))
+            .as("est"))
+        .orderBy("source")
+    }),
+
+    // Bloom-join pre-filter audit: blocklist = 3-shingles of docs 0-4;
+    // every corpus shingle probes the m=2048-bit filter; per source the
+    // result counts candidates, bloom passes, true hits, false positives.
+    "q_bloom_prefilter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val block = shingles(docs.filter(col("doc_id") < 5))
+        .select(col("sh")).distinct()
+      val bits = (0 to 2)
+        .map(j => block.select(bloomPos(col("sh"), j).as("p")))
+        .reduce(_ unionAll _)
+        .distinct() // ≤ m rows — the broadcast bitset
+      val cand = shingles(docs)
+        .withColumn("p1", bloomPos(col("sh"), 0))
+        .withColumn("p2", bloomPos(col("sh"), 1))
+        .withColumn("p3", bloomPos(col("sh"), 2))
+      val marked = cand
+        .join(broadcast(bits.withColumnRenamed("p", "bp1")),
+          col("p1") === col("bp1"), "left")
+        .join(broadcast(bits.withColumnRenamed("p", "bp2")),
+          col("p2") === col("bp2"), "left")
+        .join(broadcast(bits.withColumnRenamed("p", "bp3")),
+          col("p3") === col("bp3"), "left")
+        .join(broadcast(block.withColumnRenamed("sh", "bsh")),
+          col("sh") === col("bsh"), "left")
+        .select(col("source"),
+          (col("bp1").isNotNull && col("bp2").isNotNull &&
+            col("bp3").isNotNull).as("passed"),
+          col("bsh").isNotNull.as("is_block"))
+      marked.groupBy("source")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("passed"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("passed") && col("is_block"), 1L).otherwise(0L))
+            .as("n_hit"),
+          sum(when(col("passed") && !col("is_block"), 1L).otherwise(0L))
+            .as("n_fp"))
+        .orderBy("source")
+    })
+  )
+
+  /** DuckDB twin of [[hv48]]/[[bloomPos]]: per-hex-digit strpos fold —
+    * DuckDB has no base-16 conv, but the digit arithmetic reproduces the
+    * identical integer. `a` = 1-based start position, `n` = digit count. */
+  private def sqlHex(col: String, a: Int, n: Int): String =
+    (0 until n).map { i =>
+      s"(STRPOS('0123456789abcdef', SUBSTR($col, ${a + i}, 1)) - 1) * ${math.pow(16, n - 1 - i).toLong}"
+    }.mkString(" + ")
+
+  private def sqlBloomPos(col: String, j: Int): String =
+    s"(${sqlHex(col, 1 + 4 * j, 4)}) % $M"
+
+  /** Shared shingle CTE body (3-token shingles of one documents subset). */
+  private def shingleSql(where: String): String =
+    s"""SELECT DISTINCT source, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
+       |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+       |        FROM documents $where),
+       |    UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+       |  WHERE LEN(t) >= 3""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH hv AS (
+         |  SELECT DISTINCT source, ${sqlHex("md5(w)", 1, 12)} AS hv
+         |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE w <> ''),
+         |rk AS (
+         |  SELECT source, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |  FROM hv)
+         |SELECT source, COUNT(*) AS n_exact,
+         |  ${sqlRound4(
+             s"CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE) " +
+             s"ELSE ${(K - 1).toDouble * HexScale} / MAX(CASE WHEN rn = $K THEN hv END) END")}
+         |    AS est
+         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_bloom_prefilter" ->
+      s"""WITH block AS (
+         |  SELECT DISTINCT sh FROM (${shingleSql("WHERE doc_id < 5").replace("\n", " ")})),
+         |bits AS (SELECT DISTINCT p FROM (
+         |    SELECT ${sqlBloomPos("md5(sh)", 0)} AS p FROM block
+         |    UNION ALL SELECT ${sqlBloomPos("md5(sh)", 1)} FROM block
+         |    UNION ALL SELECT ${sqlBloomPos("md5(sh)", 2)} FROM block)),
+         |cand AS (${shingleSql("").replace("\n", " ")}),
+         |cp AS (SELECT source, sh,
+         |    ${sqlBloomPos("md5(sh)", 0)} AS p1,
+         |    ${sqlBloomPos("md5(sh)", 1)} AS p2,
+         |    ${sqlBloomPos("md5(sh)", 2)} AS p3
+         |  FROM cand),
+         |marked AS (SELECT source,
+         |    p1 IN (SELECT p FROM bits) AND p2 IN (SELECT p FROM bits)
+         |      AND p3 IN (SELECT p FROM bits) AS passed,
+         |    sh IN (SELECT sh FROM block) AS is_block
+         |  FROM cp)
+         |SELECT source, COUNT(*) AS n_cand,
+         |  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CASE WHEN passed AND is_block THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(SUM(CASE WHEN passed AND NOT is_block THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fp
+         |FROM marked GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryModule
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.3 J — text analysis over `documents`: corpus statistics,
@@ -214,6 +215,34 @@ object TextStatsQueries extends QueryModule {
         .select(col("lang"), col("rn"), col("w").as("term"),
           col("tf"), col("score"))
         .orderBy("lang", "rn")
+    }),
+
+    // Zipf-law fit per language: regression slope of log2(freq) on
+    // log2(rank) over the token frequency table, plus R² — the
+    // vocabulary-health diagnostic (natural text ≈ -1 slope with high R²;
+    // synthetic/templated text is flatter). Frequencies and ranks are
+    // exact integers, log2-of-integer is the proven-portable transform
+    // (q_token_entropy), and regr_slope/regr_r2 follow the q_agg_corr
+    // idiom under the portable round. One corpus token aggregate
+    // (vocabulary-bounded), then a per-lang window on the tiny freq
+    // table — nothing downstream of the first aggregate scales with the
+    // corpus.
+    "q_zipf_slope" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("w"))
+      freq
+        .withColumn("r", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"),
+          pround4(regr_slope(log2(col("n").cast("double")),
+            log2(col("r").cast("double")))).as("zipf_slope"),
+          pround4(regr_r2(log2(col("n").cast("double")),
+            log2(col("r").cast("double")))).as("r2"))
+        .orderBy("lang")
     })
   )
 
@@ -336,6 +365,21 @@ object TextStatsQueries extends QueryModule {
         |    ORDER BY score DESC, w ASC) AS rn
         |  FROM scored)
         |SELECT lang, rn, w AS term, tf, score FROM ranked
-        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH freq AS (SELECT lang, w, COUNT(*) AS n
+        |  FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY lang, w),
+        |rk AS (SELECT lang, w, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w) AS r
+        |  FROM freq)
+        |SELECT lang, COUNT(*) AS n_vocab,
+        |  FLOOR(REGR_SLOPE(LOG2(CAST(n AS DOUBLE)), LOG2(CAST(r AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS zipf_slope,
+        |  FLOOR(REGR_R2(LOG2(CAST(n AS DOUBLE)), LOG2(CAST(r AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS r2
+        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -185,6 +185,29 @@ object TimeSeriesQueries extends QueryModule {
         .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
         .agg(countDistinct(col("user_id")).as("wau"))
         .orderBy("day")
+    }),
+
+    // Lag-1 autocorrelation of each type's daily-mean-value series — the
+    // "is this metric trending or mean-reverting?" diagnostic. The daily
+    // mean is computed portably (exact DECIMAL sum ÷ count, one double
+    // division) so both engines feed CORR identical series; the corr
+    // itself follows the proven q_agg_corr idiom under the portable
+    // round. One corpus-sized aggregate to the (type, day) grain; the
+    // lag window and corr run on the calendar-bounded series.
+    "q_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg((sum(col("value").cast("decimal(18,4)")).cast("double")
+          / count(col("value"))).as("mv"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      daily
+        .withColumn("pmv", lag(col("mv"), 1).over(w))
+        .filter(col("pmv").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          pround4(corr(col("mv"), col("pmv"))).as("ac1"))
+        .orderBy("event_type")
     })
   )
 
@@ -288,6 +311,19 @@ object TimeSeriesQueries extends QueryModule {
         |SELECT STRFTIME(days.day, '%Y-%m-%d') AS day,
         |  COUNT(DISTINCT ud.user_id) AS wau
         |FROM days JOIN ud ON ud.d >= days.day - 6 AND ud.d <= days.day
-        |GROUP BY days.day ORDER BY day""".stripMargin
+        |GROUP BY days.day ORDER BY day""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(value) AS mv
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |lagd AS (SELECT event_type, mv,
+        |    LAG(mv) OVER (PARTITION BY event_type ORDER BY d) AS pmv
+        |  FROM daily)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  FLOOR(CORR(mv, pmv) * 10000 + 0.5) / 10000 AS ac1
+        |FROM lagd WHERE pmv IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
