@@ -190,10 +190,13 @@ object TimeSeriesQueries extends QueryModule {
     // Lag-1 autocorrelation of each type's daily-mean-value series — the
     // "is this metric trending or mean-reverting?" diagnostic. The daily
     // mean is computed portably (exact DECIMAL sum ÷ count, one double
-    // division) so both engines feed CORR identical series; the corr
-    // itself follows the proven q_agg_corr idiom under the portable
-    // round. One corpus-sized aggregate to the (type, day) grain; the
-    // lag window and corr run on the calendar-bounded series.
+    // division) so both engines feed identical series. Pearson is spelled
+    // out as explicit sums — not native corr — for two reasons: the same
+    // op sequence runs in both engines, and a zero-variance series gets a
+    // NULLIF'd denominator (NULL result) instead of Spark-ANSI's
+    // divide-by-zero error. One corpus-sized aggregate to the (type, day)
+    // grain; the lag window and the sums run on the calendar-bounded
+    // series.
     "q_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "events")
@@ -205,8 +208,16 @@ object TimeSeriesQueries extends QueryModule {
         .withColumn("pmv", lag(col("mv"), 1).over(w))
         .filter(col("pmv").isNotNull)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          pround4(corr(col("mv"), col("pmv"))).as("ac1"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("mv")).as("sx"), sum(col("pmv")).as("sy"),
+          sum(col("mv") * col("pmv")).as("sxy"),
+          sum(col("mv") * col("mv")).as("sxx"),
+          sum(col("pmv") * col("pmv")).as("syy"))
+        .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+          pround4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)))
+            .as("ac1"))
         .orderBy("event_type")
     })
   )
@@ -320,10 +331,15 @@ object TimeSeriesQueries extends QueryModule {
         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
         |lagd AS (SELECT event_type, mv,
         |    LAG(mv) OVER (PARTITION BY event_type ORDER BY d) AS pmv
-        |  FROM daily)
-        |SELECT event_type, COUNT(*) AS n_days,
-        |  FLOOR(CORR(mv, pmv) * 10000 + 0.5) / 10000 AS ac1
-        |FROM lagd WHERE pmv IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |  FROM daily),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(mv) AS sx, SUM(pmv) AS sy, SUM(mv * pmv) AS sxy,
+        |    SUM(mv * mv) AS sxx, SUM(pmv * pmv) AS syy
+        |  FROM lagd WHERE pmv IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  FLOOR((n * sxy - sx * sy) /
+        |    NULLIF(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy), 0)
+        |    * 10000 + 0.5) / 10000 AS ac1
+        |FROM s ORDER BY event_type""".stripMargin
   )
 }
