@@ -50,6 +50,9 @@ object SketchQueries extends QueryModule {
   /** Bloom geometry: m bits, 3 hash functions = 4-hex-char md5 slices. */
   private val M = 2048
 
+  /** Bottom-k sample size for the quantile sketch. */
+  private val QK = 64
+
   private val HexScale = 281474976710656L // 16^12 = 2^48
 
   /** 48-bit integer value of the first 12 md5 hex chars of a string. */
@@ -130,6 +133,49 @@ object SketchQueries extends QueryModule {
           sum(when(col("passed") && !col("is_block"), 1L).otherwise(0L))
             .as("n_fp"))
         .orderBy("source")
+    }),
+
+    // Quantile sketch by deterministic bottom-k sampling: per group, the
+    // k=64 rows whose md5(rowid) hashes rank smallest form a uniform
+    // sample; its median estimates the group median, reported next to the
+    // exact value. The same hash-order-statistics machinery as
+    // q_kmv_distinct, pointed at quantiles — and unlike t-digest/KLL the
+    // sample is bit-reproducible cross-engine, so the ESTIMATE itself is
+    // oracle-checkable. Ranks tie-break on the unique row id (a 48-bit
+    // hash collision can't reorder the sample). Same scale posture as
+    // KMV: the per-group window is the fixture-scale form; billions of
+    // groups run partial per-partition bottom-k + merge.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"),
+        hv48(concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+          .as("hv"),
+        col("l_orderkey"), col("l_linenumber"))
+      // two-phase bottom-k (the q_topk_group salt pattern): 3 group
+      // values would collapse the sample sort to 3 tasks on the full
+      // table; any global bottom-64 row is bottom-64 in its salt bucket,
+      // so phase 1 keeps ≤ 64×32 candidates and phase 2 ranks those
+      val order = Seq(col("hv").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val salt = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+        lit(32))
+      val wLocal = Window.partitionBy(col("l_returnflag"), salt)
+        .orderBy(order: _*)
+      val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
+      val est = base.withColumn("rnl", row_number().over(wLocal))
+        .filter(col("rnl") <= QK)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= QK)
+        .groupBy("l_returnflag")
+        .agg(pround4(expr("percentile(cents, 0.5D)")).as("est_p50"))
+      base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          pround4(expr("percentile(cents, 0.5D)")).as("exact_p50"))
+        .join(est, "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"), col("est_p50"),
+          col("exact_p50"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -194,6 +240,25 @@ object SketchQueries extends QueryModule {
          |    AS n_hit,
          |  CAST(SUM(CASE WHEN passed AND NOT is_block THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_fp
-         |FROM marked GROUP BY source ORDER BY source""".stripMargin
+         |FROM marked GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_quantile_sketch" ->
+      s"""WITH base AS (SELECT l_returnflag,
+         |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    ${sqlHex("md5(CONCAT(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR)))", 1, 12)} AS hv,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+         |    ORDER BY hv, l_orderkey, l_linenumber) AS rn FROM base),
+         |est AS (SELECT l_returnflag,
+         |    FLOOR(QUANTILE_CONT(cents, 0.5) * 10000 + 0.5) / 10000 AS est_p50
+         |  FROM rk WHERE rn <= $QK GROUP BY l_returnflag),
+         |ex AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+         |    FLOOR(QUANTILE_CONT(cents, 0.5) * 10000 + 0.5) / 10000
+         |      AS exact_p50
+         |  FROM base GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_rows, est_p50, exact_p50
+         |FROM ex JOIN est USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -84,6 +84,27 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private val entries =
     new java.util.concurrent.CopyOnWriteArrayList[Entry]()
 
+  /** Registry capacity: registering past it evicts the OLDEST entry
+    * (insertion order). An evicted rollup is only a lost acceleration —
+    * queries fall through to the fact scan — so bounded-and-forgetful is
+    * strictly safer than unbounded growth in a long-lived session
+    * registering per-tenant rollups. Re-registering a fact re-inserts at
+    * the tail (refreshes its eviction position). */
+  @volatile private var maxEntries: Int = 64
+
+  /** Set the registry capacity (evicts immediately if over). */
+  def setCapacity(n: Int): Unit = {
+    require(n > 0, "rollup registry capacity must be positive")
+    maxEntries = n
+    evictOver()
+  }
+
+  /** Registered-entry count (capacity diagnostics). */
+  def size: Int = entries.size
+
+  private def evictOver(): Unit =
+    while (entries.size > maxEntries) entries.remove(0)
+
   private val rewrites = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Number of Aggregates rewritten so far this session — lets a spec
@@ -165,6 +186,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
                        minCols: Seq[String], maxCols: Seq[String]): Unit = {
     entries.add(Entry(fact.queryExecution.analyzed,
       rollup.queryExecution.analyzed, groupCols, sumCols, minCols, maxCols))
+    evictOver()
     attach(fact.sparkSession)
   }
 

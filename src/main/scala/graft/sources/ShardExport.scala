@@ -36,6 +36,31 @@ object ShardExport {
     * order-key range) written under the same root. */
   def export(df: DataFrame, idCol: String, path: String, shards: Int,
              seed: String = "shard"): Unit = {
+    keyedSorted(df, idCol, shards, seed)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifestOf(df.sparkSession.read.parquet(path), path, idCol, seed)
+  }
+
+  /** The JSONL flavor of [[export]]: identical seeded order and shard
+    * assignment, but each shard lands as ONE gzip'd JSON-lines file
+    * (`shard=N/part-*.json.gz`) — the interchange format most training
+    * dataloaders stream natively, no parquet reader required. The same
+    * `_graft_manifest` (parquet — underscore-prefixed, so data readers
+    * skip it) certifies the written files. Caller owns JSON-compatible
+    * column types (binary columns don't round-trip JSON; keep those
+    * exports on parquet). */
+  def exportJsonl(df: DataFrame, idCol: String, path: String, shards: Int,
+                  seed: String = "shard", compress: Boolean = true): Unit = {
+    val writer = keyedSorted(df, idCol, shards, seed)
+      .write.mode("overwrite").partitionBy("shard")
+    (if (compress) writer.option("compression", "gzip") else writer).json(path)
+    manifestOf(df.sparkSession.read.json(path), path, idCol, seed)
+  }
+
+  /** Shared write-side plan: order/shard keys attached (NULL-id guarded),
+    * one hash Exchange to shards, per-shard sort. */
+  private def keyedSorted(df: DataFrame, idCol: String, shards: Int,
+                          seed: String): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     require(!df.columns.contains("shard") && !df.columns.contains("__graft_ord"),
       "input must not carry a 'shard' or '__graft_ord' column")
@@ -51,30 +76,26 @@ object ShardExport {
           "every row needs a non-null id for its deterministic order " +
           "key and shard assignment")))
       .otherwise(orderKey(idCol, seed))
-    val keyed = df
-      .withColumn("__graft_ord", guardedOrd)
+    df.withColumn("__graft_ord", guardedOrd)
       .withColumn("shard",
         pmod(col("__graft_ord"), lit(shards.toLong)).cast("int"))
-    keyed
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__graft_ord"), col(idCol))
       .drop("__graft_ord")
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-    manifestOf(df.sparkSession, path, idCol, seed)
-      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
   }
 
-  /** The manifest relation of an exported root: (shard, n_rows, min_ord,
-    * max_ord) — recomputed FROM THE EXPORTED FILES, so it certifies what
-    * was actually written, not what the writer intended. */
-  private def manifestOf(spark: SparkSession, path: String, idCol: String,
-                         seed: String): DataFrame =
-    spark.read.parquet(path)
+  /** Write the manifest of an exported root: (shard, n_rows, min_ord,
+    * max_ord) — recomputed FROM THE EXPORTED FILES (`readBack`), so it
+    * certifies what was actually written, not what the writer intended. */
+  private def manifestOf(readBack: DataFrame, path: String, idCol: String,
+                         seed: String): Unit =
+    readBack
       .withColumn("__graft_ord", orderKey(idCol, seed))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         min("__graft_ord").as("min_ord"), max("__graft_ord").as("max_ord"))
       .orderBy("shard")
+      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
 
   /** Read an export in its global training order (shard-major, then the
     * seeded order within the shard — the order a sequential loader

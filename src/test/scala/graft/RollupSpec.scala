@@ -222,4 +222,31 @@ class RollupSpec extends SparkSpec with BeforeAndAfterAll {
     assert(RollupRewrite.unregister(fact) == 1)
     assert(scansParquet(q), "after unregister the fact must scan again")
   }
+
+  test("capacity bound evicts the oldest rollup, newest keeps serving") {
+    RollupRewrite.clear()
+    try {
+      RollupRewrite.setCapacity(2)
+      RollupRewrite.register(fact, groupCols = Seq("l_returnflag"),
+        sumCols = Seq("l_suppkey"))
+      RollupRewrite.register(fact, groupCols = Seq("l_linestatus"),
+        sumCols = Seq("l_suppkey"))
+      RollupRewrite.register(fact, groupCols = Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("l_linenumber"))
+      assert(RollupRewrite.size == 2, "third registration must evict one")
+      // the FIRST registration is gone: its query scans the fact again —
+      // eviction costs only the acceleration, never correctness
+      def qOld = fact.groupBy("l_returnflag").agg(sum("l_suppkey").as("s"))
+      def qNew = fact.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_linenumber").as("s"))
+      assert(scansParquet(qOld), "evicted rollup must not serve")
+      assert(scansRollup(qNew), "resident rollup must keep serving")
+      // shrinking capacity evicts immediately
+      RollupRewrite.setCapacity(1)
+      assert(RollupRewrite.size == 1)
+    } finally {
+      RollupRewrite.setCapacity(64)
+      RollupRewrite.clear()
+    }
+  }
 }

@@ -95,4 +95,40 @@ class ShardSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("non-null id"), s"unexpected failure: $msgs")
   }
+
+  test("jsonl export: one gzip file per shard, parquet-identical order") {
+    val docs = table("documents").select("doc_id", "text", "lang")
+    val (dj, dp) = (tmp(), tmp())
+    ShardExport.exportJsonl(docs, "doc_id", dj, shards = 4)
+    ShardExport.export(docs, "doc_id", dp, shards = 4)
+    // one .json.gz per shard dir, nothing else data-shaped
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$dj/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".json.gz"))
+      assert(files.length == 1, s"shard $s has ${files.length} jsonl files")
+    }
+    // the json reader skips the _graft_manifest dir and sees the corpus
+    val back = spark.read.json(dj)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // within every shard the PHYSICAL line order equals the parquet
+    // flavor's row order — the formats are interchangeable mid-pipeline
+    (0 until 4).foreach { s =>
+      val f = new java.io.File(s"$dj/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".json.gz")).head
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(
+          new java.io.FileInputStream(f)), "UTF-8"))
+      val jsonIds = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(l => """"doc_id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      in.close()
+      val parquetIds = spark.read.parquet(s"$dp/shard=$s")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(jsonIds == parquetIds, s"shard $s order diverged")
+    }
+    // manifest certifies the jsonl files too
+    val m = ShardExport.manifest(spark, dj).collect()
+    assert(m.length == 4 && m.map(_.getAs[Long]("n_rows")).sum == docs.count())
+  }
 }

@@ -54,9 +54,16 @@ class SketchSpec extends SparkSpec {
     Seq((10L, "1-URGENT"), (20L, "1-URGENT"), (30L, "5-LOW"))
       .toDF("o_orderkey", "o_orderpriority")
       .write.parquet(s"$d/orders.parquet")
-    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (20L, 4L),
-      (30L, 5L), (30L, 6L), (30L, 7L))
-      .toDF("l_orderkey", "l_partkey")
+    // l_linenumber/l_returnflag/l_extendedprice feed q_quantile_sketch:
+    // both groups are far below k=64, so the bottom-k sample IS the
+    // population and the estimate must equal the exact median.
+    Seq((10L, 1L, 1, "A", 1.00), (10L, 2L, 2, "A", 2.00),
+      (10L, 3L, 3, "A", 9.00), (20L, 2L, 1, "B", 5.00),
+      (20L, 3L, 2, "B", 7.00), (20L, 4L, 3, "B", 6.00),
+      (30L, 5L, 1, "B", 8.00), (30L, 6L, 2, "B", 4.00),
+      (30L, 7L, 3, "A", 3.00))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice")
       .write.parquet(s"$d/lineitem.parquet")
     d
   }
@@ -119,6 +126,21 @@ class SketchSpec extends SparkSpec {
     assert(rows("m").getLong(1) == 5L) // 6 days → 5 lag pairs
     assert(rows("m").getDouble(2) == -1.0)
     assert(rows("k").isNullAt(2), "zero-variance series has no correlation")
+  }
+
+  test("quantile sketch: below-k groups estimate exactly; medians by hand") {
+    val rows = planted("q_quantile_sketch")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // group A cents {100, 200, 300, 900} → median interpolates to 250;
+    // group B cents {400, 500, 600, 700, 800} → 600. Both groups < k=64,
+    // so the sample is the population: est must EQUAL exact
+    assert(rows("A").getLong(1) == 4L && rows("B").getLong(1) == 5L)
+    assert(rows("A").getDouble(3) == 250.0)
+    assert(rows("B").getDouble(3) == 600.0)
+    rows.values.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"below-k sample must reproduce the exact median: $r")
+    }
   }
 
   test("zipf: hand-computed slope and R² on a 3-word distribution") {
