@@ -315,4 +315,36 @@ class PropertySpec extends SparkSpec {
       assert(delta == full, "merged corpora diverge")
     }
   }
+
+  test("kmv state: permutation/batching invariant; hv48 matches SQL conv") {
+    import graft.streaming.StreamingSketch
+    val k = 8
+    for (_ <- 1 to 30) {
+      val elems = Seq.fill(5 + rnd.nextInt(60))(
+        vocab(rnd.nextInt(vocab.size)) + rnd.nextInt(20))
+      val base = StreamingSketch.insertAll(Vector.empty, elems.iterator, k)
+      // any permutation, and any split into successive batches, must land
+      // on the identical k-min set (the mergeable-sketch invariant that
+      // makes the streaming estimate replay/repartition-stable)
+      val perm = rnd.shuffle(elems)
+      assert(StreamingSketch.insertAll(Vector.empty, perm.iterator, k) == base)
+      val cut = rnd.nextInt(elems.size)
+      val staged = StreamingSketch.insertAll(
+        StreamingSketch.insertAll(Vector.empty, elems.take(cut).iterator, k),
+        elems.drop(cut).iterator, k)
+      assert(staged == base, "batch-staged state diverged")
+      // the k-min set is exactly the k smallest distinct hashes
+      val truth = elems.map(StreamingSketch.hv48).distinct.sorted.take(k)
+      assert(base == truth.toVector)
+    }
+    // JVM hv48 == the engine-side conv(substring(md5(w),1,12),16,10)
+    val words = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)) + rnd.nextInt(999))
+    val sqlSide = words.toDF("w")
+      .select(col("w"), conv(substring(md5(col("w").cast("binary")), 1, 12),
+        16, 10).cast("bigint").as("hv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(StreamingSketch.hv48(w) == sqlSide(w), s"hash fork on '$w'")
+    }
+  }
 }

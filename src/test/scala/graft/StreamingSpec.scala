@@ -855,4 +855,38 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("s_kmv: streaming sketch equals the batch estimate across batches") {
+    // the mergeable-sketch contract: stream the corpus tokens in two
+    // micro-batches; the final per-source estimate must be BIT-identical
+    // to q_kmv_distinct's batch answer over the same multiset
+    val pairs = table("documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .as[(String, String)].collect().toSeq
+    val (b1, b2) = pairs.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(String, String)]
+    val out = runToTable(
+      StreamingSketch.kmvDistinct(spark,
+        in.toDS.map(t => StreamingSketch.GroupedToken(t._1, t._2))).toDF,
+      "update",
+      () => in.addData(b1.map(_._1)),
+      () => in.addData(b2.map(_._1)))
+    // update-mode semantics = upsert by group: the LAST emission is the
+    // final state. Both outputs are monotone over time (n_min grows to k
+    // then pins; est equals n_min below k, then (k-1)·2⁴⁸/kth with the
+    // kth minimum only shrinking), so the latest row is the (n_min, est)
+    // lexicographic max — n_min alone ties once both batches reach k.
+    val fin = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.maxBy(t => (t._2, t._3)) }
+    val batch = q("q_kmv_distinct").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.nonEmpty && fin.keySet == batch.keySet)
+    batch.foreach { case (src, (nExact, est)) =>
+      val (_, nMin, sEst) = fin(src)
+      assert(nMin == math.min(nExact, 16L).toInt, s"$src n_min $nMin")
+      assert(sEst == est, s"$src: streaming $sEst vs batch $est")
+    }
+  }
 }
