@@ -266,6 +266,34 @@ object AnalyticsQueries extends QueryModule {
           pround4(expr("jaro_winkler(a.p_name, b.p_name)")).as("jw"))
         .filter(col("jw") >= 0.7)
         .orderBy("name_a", "name_b")
+    }),
+
+    // 2-D skyline (Pareto frontier) of orders: minimize (o_totalprice,
+    // o_orderdate) — "no other order was both cheaper and earlier".
+    // Sort-based, NOT the quadratic NOT-EXISTS formulation: group to
+    // (price, earliest date), one prefix-min over the price-sorted GROUP
+    // relation (|distinct prices| rows, not |orders|), then join the
+    // survivors back to the fact. Dominance is strict-in-one: equal
+    // (price, date) twins co-survive; an equal-price earlier date
+    // dominates via the group min; an equal-date cheaper price dominates
+    // via the strict prefix-min comparison. At 100 TB the prefix-min
+    // runs as per-range-partition minima + a broadcast running-offset
+    // pass (the ShardExport two-phase shape) — the grouped relation is
+    // already orders-of-magnitude smaller than the fact.
+    "q_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val grp = o.groupBy(col("o_totalprice").as("price"))
+        .agg(min(col("o_orderdate")).as("mind"))
+      val w = Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = grp.withColumn("prevmin", min(col("mind")).over(w))
+        .filter(col("prevmin").isNull || col("mind") < col("prevmin"))
+        .select(col("price"), col("mind"))
+      o.join(sky,
+          o("o_totalprice") === sky("price") &&
+            o("o_orderdate") === sky("mind"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -377,6 +405,20 @@ object AnalyticsQueries extends QueryModule {
         |      * 10000 + 0.5) / 10000 AS jw
         |  FROM k a JOIN k b ON a.noun = b.noun AND a.p_name < b.p_name)
         |SELECT name_a, name_b, jw FROM p WHERE jw >= 0.7
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_skyline" ->
+      """WITH grp AS (SELECT o_totalprice AS price,
+        |    MIN(o_orderdate) AS mind
+        |  FROM orders GROUP BY o_totalprice),
+        |sky AS (SELECT price, mind,
+        |    MIN(mind) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin
+        |  FROM grp)
+        |SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+        |FROM orders o JOIN sky s
+        |  ON o.o_totalprice = s.price AND o.o_orderdate = s.mind
+        |WHERE s.prevmin IS NULL OR s.mind < s.prevmin
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

@@ -144,6 +144,41 @@ object GraphQueries extends QueryModule {
           row_number().over(Window.orderBy(col("n_tri").desc, col("node"))))
         .select(col("rnk"), col("node"), col("n_tri"))
         .orderBy("rnk")
+    }),
+
+    // Single-source BFS hop distances (≤ 4 hops) over the undirected
+    // urgent-order co-purchase graph, from its smallest part id. The
+    // Pregel shape done declaratively: each round is frontier ⋈ edges →
+    // union → min-hop re-group, all keyed on the node id, and the
+    // frontier relation is RE-GROUPED EVERY ROUND so its size is bounded
+    // by the reachable node set — never by the number of walks (the
+    // classic BFS-in-SQL blowup). Four unrolled rounds keep the oracle a
+    // finite recursion; at 100 TB the same loop runs to fixpoint with a
+    // checkpoint per round (the DedupClusters discipline) and the edge
+    // relation partitioned once on src and reused by every iteration.
+    "q_graph_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val co = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      // symmetrize once, materialize once: all 4 rounds re-join this
+      val sym = graft.functions.Materialize(
+        co.unionAll(co.select(col("v").as("u"), col("u").as("v"))))
+      var dist = sym.agg(min(col("u")).as("node"))
+        .select(col("node"), lit(0L).as("hops"))
+      for (_ <- 1 to 4) {
+        val nxt = dist.join(sym, col("node") === col("u"))
+          .select(col("v").as("node"), (col("hops") + 1).as("hops"))
+        dist = dist.unionAll(nxt)
+          .groupBy("node").agg(min(col("hops")).as("hops"))
+      }
+      dist.orderBy("node")
     })
   )
 
@@ -213,6 +248,23 @@ object GraphQueries extends QueryModule {
         |cnt AS (SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY node),
         |rk AS (SELECT node, n_tri,
         |    ROW_NUMBER() OVER (ORDER BY n_tri DESC, node) AS rnk FROM cnt)
-        |SELECT rnk, node, n_tri FROM rk WHERE rnk <= 100 ORDER BY rnk""".stripMargin
+        |SELECT rnk, node, n_tri FROM rk WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+
+    // The recursive twin uses UNION (not UNION ALL) so the working table
+    // dedups (node, hops) rows — bounded by nodes × 5, never by walks.
+    "q_graph_bfs" ->
+      """WITH RECURSIVE li AS (SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |co AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        |bfs(node, hops) AS (
+        |  SELECT MIN(u), CAST(0 AS BIGINT) FROM sym
+        |  UNION
+        |  SELECT sym.v, b.hops + 1 FROM bfs b JOIN sym ON sym.u = b.node
+        |  WHERE b.hops < 4)
+        |SELECT node, MIN(hops) AS hops FROM bfs
+        |GROUP BY node ORDER BY node""".stripMargin
   )
 }

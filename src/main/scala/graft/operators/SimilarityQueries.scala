@@ -139,6 +139,36 @@ object SimilarityQueries extends QueryModule {
         .agg(pround4(sum(col("v")).cast("double") / 10000 / count(lit(1)))
           .as("mean_v"))
         .orderBy("label", "pos"))
+,
+    // Symmetric per-vector int8 quantization audit — the embedding-
+    // compression step of a serving pipeline (4× smaller than float32,
+    // 2× smaller than the PQ codes' float add): scale = amax/127,
+    // code_i = round-half-up(x_i/scale) ∈ [-127, 127], and the
+    // reconstruction error Σ(x − code·scale)² is scaled to exact BIGINTs
+    // PER ELEMENT (×1e12, floored) before any cross-row sum, so the
+    // label-level totals are integer-exact in both engines — no
+    // summation-order hazard. Output per label: vector count, floored
+    // mean squared error ×1e12, floored mean scale ×1e12 (all BIGINT).
+    // Embarrassingly parallel row math + one bounded-output aggregate;
+    // the HOF fold is interpreted, so a 100 TB deployment would lift it
+    // to a native Expression exactly like NativeCosine.
+    "q_vec_int8" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("sc", expr(
+          "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+        .withColumn("err_e12", when(col("sc") === 0, lit(0L)).otherwise(expr(
+          """aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a +
+            |  CAST(FLOOR(
+            |    (CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / sc + 0.5) * sc) *
+            |    (CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / sc + 0.5) * sc) *
+            |    1e12 + 0.5) AS BIGINT))""".stripMargin.replace("\n", " "))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("SUM(err_e12) DIV SUM(size(embedding))").as("mse_e12"),
+          expr("SUM(CAST(FLOOR(sc * 1e12 + 0.5) AS BIGINT)) DIV COUNT(*)")
+            .as("scale_e12"))
+        .orderBy("label"))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -181,6 +211,27 @@ object SimilarityQueries extends QueryModule {
         |  FLOOR(((CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
         |        / 10000 / COUNT(*))) * 10000 + 0.5) / 10000 AS mean_v
         |FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
-        |GROUP BY label, i ORDER BY label, pos""".stripMargin
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "q_vec_int8" ->
+      """WITH q AS (SELECT label, LEN(embedding) AS dim,
+        |    LIST_MAX(LIST_TRANSFORM(embedding,
+        |      x -> ABS(CAST(x AS DOUBLE)))) / 127 AS sc,
+        |    embedding
+        |  FROM embeddings),
+        |e AS (SELECT label, dim, sc,
+        |    CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(LIST_SUM(LIST_TRANSFORM(embedding, x ->
+        |        CAST(FLOOR(
+        |          (CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / sc + 0.5) * sc) *
+        |          (CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE) / sc + 0.5) * sc) *
+        |          1e12 + 0.5) AS BIGINT))) AS BIGINT) END AS err_e12
+        |  FROM q)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(CAST(SUM(err_e12) AS BIGINT) // CAST(SUM(dim) AS BIGINT)
+        |    AS BIGINT) AS mse_e12,
+        |  CAST(CAST(SUM(CAST(FLOOR(sc * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+        |    // COUNT(*) AS BIGINT) AS scale_e12
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -219,6 +219,41 @@ object TimeSeriesQueries extends QueryModule {
               sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)))
             .as("ac1"))
         .orderBy("event_type")
+    }),
+
+    // Change-data-capture between two snapshots of a grow-only event log:
+    // snapshot A = each user's latest (type, value) at the half-way cut
+    // (MAX(event_id) DIV 2 — integer arithmetic so both engines cut on
+    // the identical row), snapshot B = latest overall. A full outer join
+    // on the entity key classifies every user as added (no A state),
+    // changed (state differs — null-safe compare), or same; 'removed'
+    // can't occur against a grow-only log but the branch is the CDC
+    // contract. Both snapshots are one window scan partitioned by
+    // user_id over a filtered read; the diff join shuffles both sides on
+    // the SAME user_id key — at 100 TB snapshots would be stored
+    // bucketed by entity, making the diff join shuffle-free.
+    "q_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cut = ev.agg(expr("MAX(event_id) DIV 2").as("cut"))
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame, p: String) = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as(p + "_type"),
+          col("value").as(p + "_value"))
+      val snapA = latest(
+        ev.crossJoin(broadcast(cut)).filter(col("event_id") <= col("cut")),
+        "a")
+      val snapB = latest(ev, "b")
+      snapA.join(snapB, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("a_type").isNull, lit("added"))
+            .when(col("b_type").isNull, lit("removed"))
+            .when(!(col("a_type") <=> col("b_type")) ||
+              !(col("a_value") <=> col("b_value")), lit("changed"))
+            .otherwise(lit("same")).as("status"),
+          col("a_type"), col("b_type"), col("a_value"), col("b_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -340,6 +375,30 @@ object TimeSeriesQueries extends QueryModule {
         |  FLOOR((n * sxy - sx * sy) /
         |    NULLIF(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy), 0)
         |    * 10000 + 0.5) / 10000 AS ac1
-        |FROM s ORDER BY event_type""".stripMargin
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH cut AS (SELECT MAX(event_id) // 2 AS cut FROM events),
+        |a AS (SELECT user_id, event_type AS a_type, value AS a_value
+        |  FROM (SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_id <= (SELECT cut FROM cut))
+        |  WHERE rn = 1),
+        |b AS (SELECT user_id, event_type AS b_type, value AS b_value
+        |  FROM (SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN a_type IS NULL THEN 'added'
+        |       WHEN b_type IS NULL THEN 'removed'
+        |       WHEN a_type IS DISTINCT FROM b_type
+        |         OR a_value IS DISTINCT FROM b_value THEN 'changed'
+        |       ELSE 'same' END AS status,
+        |  a_type, b_type, a_value, b_value
+        |FROM a FULL JOIN b ON a.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Exact-semantics checks for the round-8 frontier/CDC/graph/quantization
+  * operators on a PLANTED fixture (the SketchSpec pattern). The DuckDB
+  * oracle proves the two engines agree at the fixture SFs; these legs pin
+  * WHAT they agree on — strict-in-one Pareto dominance with co-surviving
+  * twins, all four CDC statuses incl. the null-safe value compare, the
+  * BFS hop cap and unreachable-component exclusion, and the int8
+  * round-half-up/zero-vector quantization rules — none of which the real
+  * fixtures exercise on every branch (e.g. sf events never produce an
+  * 'added' or 'same' user).
+  */
+class PlantedOpsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-planted-ops").toString
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(n: Int) = Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+
+    // orders serve BOTH q_skyline (keys 1-8: minimize (price, date)) and
+    // q_graph_bfs (keys 10-99: the urgent flags for the edge orders).
+    // Expected frontier: 40@J25 (cheapest), 50@J20, the 100@J05 twins
+    // (1, 2), the 150@J01 twins (5, 6); order 3 (100@J07, later than its
+    // price group's min) and order 7 (200@J01, equal date but pricier
+    // than 150) are dominated. The BFS rows price at 999@Feb — strictly
+    // dominated by every skyline row, so they never pollute the frontier.
+    (Seq(
+      (1L, 100.0, day(5), "1-URGENT"),
+      (2L, 100.0, day(5), "5-LOW"),
+      (3L, 100.0, day(7), "5-LOW"),
+      (4L, 50.0, day(20), "5-LOW"),
+      (5L, 150.0, day(1), "1-URGENT"),
+      (6L, 150.0, day(1), "5-LOW"),
+      (7L, 200.0, day(1), "5-LOW"),
+      (8L, 40.0, day(25), "5-LOW")) ++
+      Seq(10L, 20L, 30L, 40L, 50L, 60L).map(k =>
+        (k, 999.0, Timestamp.valueOf("2024-02-01 00:00:00"), "1-URGENT")) :+
+      ((99L, 999.0, Timestamp.valueOf("2024-02-01 00:00:00"), "5-LOW")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+
+    // lineitem — BFS: urgent orders 10-50 chain parts into the path
+    // 1-2-3-4-5-6 (one order per edge) plus the DISCONNECTED urgent pair
+    // {8,9} (order 60); source = min part id = 1. Hops: 1→0 … 5→4;
+    // part 6 is 5 hops out (beyond the cap) and 8/9 are unreachable —
+    // all excluded. LOW order 99 pairs 1 with 9 and must NOT bridge.
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L), (30L, 3L), (30L, 4L),
+      (40L, 4L), (40L, 5L), (50L, 5L), (50L, 6L), (60L, 8L), (60L, 9L),
+      (99L, 1L), (99L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+
+    // events — CDC: max id 12 → cut = 6.
+    //   user 1: value changes (1.0 → 2.0)         → changed
+    //   user 2: type changes (b → c)              → changed
+    //   user 3: no activity after the cut         → same
+    //   user 4: first event after the cut         → added
+    //   user 5: NULL value both sides, same type  → same (null-safe =)
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq[(Long, Timestamp, Long, String, Option[Double], String)](
+      (1L, ts, 1L, "a", Some(1.0), "{}"),
+      (9L, ts, 1L, "a", Some(2.0), "{}"),
+      (2L, ts, 2L, "b", Some(5.0), "{}"),
+      (8L, ts, 2L, "c", Some(5.0), "{}"),
+      (3L, ts, 3L, "d", Some(7.0), "{}"),
+      (12L, ts, 4L, "e", Some(1.0), "{}"),
+      (4L, ts, 5L, "f", None, "{}"),
+      (10L, ts, 5L, "f", None, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+
+    // embeddings — int8 quantization on exact dyadic values:
+    //   v0: amax 127 → scale 1.0, integer components → zero error
+    //   v1: amax 254 → scale 2.0; 63.5/2 = 31.75 rounds UP to 32 →
+    //       recon 64.0, err 0.25 → mse_e12 = 0.25e12 / 2 dims
+    //   v2: zero vector → scale-0 guard → zero error, zero scale
+    Seq(
+      (0L, Array(127.0f, -64.0f, 1.0f, 0.0f), 0),
+      (1L, Array(254.0f, 63.5f), 1),
+      (2L, Array(0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def planted(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("skyline: strict-in-one dominance, co-surviving twins") {
+    val got = planted("q_skyline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq(1L -> 100.0, 2L -> 100.0, 4L -> 50.0,
+      5L -> 150.0, 6L -> 150.0, 8L -> 40.0))
+  }
+
+  test("snapshot diff: all four statuses, null-safe value compare") {
+    val got = planted("q_snapshot_diff").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "same",
+      4L -> "added", 5L -> "same"))
+    // the 'added' user must carry NULL snapshot-A state
+    val added = planted("q_snapshot_diff")
+      .filter(col("status") === "added").head()
+    assert(added.isNullAt(2) && added.isNullAt(4))
+  }
+
+  test("bfs: hop cap at 4, unreachable component excluded") {
+    val got = planted("q_graph_bfs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // part 6 is 5 hops from the source and 8/9 are another component —
+    // none may appear; the LOW order 99 must not bridge 1 to 9
+    assert(got == Seq(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("int8 quantization: exact scale, round-half-up, zero-vector guard") {
+    val got = planted("q_vec_int8").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0) == ((1L, 0L, 1000000000000L)))
+    assert(got(1) == ((1L, 125000000000L, 2000000000000L)))
+    assert(got(2) == ((1L, 0L, 0L)))
+  }
+}
