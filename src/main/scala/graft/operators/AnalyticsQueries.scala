@@ -294,6 +294,50 @@ object AnalyticsQueries extends QueryModule {
             o("o_orderdate") === sky("mind"))
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
         .orderBy("o_orderkey")
+    }),
+
+    // Robust outlier detection on the daily event-count series: flag days
+    // beyond 3 median-absolute-deviations — the z-score's heavy-tail-safe
+    // sibling (q_event_anomaly's mean/stddev gets dragged by the very
+    // outliers it hunts; the median doesn't). ALL-INTEGER arithmetic:
+    // the rank-formula median of counts is carried ×2 (lo+hi middle
+    // values), deviations ×2, the MAD ×4, and the 3-MAD test multiplies
+    // both sides out (4·|dev| > 3·mad_x4) — no division or double ever
+    // appears, so the flag can't flip on an engine ulp. One corpus
+    // aggregate to the calendar grain; medians rank the ~30-row daily
+    // relation; at 100 TB the count-median swaps in a bottom-k/quantile
+    // sketch (q_quantile_sketch) with the same comparison contract.
+    "q_mad_outlier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      // med_x2 = n[lo] + n[hi] over the count-ranked days (lo = hi when
+      // the day count is odd — the sum double-counts the single middle)
+      val cnt = daily.agg(count(lit(1)).as("cnt"))
+      val ranked = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("n"), col("d"))))
+        .crossJoin(broadcast(cnt))
+      val med = ranked
+        .agg((sum(when(col("rn") === expr("(cnt + 1) DIV 2"), col("n")))
+          + sum(when(col("rn") === expr("(cnt + 2) DIV 2"), col("n"))))
+          .as("med_x2"))
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("dev_x2", abs(col("n") * 2 - col("med_x2")))
+      val rankedDev = dev
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("dev_x2"), col("d"))))
+        .crossJoin(broadcast(cnt))
+      val mad = rankedDev
+        .agg((sum(when(col("rn") === expr("(cnt + 1) DIV 2"), col("dev_x2")))
+          + sum(when(col("rn") === expr("(cnt + 2) DIV 2"), col("dev_x2"))))
+          .as("mad_x4"))
+      dev.crossJoin(broadcast(mad))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n"), col("dev_x2"), col("mad_x4"),
+          when(col("dev_x2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L)
+            .as("is_outlier"))
+        .orderBy("day")
     })
   )
 
@@ -419,6 +463,34 @@ object AnalyticsQueries extends QueryModule {
         |FROM orders o JOIN sky s
         |  ON o.o_totalprice = s.price AND o.o_orderdate = s.mind
         |WHERE s.prevmin IS NULL OR s.mind < s.prevmin
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_mad_outlier" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY CAST(ts AS DATE)),
+        |c AS (SELECT COUNT(*) AS cnt FROM daily),
+        |rk AS (SELECT d, n, ROW_NUMBER() OVER (ORDER BY n, d) AS rn,
+        |    (SELECT cnt FROM c) AS cnt FROM daily),
+        |med AS (SELECT
+        |    CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+        |    + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN n END) AS BIGINT)
+        |      AS med_x2
+        |  FROM rk),
+        |dev AS (SELECT d, n,
+        |    CAST(ABS(n * 2 - (SELECT med_x2 FROM med)) AS BIGINT) AS dev_x2
+        |  FROM daily),
+        |rk2 AS (SELECT d, dev_x2,
+        |    ROW_NUMBER() OVER (ORDER BY dev_x2, d) AS rn,
+        |    (SELECT cnt FROM c) AS cnt FROM dev),
+        |mad AS (SELECT
+        |    CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN dev_x2 END)
+        |    + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN dev_x2 END) AS BIGINT)
+        |      AS mad_x4
+        |  FROM rk2)
+        |SELECT STRFTIME(d, '%Y-%m-%d') AS day, n, dev_x2,
+        |  (SELECT mad_x4 FROM mad) AS mad_x4,
+        |  CASE WHEN dev_x2 * 2 > (SELECT mad_x4 FROM mad) * 3
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_outlier
+        |FROM dev ORDER BY day""".stripMargin
   )
 }

@@ -68,7 +68,48 @@ object Profiler {
 object ProfileQueries extends QueryModule {
 
   override def queries: Map[String, Q] = Map(
-    "q_profile_orders" -> ((s, dir) => Profiler.profile(t(s, dir, "orders")))
+    "q_profile_orders" -> ((s, dir) => Profiler.profile(t(s, dir, "orders"))),
+
+    // RFM segmentation — the classic customer-analytics feature build:
+    // recency (days since last order vs the global max date), frequency
+    // (order count), monetary (exact DECIMAL spend — double partial sums
+    // would be summation-order-sensitive), each quartiled by NTILE(4)
+    // with a custkey tiebreak so ranks are total, then fused into the
+    // 'RFM' segment code. One fact aggregate to the customer grain;
+    // the three rank passes run over the AGGREGATED relation. The
+    // global NTILE windows single-partition |customers| rows — at
+    // 100 TB swap in two-phase range ranks (per-partition rank + a
+    // broadcast boundary-offset pass, the ShardExport shape) or score
+    // against approx-quantile boundaries instead of global ranks.
+    "q_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val maxd = o.agg(max(col("o_orderdate").cast("date")).as("maxd"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("lastd")).cast("bigint").as("r_days"),
+          col("freq"), col("mon"))
+      cust
+        .withColumn("r_score", ntile(4).over(
+          Window.orderBy(col("r_days").desc, col("o_custkey")))
+          .cast("bigint"))
+        .withColumn("f_score", ntile(4).over(
+          Window.orderBy(col("freq").asc, col("o_custkey")))
+          .cast("bigint"))
+        .withColumn("m_score", ntile(4).over(
+          Window.orderBy(col("mon").asc, col("o_custkey")))
+          .cast("bigint"))
+        .select(col("o_custkey"), col("r_days"), col("freq"),
+          col("mon").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("segment"))
+        .orderBy("o_custkey")
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -102,6 +143,26 @@ object ProfileQueries extends QueryModule {
         |UNION ALL SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
         |  COUNT(DISTINCT o_orderpriority), NULL, NULL,
         |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
-        |) ORDER BY col_name""".stripMargin
+        |) ORDER BY col_name""".stripMargin,
+
+    "q_rfm" ->
+      """WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd
+        |  FROM orders),
+        |cust AS (SELECT o_custkey,
+        |    CAST(DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
+        |      (SELECT maxd FROM maxd)) AS BIGINT) AS r_days,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |sc AS (SELECT o_custkey, r_days, freq, mon,
+        |    NTILE(4) OVER (ORDER BY r_days DESC, o_custkey) AS r_score,
+        |    NTILE(4) OVER (ORDER BY freq ASC, o_custkey) AS f_score,
+        |    NTILE(4) OVER (ORDER BY mon ASC, o_custkey) AS m_score
+        |  FROM cust)
+        |SELECT o_custkey, r_days, freq, CAST(mon AS DOUBLE) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin
   )
 }

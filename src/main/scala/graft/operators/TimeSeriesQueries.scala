@@ -254,6 +254,41 @@ object TimeSeriesQueries extends QueryModule {
             .otherwise(lit("same")).as("status"),
           col("a_type"), col("b_type"), col("a_value"), col("b_value"))
         .orderBy("user_id")
+    }),
+
+    // Gaps-and-islands: each event opens a 30-minute activity interval;
+    // overlapping/touching intervals merge into islands, and the per-user
+    // report is (island count, covered seconds, longest island). The
+    // canonical SQL algorithm, done order-stably: a new island starts
+    // where the interval's start exceeds the running max of all PRIOR
+    // ends (cumulative max window), island ids are the running sum of
+    // those starts, then two keyed aggregates. All three windows and
+    // both aggregates partition on user_id — one shuffle key end to end,
+    // per-user partitions, no skew surface. Interval math runs on exact
+    // epoch-µs BIGINTs (timestamps never round-trip through doubles).
+    "q_gaps_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(1800000000L))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("event_id"))
+      val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val isl = iv
+        .withColumn("pmax", max(col("en")).over(prior))
+        .withColumn("new_isl",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_isl")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e1"))
+      isl.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(expr("(e1 - s0) DIV 1000000")).as("covered_s"),
+          max(expr("(e1 - s0) DIV 1000000")).as("longest_s"))
+        .orderBy("user_id")
     })
   )
 
@@ -399,6 +434,27 @@ object TimeSeriesQueries extends QueryModule {
         |       ELSE 'same' END AS status,
         |  a_type, b_type, a_value, b_value
         |FROM a FULL JOIN b ON a.user_id = b.user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH iv AS (SELECT user_id, event_id, EPOCH_US(ts) AS st,
+        |    EPOCH_US(ts) + 1800000000 AS en FROM events),
+        |pm AS (SELECT user_id, event_id, st, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |fl AS (SELECT user_id, event_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS f
+        |  FROM pm),
+        |il AS (SELECT user_id, st, en,
+        |    SUM(f) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |g AS (SELECT user_id, island, MIN(st) AS s0, MAX(en) AS e1
+        |  FROM il GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM((e1 - s0) // 1000000) AS BIGINT) AS covered_s,
+        |  CAST(MAX((e1 - s0) // 1000000) AS BIGINT) AS longest_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -61,6 +61,11 @@ class PlantedOpsSpec extends SparkSpec {
     //   user 3: no activity after the cut         → same
     //   user 4: first event after the cut         → added
     //   user 5: NULL value both sides, same type  → same (null-safe =)
+    //   user 6: identical latest state            → same
+    // User 6's three timestamps double as the q_gaps_islands plant: an
+    // event at t0, one at EXACTLY t0+30min (touches the first interval's
+    // end — must merge, the st > pmax strictness), one at t0+3h (gap →
+    // second island). Everyone else's events share one ts → one island.
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
     Seq[(Long, Timestamp, Long, String, Option[Double], String)](
       (1L, ts, 1L, "a", Some(1.0), "{}"),
@@ -70,7 +75,10 @@ class PlantedOpsSpec extends SparkSpec {
       (3L, ts, 3L, "d", Some(7.0), "{}"),
       (12L, ts, 4L, "e", Some(1.0), "{}"),
       (4L, ts, 5L, "f", None, "{}"),
-      (10L, ts, 5L, "f", None, "{}"))
+      (10L, ts, 5L, "f", None, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 06:00:00"), 6L, "g", Some(1.0), "{}"),
+      (7L, Timestamp.valueOf("2024-01-01 06:30:00"), 6L, "g", Some(1.0), "{}"),
+      (11L, Timestamp.valueOf("2024-01-01 09:00:00"), 6L, "g", Some(1.0), "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$d/events.parquet")
 
@@ -101,7 +109,7 @@ class PlantedOpsSpec extends SparkSpec {
     val got = planted("q_snapshot_diff").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "same",
-      4L -> "added", 5L -> "same"))
+      4L -> "added", 5L -> "same", 6L -> "same"))
     // the 'added' user must carry NULL snapshot-A state
     val added = planted("q_snapshot_diff")
       .filter(col("status") === "added").head()
@@ -123,5 +131,74 @@ class PlantedOpsSpec extends SparkSpec {
     assert(got(0) == ((1L, 0L, 1000000000000L)))
     assert(got(1) == ((1L, 125000000000L, 2000000000000L)))
     assert(got(2) == ((1L, 0L, 0L)))
+  }
+
+  test("gaps/islands: touching intervals merge, gaps split, per-user") {
+    val got = planted("q_gaps_islands").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // user 6: t0 and t0+30m TOUCH (st == prior end) → one 3600 s island;
+    // t0+3h is 2.5 h past that island's end → its own 1800 s island
+    assert(got(6L) == ((2L, 5400L, 3600L)))
+    // single-instant users: one 30-minute island
+    Seq(1L, 2L, 5L).foreach(u => assert(got(u) == ((1L, 1800L, 1800L))))
+    // user 3's lone event and user 4's lone event likewise
+    assert(got(3L) == ((1L, 1800L, 1800L)) && got(4L) == ((1L, 1800L, 1800L)))
+  }
+
+  test("mad outlier: rank-median arithmetic, all-identical-majority edge") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // dedicated day-count plants (separate dir — the shared fixture has
+    // a single calendar day)
+    def mk(counts: Seq[Int]): String = {
+      val d2 = Files.createTempDirectory("graft-mad").toString
+      counts.zipWithIndex.flatMap { case (n, day) =>
+        (0 until n).map { i =>
+          (day.toLong * 1000 + i,
+            Timestamp.valueOf(f"2024-02-${day + 1}%02d 12:00:00"),
+            1L, "t", Some(1.0): Option[Double], "{}")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$d2/events.parquet")
+      d2
+    }
+    // counts (1,2,3,4,100): med_x2 = 6, devs_x2 = (4,2,0,2,194) →
+    // mad_x4 = 2 + 2 = 4; 3-MAD test flags only the 100-count day
+    val r1 = SparkEntry.queries("q_mad_outlier")(spark, mk(Seq(1, 2, 3, 4, 100)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(r1.map(_._5).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
+    assert(r1.forall(_._4 == 4L) && r1.last._3 == 194L)
+    // identical majority (10,10,10,10,100): MAD collapses to 0 and ANY
+    // deviation is an outlier — the robust-stat behavior a mean/stddev
+    // z-score can't reproduce (the outlier inflates its own threshold)
+    val r2 = SparkEntry.queries("q_mad_outlier")(spark, mk(Seq(10, 10, 10, 10, 100)))
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(r2.map(_._2).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
+  }
+
+  test("rfm: ntile quartiles with total tiebreak, exact day/decimal math") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d3 = Files.createTempDirectory("graft-rfm").toString
+    // 4 customers, one quartile each by construction: customer k has
+    // last-order day (Jan 10 - k), k orders, and 10·k total spend
+    (1 to 4).flatMap { k =>
+      (1 to k).map { i =>
+        (k.toLong * 100 + i, k.toLong, 10.0,
+          Timestamp.valueOf(f"2024-01-${10 - k}%02d 00:00:00"))
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$d3/orders.parquet")
+    val got = SparkEntry.queries("q_rfm")(spark, d3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(7)))).toMap
+    // cust 1: most recent (r_days 0 → r 4), fewest orders (f 1), least
+    // spend (m 1) → "411"; cust 4: oldest, most, biggest → "144"
+    assert(got(1L) == ((0L, 1L, 10.0, "411")))
+    assert(got(2L) == ((1L, 2L, 20.0, "322")))
+    assert(got(3L) == ((2L, 3L, 30.0, "233")))
+    assert(got(4L) == ((3L, 4L, 40.0, "144")))
   }
 }
