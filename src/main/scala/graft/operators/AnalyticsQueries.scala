@@ -338,6 +338,87 @@ object AnalyticsQueries extends QueryModule {
           when(col("dev_x2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L)
             .as("is_outlier"))
         .orderBy("day")
+    }),
+
+    // Market-basket association rules over order baskets: for every part
+    // pair co-purchased in ≥2 orders, support/confidence/lift from exact
+    // integer counts (the recommender-bootstrap table). The pair
+    // generation is the triangle census's co-purchase self-join —
+    // canonical a<b orientation, per-order fan-out bounded by basket
+    // size², shuffles keyed on single part ids; item counts and the
+    // order total are bounded side relations (the total a 1-row
+    // broadcast). Ratios are single IEEE divisions of integers under
+    // the portable round — bit-identical cross-engine.
+    "q_market_basket" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("item_a"), col("b.pk").as("item_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2)
+      val itemN = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val total = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(itemN.select(col("pk").as("item_a"), col("n_item").as("n_a")),
+          "item_a")
+        .join(itemN.select(col("pk").as("item_b"), col("n_item").as("n_b")),
+          "item_b")
+        .crossJoin(broadcast(total))
+        .select(col("item_a"), col("item_b"), col("n_both"),
+          pround4(col("n_both").cast("double") / col("n_orders"))
+            .as("support"),
+          pround4(col("n_both").cast("double") / col("n_a"))
+            .as("confidence"),
+          pround4(col("n_both").cast("double") * col("n_orders")
+            / (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy("item_a", "item_b")
+    }),
+
+    // Two-proportion A/B z-test: users split by id parity, conversion =
+    // a heavy purchaser (≥14 purchase events — the fixture median, so
+    // both cells land strictly inside (0,1) and the pooled variance
+    // can't ANSI-divide-by-zero); z = (pA−pB)/√(p̂(1−p̂)(1/nA+1/nB)).
+    // The z itself is continuous math (identical op order both sides,
+    // portable-rounded); the SIGNIFICANCE VERDICT compares the ×10⁴
+    // INTEGER against 19600 so the |z| > 1.96 flag can never flip on an
+    // ulp. One corpus aggregate to the user grain, then a 2-row variant
+    // aggregate — the experimentation-readout pattern.
+    "q_ab_test" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("np"))
+        .withColumn("converted", when(col("np") >= 14, 1).otherwise(0))
+        .withColumn("variant",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      // both variant cells in ONE conditional aggregate — a single pass
+      // over the user relation, no join in the plan at all
+      val ab = users.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("converted").cast("bigint"))
+          .otherwise(0L)).as("x_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("converted").cast("bigint"))
+          .otherwise(0L)).as("x_b"))
+      ab
+        .withColumn("z_e4", floor(
+          ((col("x_a").cast("double") / col("n_a")
+            - col("x_b").cast("double") / col("n_b"))
+            / sqrt(((col("x_a") + col("x_b")).cast("double")
+                / (col("n_a") + col("n_b")))
+              * (lit(1.0) - (col("x_a") + col("x_b")).cast("double")
+                / (col("n_a") + col("n_b")))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+            * 10000 + lit(0.5)).cast("bigint"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          pround4(col("x_a").cast("double") / col("n_a")).as("p_a"),
+          pround4(col("x_b").cast("double") / col("n_b")).as("p_b"),
+          col("z_e4"),
+          when(abs(col("z_e4")) > 19600, 1L).otherwise(0L)
+            .as("significant"))
     })
   )
 
@@ -491,6 +572,56 @@ object AnalyticsQueries extends QueryModule {
         |  (SELECT mad_x4 FROM mad) AS mad_x4,
         |  CASE WHEN dev_x2 * 2 > (SELECT mad_x4 FROM mad) * 3
         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_outlier
-        |FROM dev ORDER BY day""".stripMargin
+        |FROM dev ORDER BY day""".stripMargin,
+
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (SELECT a.pk AS item_a, b.pk AS item_b, COUNT(*) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+        |itemn AS (SELECT pk, COUNT(*) AS n_item FROM li GROUP BY pk),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li)
+        |SELECT item_a, item_b, n_both,
+        |  FLOOR(CAST(n_both AS DOUBLE) / n_orders * 10000 + 0.5) / 10000
+        |    AS support,
+        |  FLOOR(CAST(n_both AS DOUBLE) / na.n_item * 10000 + 0.5) / 10000
+        |    AS confidence,
+        |  FLOOR(CAST(n_both AS DOUBLE) * n_orders / (na.n_item * nb.n_item)
+        |    * 10000 + 0.5) / 10000 AS lift
+        |FROM pairs
+        |JOIN itemn na ON na.pk = item_a
+        |JOIN itemn nb ON nb.pk = item_b
+        |CROSS JOIN tot
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, COUNT(*) AS n_users,
+        |    CAST(SUM(converted) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY variant),
+        |a AS (SELECT n_users AS n_a, n_conv AS x_a FROM v
+        |  WHERE variant = 'A'),
+        |b AS (SELECT n_users AS n_b, n_conv AS x_b FROM v
+        |  WHERE variant = 'B'),
+        |z AS (SELECT n_a, x_a, n_b, x_b,
+        |    CAST(FLOOR(
+        |      (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |      / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |        * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b))
+        |      * 10000 + 0.5) AS BIGINT) AS z_e4
+        |  FROM a CROSS JOIN b)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  FLOOR(CAST(x_a AS DOUBLE) / n_a * 10000 + 0.5) / 10000 AS p_a,
+        |  FLOOR(CAST(x_b AS DOUBLE) / n_b * 10000 + 0.5) / 10000 AS p_b,
+        |  z_e4,
+        |  CASE WHEN ABS(z_e4) > 19600 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS significant
+        |FROM z""".stripMargin
   )
 }

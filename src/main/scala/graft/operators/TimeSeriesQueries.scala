@@ -289,6 +289,37 @@ object TimeSeriesQueries extends QueryModule {
           sum(expr("(e1 - s0) DIV 1000000")).as("covered_s"),
           max(expr("(e1 - s0) DIV 1000000")).as("longest_s"))
         .orderBy("user_id")
+    }),
+
+    // Last-touch attribution: every purchase is credited to the user's
+    // most recent PRIOR view/click in the behavioral sequence (event_id
+    // order — the same sequence convention the transition graph uses).
+    // The prior-window argmax carries only the qualifying event's ID
+    // (max over a CASE column — no IGNORE NULLS, no struct-max, both
+    // engine-portable hazards); the touch's own attributes attach by a
+    // self-join on that ID. Window partitions on user_id; the attach
+    // join is id-keyed; unattributed purchases (no prior touch) survive
+    // as NULL rows — the report's "organic" bucket.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val prior = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val purchases = ev
+        .withColumn("attr_event_id",
+          max(when(col("event_type").isin("view", "click"),
+            col("event_id"))).over(prior))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("attr_event_id"))
+      val touches = ev.select(col("event_id").as("t_id"),
+        col("event_type").as("attr_type"))
+      purchases
+        .join(touches, purchases("attr_event_id") === touches("t_id"),
+          "left")
+        .select(col("event_id"), col("user_id"), col("attr_event_id"),
+          col("attr_type"),
+          (col("event_id") - col("attr_event_id")).as("gap"))
+        .orderBy("event_id")
     })
   )
 
@@ -455,6 +486,22 @@ object TimeSeriesQueries extends QueryModule {
         |SELECT user_id, COUNT(*) AS n_islands,
         |  CAST(SUM((e1 - s0) // 1000000) AS BIGINT) AS covered_s,
         |  CAST(MAX((e1 - s0) // 1000000) AS BIGINT) AS longest_s
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+        |    MAX(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS attr_event_id
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, attr_event_id FROM w
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.attr_event_id,
+        |  t.event_type AS attr_type,
+        |  p.event_id - p.attr_event_id AS gap
+        |FROM p LEFT JOIN events t ON t.event_id = p.attr_event_id
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -49,9 +49,12 @@ class PlantedOpsSpec extends SparkSpec {
     // {8,9} (order 60); source = min part id = 1. Hops: 1→0 … 5→4;
     // part 6 is 5 hops out (beyond the cap) and 8/9 are unreachable —
     // all excluded. LOW order 99 pairs 1 with 9 and must NOT bridge.
+    // Order 98 exists only in lineitem (absent from orders → invisible
+    // to the urgent-join BFS) and repeats the {1,9} basket so exactly
+    // one pair clears q_market_basket's n_both >= 2 support floor.
     Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L), (30L, 3L), (30L, 4L),
       (40L, 4L), (40L, 5L), (50L, 5L), (50L, 6L), (60L, 8L), (60L, 9L),
-      (99L, 1L), (99L, 9L))
+      (99L, 1L), (99L, 9L), (98L, 1L), (98L, 9L))
       .toDF("l_orderkey", "l_partkey")
       .write.parquet(s"$d/lineitem.parquet")
 
@@ -200,5 +203,58 @@ class PlantedOpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 2L, 20.0, "322")))
     assert(got(3L) == ((2L, 3L, 30.0, "233")))
     assert(got(4L) == ((3L, 4L, 40.0, "144")))
+  }
+
+  test("market basket: support floor, exact support/confidence/lift") {
+    // only {1,9} repeats (orders 98+99): N=8 baskets, n_1=3, n_9=3 →
+    // support 2/8, confidence 2/3, lift 2·8/(3·3)
+    val got = planted("q_market_basket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq((1L, 9L, 2L, 0.25, 0.6667, 1.7778)))
+  }
+
+  test("attribution: last prior touch wins, organic purchases stay NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d4 = Files.createTempDirectory("graft-attr").toString
+    val ts = Timestamp.valueOf("2024-03-01 00:00:00")
+    // user 1: view(1) click(2) purchase(3) purchase(4) other(5)
+    //         purchase(6) — every purchase credits the CLICK (latest
+    //         prior touch), never the earlier view
+    // user 2: purchase(7) with no prior touch → organic (NULL attr)
+    Seq((1L, "view"), (2L, "click"), (3L, "purchase"), (4L, "purchase"),
+      (5L, "other"), (6L, "purchase"))
+      .map { case (id, t) => (id, ts, 1L, t, Some(1.0): Option[Double], "{}") }
+      .++(Seq((7L, ts, 2L, "purchase", Some(1.0): Option[Double], "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d4/events.parquet")
+    val got = SparkEntry.queries("q_attribution")(spark, d4).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "organic" else r.getString(3))).toSeq
+    assert(got == Seq((3L, 2L, "click"), (4L, 2L, "click"),
+      (6L, 2L, "click"), (7L, -1L, "organic")))
+  }
+
+  test("ab test: pooled z arithmetic and the integer significance gate") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d5 = Files.createTempDirectory("graft-ab").toString
+    val ts = Timestamp.valueOf("2024-03-01 00:00:00")
+    // converted = >= 14 purchases. A = users {0, 2}: 14 and 1 purchases
+    // → x_a = 1; B = users {1, 3}: 14 and 14 → x_b = 2.
+    // p̂ = 3/4, z = (0.5 − 1.0)/√(0.75·0.25·(1/2 + 1/2)) = −1.15470…
+    val rows = Seq(0L -> 14, 1L -> 14, 2L -> 1, 3L -> 14).flatMap {
+      case (u, np) => (0 until np).map(i =>
+        (u * 100 + i, ts, u, "purchase", Some(1.0): Option[Double], "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d5/events.parquet")
+    val r = SparkEntry.queries("q_ab_test")(spark, d5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 2L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0)
+    assert(r.getLong(6) == -11547L && r.getLong(7) == 0L)
   }
 }
