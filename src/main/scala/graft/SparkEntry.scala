@@ -30,7 +30,9 @@ object SparkEntry {
     operators.ProfileQueries,
     operators.AnalyticsQueries,
     operators.GraphQueries,
-    operators.SketchQueries
+    operators.SketchQueries,
+    operators.TemporalQueries,
+    operators.QualityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -179,6 +179,53 @@ object GraphQueries extends QueryModule {
           .groupBy("node").agg(min(col("hops")).as("hops"))
       }
       dist.orderBy("node")
+    }),
+
+    // Adamic-Adar link prediction on the urgent-order co-purchase graph:
+    // for every NON-adjacent pair (x, y) sharing at least one neighbor,
+    // score = Σ_w 1/ln(deg(w)) over common neighbors w — the classic
+    // "which parts will co-occur next" ranking. Shapes: the symmetrized
+    // adjacency self-joins on the center node (wedge volume Σ deg(w)²,
+    // the q_graph_triangles posture — degree-bounded, constant at 10×);
+    // the adjacency exclusion is a LEFT ANTI join on the canonical x<y
+    // edge; per-center contributions are scaled to BIGINTs before the
+    // order-sensitive SUM (1/ln is a double). Top-50 ties break on the
+    // exact integer score then the pair ids, so the cut is stable.
+    "q_adamic_adar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // materialize the symmetrized adjacency once: it feeds the degree
+      // aggregate, BOTH wedge legs, and (filtered) the anti join
+      val sym = graft.functions.Materialize {
+        val co = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        co.unionAll(co.select(col("v").as("u"), col("u").as("v")))
+      }
+      val co = sym.filter(col("u") < col("v"))
+      val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      val wedges = sym.select(col("u").as("w"), col("v").as("x"))
+        .join(sym.select(col("u").as("w2"), col("v").as("y")),
+          col("w") === col("w2") && col("x") < col("y"))
+        .select(col("w"), col("x"), col("y"))
+      val cand = wedges.join(co,
+        wedges("x") === co("u") && wedges("y") === co("v"), "left_anti")
+      cand.join(deg, Seq("w")) // wedge centers always have deg ≥ 2
+        .select(col("x"), col("y"),
+          floor(lit(1e14) / log(col("deg").cast("double")) + lit(0.5))
+            .cast("bigint").as("ti"))
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("n_common"), sum(col("ti")).as("sti"))
+        .orderBy(col("sti").desc, col("x"), col("y"))
+        .limit(50)
+        .select(col("x"), col("y"), col("n_common"),
+          pround4(col("sti").cast("double") / lit(1e14)).as("aa_score"))
+        .orderBy("x", "y")
     })
   )
 
@@ -265,6 +312,30 @@ object GraphQueries extends QueryModule {
         |  SELECT sym.v, b.hops + 1 FROM bfs b JOIN sym ON sym.u = b.node
         |  WHERE b.hops < 4)
         |SELECT node, MIN(hops) AS hops FROM bfs
-        |GROUP BY node ORDER BY node""".stripMargin
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_adamic_adar" ->
+      """WITH li AS (SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |co AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+        |deg AS (SELECT u AS w, COUNT(*) AS deg FROM sym GROUP BY u),
+        |wedges AS (SELECT a1.u AS w, a1.v AS x, a2.v AS y
+        |  FROM sym a1 JOIN sym a2 ON a2.u = a1.u AND a1.v < a2.v),
+        |cand AS (SELECT w, x, y FROM wedges
+        |  WHERE NOT EXISTS (SELECT 1 FROM co
+        |    WHERE co.u = wedges.x AND co.v = wedges.y)),
+        |sc AS (SELECT x, y, COUNT(*) AS n_common,
+        |    SUM(CAST(FLOOR(1e14 / LN(CAST(deg AS DOUBLE)) + 0.5)
+        |      AS BIGINT)) AS sti
+        |  FROM cand JOIN deg USING (w) GROUP BY x, y),
+        |rk AS (SELECT x, y, n_common, sti,
+        |    ROW_NUMBER() OVER (ORDER BY sti DESC, x, y) AS rnk FROM sc)
+        |SELECT x, y, n_common,
+        |  FLOOR(CAST(sti AS DOUBLE) / 1e14 * 10000 + 0.5) / 10000
+        |    AS aa_score
+        |FROM rk WHERE rnk <= 50 ORDER BY x, y""".stripMargin
   )
 }

@@ -335,6 +335,44 @@ object JoinQueries extends QueryModule {
           coalesce(col("seg"), lit("NULLSEG")).as("seg_filled"),
           col("seg_n"))
         .orderBy("c_custkey")
+    }),
+
+    // Bucketed co-located join — the 100 TB join posture made concrete:
+    // both fact tables are written bucketed (8 buckets) on the join key,
+    // then the merge join reads bucket-aligned scans with NO shuffle
+    // exchange on either side (PlanSpec asserts the plan shape). This is
+    // the "pay the shuffle once at write time" discipline: at cluster
+    // scale the bucketed copies are the stored layout and every
+    // subsequent orderkey join — this one, point lookups, incremental
+    // MERGEs — skips its Exchange. Tables are external under /tmp, keyed
+    // by the fixture dir so scale factors can't cross-contaminate, and
+    // overwritten per call (no unbounded growth). The MERGE hint keeps
+    // the demonstration honest — without it AQE would broadcast the
+    // orders side at fixture scale and the bucketing would be unused.
+    "q_join_bucketed" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      def bucketize(df: org.apache.spark.sql.DataFrame, name: String,
+          key: String): org.apache.spark.sql.DataFrame = {
+        val tbl = s"graft_bkt_${name}_$tag"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        df.write.format("parquet").bucketBy(8, key).sortBy(key)
+          .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tbl")
+          .mode("overwrite").saveAsTable(tbl)
+        s.table(tbl)
+      }
+      val li = bucketize(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")), "li", "l_orderkey")
+      val ord = bucketize(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), "ord",
+        "o_orderkey")
+      li.hint("merge")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -530,6 +568,15 @@ object JoinQueries extends QueryModule {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |   AND c.ts > p.ts - INTERVAL 7 DAY)
-        |WHERE rn = 1 ORDER BY p_id""".stripMargin
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    // Oracle reads the ORIGINAL parquet — the bucketed copies must be
+    // value-identical to the source, so the same join+agg answers match.
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -889,4 +889,42 @@ class StreamingSpec extends SparkSpec {
       assert(sEst == est, s"$src: streaming $sEst vs batch $est")
     }
   }
+
+  test("s_scd2: streaming history fixpoint equals the batch q_scd2 relation") {
+    // stream the q_scd2 population (user_id < 25) in two micro-batches
+    // split on the global (ts, event_id) order — which preserves every
+    // user's per-key order, the ordering contract — and upsert by
+    // (user_id, version): the fixpoint must equal the batch relation
+    val evs = table("events").filter(col("user_id") < 25)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[StreamingScd2.Scd2Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    assert(evs.nonEmpty)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamingScd2.Scd2Event]
+    val out = runToTable(StreamingScd2.scd2(spark, in.toDS).toDF, "update",
+      () => in.addData(b1), () => in.addData(b2))
+    val rows = out.as[StreamingScd2.Scd2Row].collect().toSeq
+    // a run closes EXACTLY once (state leaves the store on close)
+    rows.filter(_.is_current == 0).groupBy(r => (r.user_id, r.version))
+      .foreach { case (k, rs) => assert(rs.length == 1, s"$k closed twice") }
+    // upsert: a closed emission supersedes the open ones; otherwise the
+    // open row with the largest count is the latest
+    val fin = rows.groupBy(r => (r.user_id, r.version)).map { case (k, rs) =>
+      k -> rs.find(_.is_current == 0).getOrElse(rs.maxBy(_.n_events))
+    }
+    val batch = q("q_scd2")
+      .select(col("user_id"), col("version"), col("state"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")),
+        col("is_current"), col("n_events"))
+      .as[(Long, Long, String, Long, Option[Long], Int, Long)]
+      .collect().toSeq
+    assert(fin.size == batch.size)
+    batch.foreach { case (u, v, st, vf, vt, cur, n) =>
+      val r = fin((u, v))
+      assert((r.state, r.valid_from_us, r.valid_to_us, r.is_current,
+        r.n_events) == ((st, vf, vt, cur, n)), s"user $u v$v: $r")
+    }
+  }
 }

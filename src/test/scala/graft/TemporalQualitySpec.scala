@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Exact-semantics checks for the temporal-state (q_scd2, q_merge_upsert,
+  * q_changepoint, q_seasonality), quality-audit (q_psi_drift, q_benford,
+  * q_winsorize), link-prediction (q_adamic_adar), and bucketed-join
+  * operators on PLANTED fixtures (the PlantedOpsSpec pattern). The DuckDB
+  * oracle proves both engines agree at the fixture SFs; these legs pin
+  * WHAT they agree on — run collapse + validity chaining, every MERGE
+  * action incl. both delete legs, a hand-derived CUSUM argmax and mean
+  * shift, the portable (days+4)%7 weekday convention, PSI symmetry vs a
+  * disjoint distribution, digit extraction from exact cents, the IQR
+  * clamp arithmetic, and the 1/ln(deg) common-neighbor score — branches
+  * the sf fixtures don't isolate.
+  */
+class TemporalQualitySpec extends SparkSpec {
+
+  private def run(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** Planted events shared by the SCD2 and MERGE legs: max id 12 → cut 6. */
+  private lazy val evDir: String = {
+    val d = Files.createTempDirectory("graft-temporal").toString
+    import spark.implicits._
+    import java.sql.Timestamp
+    def h(n: Int) = Timestamp.valueOf(f"2024-01-01 $n%02d:00:00")
+    // user 1: a,a,b,a (ids 1,2,5,7)  → runs a(×2), b, a — re-entry gets a
+    //         NEW version (type-2, not a dedup)
+    // user 2: base a@2.0 only (id 3)               → MERGE kept
+    // user 3: base a@4.0 (id 4), delta error (id 9) → MERGE deleted
+    // user 4: delta-only c@3.0 (id 8)               → MERGE inserted
+    // user 5: delta-only error (id 10)              → never existed
+    // user 6: base a@1.0 (id 6), delta a@9.0 (ids 11,12) → MERGE updated
+    Seq[(Long, Timestamp, Long, String, Option[Double], String)](
+      (1L, h(1), 1L, "a", Some(1.0), "{}"),
+      (2L, h(2), 1L, "a", Some(1.5), "{}"),
+      (5L, h(3), 1L, "b", Some(2.0), "{}"),
+      (7L, h(4), 1L, "a", Some(2.5), "{}"),
+      (3L, h(1), 2L, "a", Some(2.0), "{}"),
+      (4L, h(1), 3L, "a", Some(4.0), "{}"),
+      (9L, h(5), 3L, "error", Some(0.0), "{}"),
+      (8L, h(5), 4L, "c", Some(3.0), "{}"),
+      (10L, h(5), 5L, "error", Some(0.0), "{}"),
+      (6L, h(2), 6L, "a", Some(1.0), "{}"),
+      (11L, h(5), 6L, "a", Some(8.0), "{}"),
+      (12L, h(6), 6L, "a", Some(9.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("scd2: runs collapse, re-entry re-versions, validity chains") {
+    val got = run("q_scd2", evDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(5), r.getLong(6)))
+    // user 1: three versions a(2 events), b(1), a(1) — only v3 current
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, "a", 0, 2L), (1L, 2L, "b", 0, 1L), (1L, 3L, "a", 1, 1L)))
+    // single-state users: exactly one current version
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 1L, "a", 1, 1L)))
+    // validity chains: valid_to(v) == valid_from(v+1), NULL only on last
+    val u1 = run("q_scd2", evDir).filter(col("user_id") === 1)
+      .orderBy("version").collect()
+    assert(u1(0).getTimestamp(4) == u1(1).getTimestamp(3))
+    assert(u1(1).getTimestamp(4) == u1(2).getTimestamp(3))
+    assert(u1(2).isNullAt(4))
+  }
+
+  test("merge upsert: kept/updated/inserted present, both delete legs absent") {
+    val got = run("q_merge_upsert", evDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> (("updated", "a", 2.5)), // base b@h3, delta a@h4 (ids 5,7)
+      2L -> (("kept", "a", 2.0)),
+      4L -> (("inserted", "c", 3.0)),
+      6L -> (("updated", "a", 9.0))))
+    // deleted user 3 and never-upserted error user 5 must be absent
+    assert(!got.contains(3L) && !got.contains(5L))
+  }
+
+  test("changepoint: CUSUM argmax locates the level shift, exact means") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Files.createTempDirectory("graft-cusum").toString
+    // type t: days 1-6 with counts 10,10,10,20,20,20 → tot 90, nd 6;
+    // cusum×1 (scaled /nd): -5,-10,-15,-10,-5,0 → argmax |·| at day 3
+    Seq(10, 10, 10, 20, 20, 20).zipWithIndex.flatMap { case (n, day) =>
+      (0 until n).map { i =>
+        (day.toLong * 1000 + i,
+          Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"),
+          1L, "t", Some(1.0): Option[Double], "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = run("q_changepoint", d).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(1) == "2024-03-03") // cp_date
+    assert(r(0).getLong(2) == 6L)             // n_days
+    assert(r(0).getDouble(3) == -15.0)        // cusum = -90/6
+    assert(r(0).getDouble(4) == 10.0)         // shift = 20 - 10
+  }
+
+  test("seasonality: (days+4)%7 weekday convention, index vs overall mean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Files.createTempDirectory("graft-dow").toString
+    // 2024-01-01 is a Monday (dow 1), 2024-01-07 a Sunday (dow 0);
+    // 1 event Monday, 2 events Sunday → overall mean 1.5/day
+    (Seq((1L, "2024-01-01")) ++ Seq((2L, "2024-01-07"), (3L, "2024-01-07")))
+      .map { case (id, day) =>
+        (id, Timestamp.valueOf(s"$day 12:00:00"), 1L, "t",
+          Some(1.0): Option[Double], "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = run("q_seasonality", d).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got(1) == ((1L, 1.0, 0.6667))) // Monday: 1/1.5
+    assert(got(0) == ((1L, 2.0, 1.3333))) // Sunday: 2/1.5
+  }
+
+  test("psi drift: identical distributions score alike, disjoint score high") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-psi").toString
+    // sources A and B: identical n_chars histograms (buckets 0 and 1)
+    // carrying ~95% of the corpus; source C: 2 docs, all mass in bucket
+    // 8 — disjoint from the corpus bulk
+    val docs =
+      (0 until 20).map(i => (i.toLong, "x", "en", "A", if (i < 10) 50 else 100)) ++
+      (0 until 20).map(i => (100L + i, "x", "en", "B", if (i < 10) 50 else 100)) ++
+      (0 until 2).map(i => (200L + i, "x", "en", "C", 550))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_psi_drift", d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") == got("B"))            // same histogram → same PSI
+    assert(got("A") < 0.2 && got("C") > 1.0) // conforming vs disjoint
+  }
+
+  test("benford: digit from exact cents, expected share log10(1+1/d)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-benford").toString
+    // totals 1.0 ×3, 2.0 ×1 → cents 100/200 → digits 1 (75%), 2 (25%)
+    Seq((1L, 1L, "O", 1.0, "1996-01-01", "x"), (2L, 1L, "O", 1.0, "1996-01-01", "x"),
+      (3L, 1L, "O", 1.0, "1996-01-01", "x"), (4L, 1L, "O", 2.0, "1996-01-01", "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    val got = run("q_benford", d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got(1) == ((3L, 0.75, 0.301)))  // log10(2) → 0.3010 → 0.301
+    assert(got(2) == ((1L, 0.25, 0.1761))) // log10(1.5)
+  }
+
+  test("winsorize: IQR clamp on exact quarter-index percentiles") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-wins").toString
+    // one segment, acctbal 1,2,3,4,100 → cents 100..10000; n=5 puts
+    // p25/p75 exactly ON ranks 2 and 4 (no interpolation): 200/400;
+    // clamped mean = (200+200+300+400+400)/5 = 300
+    Seq((1L, "c1", 1, 1.0, "S"), (2L, "c2", 1, 2.0, "S"),
+      (3L, "c3", 1, 3.0, "S"), (4L, "c4", 1, 4.0, "S"),
+      (5L, "c5", 1, 100.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    val r = run("q_winsorize", d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 5L)
+    assert(r(0).getDouble(2) == 2200.0) // raw mean cents
+    assert(r(0).getDouble(3) == 300.0)  // winsorized mean cents
+    assert(r(0).getDouble(4) == 200.0 && r(0).getDouble(5) == 400.0)
+  }
+
+  test("adamic-adar: path graph scores the open pair 1/ln(deg(center))") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-aa").toString
+    // urgent orders 10 {1,2} and 20 {2,3} → path 1-2-3: the only
+    // candidate is (1,3) through center 2 (deg 2) → score 1/ln 2
+    Seq((10L, 1.0, "1996-01-01", "1-URGENT"), (20L, 1.0, "1996-01-01", "1-URGENT"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    val r = run("q_adamic_adar", d).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) == ((1L, 3L, 1L)))
+    assert(r(0).getDouble(3) == 1.4427) // 1/ln 2 = 1.44269…
+  }
+
+  test("bucketed join: co-located scan-to-join with no shuffle exchange") {
+    // run the registry query once so the bucketed tables exist for sf,
+    // then assert the bucket-aligned join plans WITHOUT an Exchange on
+    // either input (the agg above the join still exchanges — that's the
+    // grouping shuffle, not the join's)
+    q("q_join_bucketed").collect()
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val li = spark.table(s"graft_bkt_li_$tag")
+    val ord = spark.table(s"graft_bkt_ord_$tag")
+    val join = li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    // value parity with the unbucketed join
+    val direct = table("lineitem").join(table("orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(join.count() == direct.count())
+  }
+}
