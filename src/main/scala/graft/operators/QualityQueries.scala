@@ -86,6 +86,77 @@ object QualityQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Gini coefficient of document length per source — the inequality
+    // audit next to PSI's drift: a source whose token mass concentrates
+    // in a few giant docs trains differently from one with uniform docs.
+    // Exact integers end to end: the rank formula
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) runs on BIGINTs (ties are
+    // formula-invariant, so the doc_id tiebreak only pins determinism);
+    // one ranked window and one aggregate, both keyed on source.
+    "q_gini_length" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("x", "doc_id")
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("x"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rk") * col("x")).as("srx"), sum(col("x")).as("sx"))
+        .select(col("source"), col("n_docs"),
+          pround4((lit(2L) * col("srx") - (col("n_docs") + 1) * col("sx"))
+            .cast("double") / (col("n_docs") * col("sx")).cast("double"))
+            .as("gini"))
+        .orderBy("source")
+    }),
+
+    // Calendar-completeness audit: per event type, the expected day
+    // spine (global min..max) vs observed days — the
+    // missing-partition/ingestion-gap check every scheduled pipeline
+    // runs before trusting a daily rollup. The spine is a 1-row span
+    // aggregate exploded to |days| rows and crossed with the type
+    // alphabet — KB-sized regardless of corpus; observed days reduce
+    // map-side to the same (type, day) grain.
+    "q_completeness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val span = ev.agg(min(col("ts").cast("date")).as("d0"),
+        max(col("ts").cast("date")).as("d1"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("d"))
+      val seen = ev.select(col("event_type"),
+        col("ts").cast("date").as("d")).distinct()
+        .withColumn("present", lit(1))
+      spine.join(seen, Seq("event_type", "d"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_expected"),
+          sum(coalesce(col("present"), lit(0))).cast("bigint")
+            .as("n_observed"),
+          sum(when(col("present").isNull, 1L).otherwise(0L))
+            .as("n_missing"),
+          date_format(min(when(col("present").isNull, col("d"))),
+            "yyyy-MM-dd").as("first_missing"))
+        .orderBy("event_type")
+    }),
+
+    // Exact-duplicate cluster-size histogram: group docs by text md5,
+    // then histogram the cluster sizes — the "how much would dedup
+    // save" planning view (n_docs − n_clusters rows deleted at size s).
+    // Hashes shuffle, text never does; the histogram grain is bounded
+    // by the largest cluster size.
+    "q_dup_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"),
+          ((col("sz") - 1) * col("n_clusters")).as("n_removable"))
+        .orderBy("sz")
+    }),
+
     // Benford first-digit audit of order totals (digit from the decimal
     // string of exact integer cents).
     "q_benford" -> ((s, dir) => {
@@ -158,6 +229,48 @@ object QualityQueries extends QueryModule {
          |SELECT source, MAX(n_docs) AS n_docs,
          |  ${sqlRound4("CAST(SUM(ti) AS DOUBLE) / 1e14")} AS psi
          |FROM ti GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_gini_length" ->
+      s"""WITH rk AS (
+         |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  ${sqlRound4(
+             "CAST(2 * SUM(rk * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) / " +
+             "CAST(COUNT(*) * SUM(x) AS DOUBLE)")} AS gini
+         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_completeness" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |spine AS (
+        |  SELECT t.event_type, CAST(u.d AS DATE) AS d
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN span, UNNEST(GENERATE_SERIES(span.d0, span.d1,
+        |    INTERVAL 1 DAY)) AS u(d)),
+        |seen AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, 1 AS present
+        |  FROM events)
+        |SELECT sp.event_type, COUNT(*) AS n_expected,
+        |  CAST(SUM(COALESCE(present, 0)) AS BIGINT) AS n_observed,
+        |  CAST(SUM(CASE WHEN present IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  STRFTIME(MIN(CASE WHEN present IS NULL THEN sp.d END),
+        |    '%Y-%m-%d') AS first_missing
+        |FROM spine sp LEFT JOIN seen
+        |  ON sp.event_type = seen.event_type AND sp.d = seen.d
+        |GROUP BY sp.event_type ORDER BY sp.event_type""".stripMargin,
+
+    "q_dup_histogram" ->
+      """WITH cl AS (SELECT md5(text) AS h, COUNT(*) AS sz
+        |  FROM documents GROUP BY md5(text))
+        |SELECT sz, COUNT(*) AS n_clusters,
+        |  sz * COUNT(*) AS n_docs,
+        |  (sz - 1) * COUNT(*) AS n_removable
+        |FROM cl GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q_benford" ->
       s"""WITH d AS (

@@ -53,6 +53,9 @@ object SketchQueries extends QueryModule {
   /** Bottom-k sample size for the quantile sketch. */
   private val QK = 64
 
+  /** Per-language eval-sample size. */
+  private val EK = 16
+
   private val HexScale = 281474976710656L // 16^12 = 2^48
 
   /** 48-bit integer value of the first 12 md5 hex chars of a string. */
@@ -176,6 +179,29 @@ object SketchQueries extends QueryModule {
         .select(col("l_returnflag"), col("n_rows"), col("est_p50"),
           col("exact_p50"))
         .orderBy("l_returnflag")
+    }),
+
+    // Deterministic per-language eval sample: the EK smallest doc hashes
+    // per lang form a fixed, reproducible uniform sample — the held-out
+    // split construction that survives corpus re-shuffles and re-runs
+    // (a doc's membership depends only on its id, and the k-smallest
+    // cut only on the corpus). Same salted two-phase bottom-k as
+    // q_quantile_sketch so the sample sort never collapses to |langs|
+    // tasks; hashes ride the shuffle, text never does.
+    "q_eval_sample" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          hv48(col("doc_id").cast("string")).as("hv"))
+      val order = Seq(col("hv").asc, col("doc_id").asc)
+      val salt = pmod(xxhash64(col("doc_id")), lit(32))
+      val wLocal = Window.partitionBy(col("lang"), salt).orderBy(order: _*)
+      val w = Window.partitionBy("lang").orderBy(order: _*)
+      base.withColumn("rnl", row_number().over(wLocal))
+        .filter(col("rnl") <= EK)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= EK)
+        .select(col("lang"), col("rnk"), col("doc_id"))
+        .orderBy("lang", "rnk")
     })
   )
 
@@ -259,6 +285,18 @@ object SketchQueries extends QueryModule {
          |  FROM base GROUP BY l_returnflag)
          |SELECT l_returnflag, n_rows, est_p50, exact_p50
          |FROM ex JOIN est USING (l_returnflag)
-         |ORDER BY l_returnflag""".stripMargin
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_eval_sample" ->
+      s"""WITH base AS (
+         |  SELECT lang, doc_id,
+         |    ${sqlHex("md5(CAST(doc_id AS VARCHAR))", 1, 12)} AS hv
+         |  FROM documents),
+         |rk AS (SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+         |      AS rnk
+         |  FROM base)
+         |SELECT lang, rnk, doc_id FROM rk WHERE rnk <= $EK
+         |ORDER BY lang, rnk""".stripMargin
   )
 }

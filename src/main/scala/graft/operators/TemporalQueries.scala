@@ -143,6 +143,74 @@ object TemporalQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // 7-day rolling Pearson correlation between the view and purchase
+    // daily-count series — the co-movement monitor behind any
+    // conversion-health dashboard. All six rolling sums are INTEGER
+    // (counts and their products), so the window frame is exact in both
+    // engines regardless of their aggregation trees; only the final
+    // Pearson ratio divides, and sqrt is correctly-rounded IEEE in both.
+    // The day-grain series is tiny by construction (the corpus collapses
+    // to |days| rows first), so the single-partition ordered window is
+    // the right plan at any corpus size.
+    "q_rolling_corr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val w7 = Window.orderBy("d").rowsBetween(-6, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w7))
+        .withColumn("sx", sum(col("x")).over(w7))
+        .withColumn("sy", sum(col("y")).over(w7))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w7))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w7))
+        .withColumn("syy", sum(col("y") * col("y")).over(w7))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("n").as("n_win"),
+          pround4((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), lit(0.0))).as("r"))
+        .orderBy("d")
+    }),
+
+    // Lead/lag cross-correlation between the same two series at lags
+    // −3..+3 days: corr(view_t, purchase_{t+lag}) — does activity LEAD
+    // conversion? Same exact-integer-sums discipline as q_rolling_corr;
+    // the lag fan-out is a 7-row broadcast over the day-grain relation.
+    "q_xcorr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val b = daily.select(col("d").as("d2"), col("y"))
+      daily.select(col("d"), col("x"),
+          explode(sequence(lit(-3), lit(3))).as("lag")) // Generate, no join
+        .join(b, date_add(col("d"), col("lag")) === col("d2"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n_days"),
+          pround4((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            nullif(sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n_days") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), lit(0.0))).as("r"))
+        .orderBy("lag")
+    }),
+
     // Day-of-week seasonality index per event type over daily counts.
     "q_seasonality" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -244,6 +312,54 @@ object TemporalQueries extends QueryModule {
              "SUM(CASE WHEN d <= cp_date THEN 1 ELSE 0 END)")} AS shift
          |FROM daily JOIN cp ON event_type = cp_type
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rolling_corr" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY CAST(ts AS DATE)),
+         |w AS (
+         |  SELECT d,
+         |    COUNT(*) OVER win AS n,
+         |    SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         |    SUM(x * y) OVER win AS sxy,
+         |    SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy
+         |  FROM daily
+         |  WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+         |    AND CURRENT ROW))
+         |SELECT STRFTIME(d, '%Y-%m-%d') AS d, CAST(n AS BIGINT) AS n_win,
+         |  ${sqlRound4(
+             "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+             "NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+             "SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0)")} AS r
+         |FROM w ORDER BY d""".stripMargin,
+
+    "q_xcorr" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY CAST(ts AS DATE)),
+         |lags AS (SELECT CAST(u.lag AS INT) AS lag
+         |  FROM UNNEST(RANGE(-3, 4)) AS u(lag)),
+         |pairs AS (
+         |  SELECT l.lag, a.x, b.y
+         |  FROM daily a CROSS JOIN lags l
+         |  JOIN daily b ON a.d + l.lag = b.d),
+         |g AS (
+         |  SELECT lag, COUNT(*) AS n_days,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM pairs GROUP BY lag)
+         |SELECT lag, CAST(n_days AS BIGINT) AS n_days,
+         |  ${sqlRound4(
+             "CAST(n_days * sxy - sx * sy AS DOUBLE) / " +
+             "NULLIF(SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) * " +
+             "SQRT(CAST(n_days * syy - sy * sy AS DOUBLE)), 0)")} AS r
+         |FROM g ORDER BY lag""".stripMargin,
 
     "q_seasonality" ->
       s"""WITH daily AS (

@@ -193,6 +193,132 @@ class TemporalQualitySpec extends SparkSpec {
     assert(r(0).getDouble(3) == 1.4427) // 1/ln 2 = 1.44269…
   }
 
+  test("rolling corr: anti-phase series hit -1 once the window fills") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Files.createTempDirectory("graft-rollcorr").toString
+    // 10 days: views alternate 1/2 per day, purchases 2/1 (anti-phase) —
+    // within ANY window of ≥2 days the two series are exact negatives
+    // of each other around their means → r = -1; the day-1 window has
+    // zero variance → NULL (the NULLIF guard)
+    (0 until 10).flatMap { day =>
+      val nx = if (day % 2 == 0) 1 else 2
+      val ny = if (day % 2 == 0) 2 else 1
+      val ts = Timestamp.valueOf(f"2024-04-${day + 1}%02d 12:00:00")
+      (0 until nx).map(i => (day.toLong * 100 + i, ts, 1L, "view",
+        Some(1.0): Option[Double], "{}")) ++
+        (0 until ny).map(i => (day.toLong * 100 + 50 + i, ts, 1L,
+          "purchase", Some(1.0): Option[Double], "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = run("q_rolling_corr", d).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.head._2 == 1L && got.head._3.isEmpty) // 1-day window: NULL
+    assert(got.drop(1).forall(_._3.contains(-1.0)))  // every fuller window
+    assert(got.last._2 == 7L)                        // frame caps at 7
+  }
+
+  test("xcorr: a one-day-lagged copy correlates perfectly at lag +1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Files.createTempDirectory("graft-xcorr").toString
+    // views count pattern on day t; purchases replay it on day t+1 →
+    // corr(view_t, purchase_{t+1}) = 1 exactly at lag +1, and the
+    // pattern (1,5,2,8,3,9,4,7,6,2) is chosen aperiodic so no other
+    // lag reaches 1
+    val pat = Seq(1, 5, 2, 8, 3, 9, 4, 7, 6, 2)
+    pat.zipWithIndex.flatMap { case (n, day) =>
+      val tsV = Timestamp.valueOf(f"2024-04-${day + 1}%02d 12:00:00")
+      val tsP = Timestamp.valueOf(f"2024-04-${day + 2}%02d 12:00:00")
+      (0 until n).map(i => (day.toLong * 1000 + i, tsV, 1L, "view",
+        Some(1.0): Option[Double], "{}")) ++
+        (0 until n).map(i => (day.toLong * 1000 + 500 + i, tsP, 1L,
+          "purchase", Some(1.0): Option[Double], "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = run("q_xcorr", d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(1)._2.contains(1.0), s"lag +1 must be perfect: $got")
+    assert(got.keySet == (-3 to 3).toSet)
+    (-3 to 3).filter(_ != 1).foreach { l =>
+      assert(got(l)._2.forall(_ < 1.0), s"lag $l must not be perfect")
+    }
+  }
+
+  test("gini: uniform source scores 0, concentrated source the rank formula") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-gini").toString
+    // U: four equal lengths → gini 0; C: (1,1,1,97) →
+    // (2·(1+2+3+4·97) − 5·100) / (4·100) = 288/400 = 0.72
+    (Seq((1L, "U", 25), (2L, "U", 25), (3L, "U", 25), (4L, "U", 25)) ++
+      Seq((11L, "C", 1), (12L, "C", 1), (13L, "C", 1), (14L, "C", 97)))
+      .map { case (id, src, n) => (id, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_gini_length", d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("U") == 0.0 && got("C") == 0.72)
+  }
+
+  test("completeness: missing interior day found, full type clean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Files.createTempDirectory("graft-complete").toString
+    // type a: days 1,2,4,5 (day 3 missing); type b: all of 1..5
+    val rows =
+      Seq(1, 2, 4, 5).map(day => (day.toLong, "a")) ++
+        (1 to 5).map(day => (100L + day, "b"))
+    rows.zipWithIndex.map { case ((id, tpe), i) =>
+      val day = if (tpe == "a") id.toInt else (id - 100).toInt
+      (id * 10 + i, Timestamp.valueOf(f"2024-05-$day%02d 12:00:00"), 1L,
+        tpe, Some(1.0): Option[Double], "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = run("q_completeness", d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4))))).toMap
+    assert(got("a") == ((5L, 4L, 1L, Some("2024-05-03"))))
+    assert(got("b") == ((5L, 5L, 0L, None)))
+  }
+
+  test("dup histogram: cluster sizes bucket correctly with removable counts") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-duphist").toString
+    // texts: "aa"×3, "bb"×2, "cc"×1 → histogram {1:(1,1,0), 2:(1,2,1),
+    // 3:(1,3,2)}
+    Seq("aa", "aa", "aa", "bb", "bb", "cc").zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_dup_histogram", d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((1L, 1L, 0L)), 2L -> ((1L, 2L, 1L)),
+      3L -> ((1L, 3L, 2L))))
+  }
+
+  test("eval sample: fixed size, membership independent of other langs") {
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("graft-eval1").toString
+    val d2 = Files.createTempDirectory("graft-eval2").toString
+    val en = (0 until 40).map(i => (i.toLong, s"t$i", "en", "s", 10))
+    en.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d1/documents.parquet")
+    // same en corpus plus an unrelated language — the en sample must
+    // not move (membership is a pure function of doc_id and the en set)
+    (en ++ (100 until 140).map(i => (i.toLong, s"u$i", "fr", "s", 10)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    def sample(dir: String) = run("q_eval_sample", dir).collect()
+      .filter(_.getString(0) == "en")
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val s1 = sample(d1)
+    assert(s1.length == 16 && s1.map(_._1) == (1 to 16))
+    assert(sample(d2) == s1)
+  }
+
   test("bucketed join: co-located scan-to-join with no shuffle exchange") {
     // run the registry query once so the bucketed tables exist for sf,
     // then assert the bucket-aligned join plans WITHOUT an Exchange on
