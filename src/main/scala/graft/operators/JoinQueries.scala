@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryModule
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +21,31 @@ import org.apache.spark.sql.functions._
   *    no cross product across keys.
   */
 object JoinQueries extends QueryModule {
+
+  /** Write-once-reuse bucketed copy of a fixture projection: the
+    * bucketed table IS the stored layout (the point of bucketing), so a
+    * table this JVM already wrote for this fixture dir is reused, not
+    * rewritten — fixture dirs are immutable and the dir-hash tag keys
+    * the catalog entry to the dir, so a stale read cannot occur;
+    * re-reading then costs only the exchange-free scan (the steady
+    * state a cluster would see). External under the system tmpdir. */
+  private def bucketize(s: SparkSession, dir: String, name: String,
+      key: String, df: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tbl = s"graft_bkt_${name}_$tag"
+    if (!s.catalog.tableExists(tbl)) {
+      df.write.format("parquet").bucketBy(8, key).sortBy(key)
+        .option("path",
+          s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tbl")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
+  private def bucketedLineitem(s: SparkSession, dir: String) =
+    bucketize(s, dir, "li", "l_orderkey", t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
 
   override def queries: Map[String, Q] = Map(
     "q_join_inner" -> ((s, dir) =>
@@ -350,29 +376,9 @@ object JoinQueries extends QueryModule {
     // the demonstration honest — without it AQE would broadcast the
     // orders side at fixture scale and the bucketing would be unused.
     "q_join_bucketed" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      // write-once-reuse: the bucketed copy IS the stored layout (the
-      // point of bucketing), so a table this JVM already wrote for this
-      // fixture dir is reused, not rewritten — fixture dirs are
-      // immutable and the tag keys the catalog entry to the dir, so a
-      // stale read cannot occur; re-running the query then costs only
-      // the exchange-free join (the steady-state a cluster would see)
-      def bucketize(df: org.apache.spark.sql.DataFrame, name: String,
-          key: String): org.apache.spark.sql.DataFrame = {
-        val tbl = s"graft_bkt_${name}_$tag"
-        if (!s.catalog.tableExists(tbl)) {
-          df.write.format("parquet").bucketBy(8, key).sortBy(key)
-            .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tbl")
-            .mode("overwrite").saveAsTable(tbl)
-        }
-        s.table(tbl)
-      }
-      val li = bucketize(t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"),
-          col("l_discount")), "li", "l_orderkey")
-      val ord = bucketize(t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority")), "ord",
-        "o_orderkey")
+      val li = bucketedLineitem(s, dir)
+      val ord = bucketize(s, dir, "ord", "o_orderkey",
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
       li.hint("merge")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
@@ -380,6 +386,26 @@ object JoinQueries extends QueryModule {
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Bucket-pruned point lookup — the other half of the bucketed-table
+    // story: an equality filter on the bucket key scans ONE bucket of
+    // eight (the plan shows SelectedBucketsCount 1/8 —
+    // TemporalQualitySpec asserts it), which is how a 100 TB keyed fact
+    // serves point queries without an index. The probe key is the max
+    // order id, resolved by a bounded 1-row aggregate up front (the
+    // ZOrderWrite boundary-sample discipline) because bucket pruning
+    // needs a LITERAL at plan time.
+    "q_bucket_lookup" -> ((s, dir) => {
+      val k = t(s, dir, "lineitem").agg(max(col("l_orderkey")))
+        .head().getLong(0)
+      bucketedLineitem(s, dir)
+        .filter(col("l_orderkey") === lit(k))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("l_orderkey")
     })
   )
 
@@ -584,6 +610,14 @@ object JoinQueries extends QueryModule {
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bucket_lookup" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }

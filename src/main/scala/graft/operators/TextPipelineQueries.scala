@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.functions.LangId
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text-pipeline operators over `documents` (north-star §2.3
@@ -139,7 +140,64 @@ object TextPipelineQueries extends QueryModule {
       t(s, dir, "documents")
         .groupBy(col("lang"), LangId.detect(col("text")).as("detected"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "detected"))
+        .orderBy("lang", "detected")),
+
+    // RAKE keyword extraction [Rose et al. 2010], corpus-adapted: the
+    // stopword list is the corpus's own top-10 tokens (fixture text is
+    // synthetic vocab — frequency IS the stopword signal, the same
+    // move real RAKE makes with a language list), candidate phrases are
+    // the maximal non-stopword runs (≤4 tokens), word score =
+    // deg(w)/freq(w) over candidate phrases, phrase score = Σ word
+    // scores, top-20. Shapes: run ids are ONE window scan per doc (the
+    // gaps-and-islands trick on the stopword flag); stopwords and word
+    // scores are vocabulary-sized broadcasts; per-word scores are
+    // scaled to BIGINTs before the per-phrase SUM (no double-summation
+    // order) and the top-20 is TakeOrderedAndProject. The phrase build
+    // sorts collect_list by position — deterministic, matching the
+    // oracle's ordered STRING_AGG.
+    "q_rake" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "w")
+        .filter(col("w") =!= "")
+      val stop = tok.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(10)
+        .select(col("w").as("sw"))
+      val wrun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val words = tok
+        .join(broadcast(stop), col("w") === col("sw"), "left")
+        .withColumn("run", sum(when(col("sw").isNotNull, 1L).otherwise(0L))
+          .over(wrun))
+        .filter(col("sw").isNull)
+        .select(col("doc_id"), col("run"), col("pos"), col("w"))
+      val runs = words.groupBy("doc_id", "run")
+        .agg(count(lit(1)).as("len"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+            " ").as("phrase"))
+        .filter(col("len") <= 4)
+      val rkeys = runs.select(col("doc_id").as("rd"), col("run").as("rr"),
+        col("len").as("rlen"))
+      val wstats = words
+        .join(rkeys, col("doc_id") === col("rd") && col("run") === col("rr"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("rlen")).as("deg"))
+        .select(col("w").as("vw"),
+          floor(lit(1e12) * col("deg") / col("freq") + lit(0.5))
+            .cast("bigint").as("swi"))
+      val pscores = words.join(broadcast(wstats), col("w") === col("vw"))
+        .groupBy("doc_id", "run").agg(sum(col("swi")).as("score_i"))
+      runs.join(pscores, Seq("doc_id", "run"))
+        .groupBy("phrase")
+        .agg(max(col("len")).as("len"), count(lit(1)).as("n"),
+          max(col("score_i")).as("score_i"))
+        .orderBy(col("score_i").desc, col("phrase"))
+        .limit(20)
+        .select(col("phrase"), col("len"), col("n"),
+          pround4(col("score_i").cast("double") / lit(1e12)).as("score"))
+        .orderBy("phrase")
+    })
   )
 
   /** DuckDB replay of BpeTrainer.applyMerge's greedy left-to-right merge
@@ -269,6 +327,51 @@ object TextPipelineQueries extends QueryModule {
         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
         |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS detected FROM s)
         |SELECT lang, detected, COUNT(*) AS n FROM det
-        |GROUP BY lang, detected ORDER BY lang, detected""".stripMargin
+        |GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+
+    "q_rake" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.i AS pos, t[u.i] AS w
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |        FROM documents),
+        |    UNNEST(RANGE(1, LEN(t) + 1)) AS u(i)
+        |  WHERE t[u.i] <> ''),
+        |stop AS (SELECT w FROM (
+        |  SELECT w, COUNT(*) AS n FROM tok GROUP BY w
+        |  ORDER BY n DESC, w LIMIT 10)),
+        |words AS (
+        |  SELECT doc_id, run, pos, w FROM (
+        |    SELECT doc_id, pos, w, w IN (SELECT w FROM stop) AS is_stop,
+        |      SUM(CASE WHEN w IN (SELECT w FROM stop) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS run
+        |    FROM tok)
+        |  WHERE NOT is_stop),
+        |runs AS (
+        |  SELECT doc_id, run, COUNT(*) AS len,
+        |    STRING_AGG(w, ' ' ORDER BY pos) AS phrase
+        |  FROM words GROUP BY doc_id, run HAVING COUNT(*) <= 4),
+        |wstats AS (
+        |  SELECT w.w,
+        |    CAST(FLOOR(1e12 * SUM(r.len) / COUNT(*) + 0.5) AS BIGINT)
+        |      AS swi
+        |  FROM words w JOIN runs r
+        |    ON w.doc_id = r.doc_id AND w.run = r.run
+        |  GROUP BY w.w),
+        |ps AS (
+        |  SELECT w.doc_id, w.run, SUM(swi) AS score_i
+        |  FROM words w JOIN wstats ON w.w = wstats.w
+        |  GROUP BY w.doc_id, w.run),
+        |ph AS (
+        |  SELECT r.phrase, CAST(MAX(r.len) AS BIGINT) AS len,
+        |    COUNT(*) AS n, MAX(ps.score_i) AS score_i
+        |  FROM runs r JOIN ps ON r.doc_id = ps.doc_id AND r.run = ps.run
+        |  GROUP BY r.phrase),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_i DESC, phrase)
+        |  AS rnk FROM ph)
+        |SELECT phrase, len, n,
+        |  FLOOR(CAST(score_i AS DOUBLE) / 1e12 * 10000 + 0.5) / 10000
+        |    AS score
+        |FROM rk WHERE rnk <= 20 ORDER BY phrase""".stripMargin
   )
 }

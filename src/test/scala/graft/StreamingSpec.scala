@@ -890,6 +890,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_psi: streaming drift vs the corpus reference equals batch PSI") {
+    // reference = the corpus's own bucket histogram, so the stream's
+    // final per-source PSI must be BIT-identical to q_psi_drift's
+    // batch answer (mergeable-histogram contract, the s_kmv pattern)
+    val docs = table("documents")
+      .select(col("source"), col("n_chars").cast("int"))
+      .as[(String, Int)].collect().toSeq
+    val ref = Array.fill(StreamingDrift.Buckets)(0L)
+    docs.foreach { case (_, n) =>
+      ref(math.min(n / StreamingDrift.Width, StreamingDrift.Buckets - 1)) += 1
+    }
+    val (b1, b2) = docs.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(String, Int)]
+    val out = runToTable(
+      StreamingDrift.psiDrift(spark,
+        in.toDS.map(t => StreamingDrift.DocLen(t._1, t._2)), ref).toDF,
+      "update",
+      () => in.addData(b1.map(_._1)), () => in.addData(b2.map(_._1)))
+    // update-mode upsert by source: the emission with the largest
+    // n_docs is the final state
+    val fin = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._2) }
+    val batch = q("q_psi_drift").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.nonEmpty && fin.keySet == batch.keySet)
+    batch.foreach { case (src, (n, p)) =>
+      assert(fin(src)._2 == n, s"$src n_docs")
+      assert(fin(src)._3 == p, s"$src: streaming ${fin(src)._3} vs batch $p")
+    }
+  }
+
   test("s_scd2: streaming history fixpoint equals the batch q_scd2 relation") {
     // stream the q_scd2 population (user_id < 25) in two micro-batches
     // split on the global (ts, event_id) order — which preserves every

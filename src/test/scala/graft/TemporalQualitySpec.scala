@@ -319,6 +319,46 @@ class TemporalQualitySpec extends SparkSpec {
     assert(sample(d2) == s1)
   }
 
+  test("rake: corpus-frequency stopwords, deg/freq word scores, phrase sums") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-rake").toString
+    // stopwords (top-10): 'the' ×7 and s1..s9 ×4; content words appear
+    // ≤3 times (apple, the most frequent, has 3 < 4 — safely below the
+    // cut). Candidate phrases:
+    //   red apple, green apple (doc1), red wine (doc2), apple (doc4)
+    // scores: red 4/2=2, green 2/1=2, wine 2/1=2, apple 5/3 → phrase
+    // scores 3.6667 / 3.6667 / 4.0 / 1.6667
+    val texts = Seq(
+      "the red apple the green apple",
+      "the red wine",
+      (1 to 9).map(i => Seq.fill(4)(s"s$i").mkString(" ")).mkString(" ") +
+        " the the the",
+      "the apple")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_rake", d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map(
+      "red wine" -> ((2L, 1L, 4.0)),
+      "red apple" -> ((2L, 1L, 3.6667)),
+      "green apple" -> ((2L, 1L, 3.6667)),
+      "apple" -> ((1L, 1L, 1.6667))))
+  }
+
+  test("bucket lookup: equality on the bucket key prunes to 1 of 8 buckets") {
+    // assert on the registry query's own plan: the grouped aggregate on
+    // the bucket key keeps the bucketed scan alive (a bare filter would
+    // be auto-disabled by DisableUnnecessaryBucketedScan), and the
+    // equality literal prunes the scan to a single bucket
+    val df = q("q_bucket_lookup")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning missing:\n$plan")
+  }
+
   test("bucketed join: co-located scan-to-join with no shuffle exchange") {
     // run the registry query once so the bucketed tables exist for sf,
     // then assert the bucket-aligned join plans WITHOUT an Exchange on
