@@ -208,19 +208,26 @@ object GraphQueries extends QueryModule {
         co.unionAll(co.select(col("v").as("u"), col("u").as("v")))
       }
       val co = sym.filter(col("u") < col("v"))
+      // only deg ≥ 2 nodes can center a wedge — filtering here both
+      // prunes leaf adjacencies before the fan-out and keeps ln(deg)
+      // away from ln(1) = 0 (ANSI divide-by-zero)
       val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
-      val wedges = sym.select(col("u").as("w"), col("v").as("x"))
+        .filter(col("deg") >= 2)
+      // deg attaches at ADJACENCY grain (|sym| rows) before the wedge
+      // fan-out — joining it per wedge would touch Σdeg² rows; and the
+      // adjacency exclusion runs AFTER the (x, y) aggregate, on the
+      // candidate-pair relation instead of the larger wedge relation
+      val a1 = sym.join(deg, sym("u") === deg("w"))
+        .select(col("w"), col("v").as("x"),
+          floor(lit(1e14) / log(col("deg").cast("double")) + lit(0.5))
+            .cast("bigint").as("ti")) // wedge centers always have deg ≥ 2
+      val pairs = a1
         .join(sym.select(col("u").as("w2"), col("v").as("y")),
           col("w") === col("w2") && col("x") < col("y"))
-        .select(col("w"), col("x"), col("y"))
-      val cand = wedges.join(co,
-        wedges("x") === co("u") && wedges("y") === co("v"), "left_anti")
-      cand.join(deg, Seq("w")) // wedge centers always have deg ≥ 2
-        .select(col("x"), col("y"),
-          floor(lit(1e14) / log(col("deg").cast("double")) + lit(0.5))
-            .cast("bigint").as("ti"))
         .groupBy("x", "y")
         .agg(count(lit(1)).as("n_common"), sum(col("ti")).as("sti"))
+      pairs.join(co,
+          pairs("x") === co("u") && pairs("y") === co("v"), "left_anti")
         .orderBy(col("sti").desc, col("x"), col("y"))
         .limit(50)
         .select(col("x"), col("y"), col("n_common"),
