@@ -181,6 +181,29 @@ object AggregateQueries extends QueryModule {
           pround4(expr("percentile(cents, 0.75D)")).as("p75"))
         .orderBy("l_returnflag")),
 
+    // Equi-depth histogram: NTILE(8) buckets of price cents per return
+    // flag with per-bucket bounds — the optimizer-statistics /
+    // distribution-sketch builder (equi-depth bounds are what a cost
+    // model keeps). The ORDER BY carries the unique (orderkey,
+    // linenumber) tiebreak so both engines split ties identically (the
+    // q_rfm discipline); at 100 TB the same histogram comes from
+    // two-phase range partitioning instead of one sorted window.
+    "q_hist_equidepth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        .orderBy("l_returnflag", "bucket")
+    }),
+
     // collect_list/collect_set are only deterministic once sorted; arrays
     // stay small (bounded by group size) — at 100 TB this operator is only
     // safe on bounded-cardinality groups, which is the contract here.
@@ -383,6 +406,19 @@ object AggregateQueries extends QueryModule {
         |  FLOOR(QUANTILE_CONT(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.50) * 10000 + 0.5) / 10000 AS p50,
         |  FLOOR(QUANTILE_CONT(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.75) * 10000 + 0.5) / 10000 AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_hist_equidepth" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    NTILE(8) OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT),
+        |        l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag, bucket, COUNT(*) AS n,
+        |  MIN(cents) AS lo, MAX(cents) AS hi
+        |FROM b GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT c_nationkey,

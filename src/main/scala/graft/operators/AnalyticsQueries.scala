@@ -96,6 +96,49 @@ object AnalyticsQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM scoring — the step past q_unigram_logprob and the exact
+    // shape of perplexity-based quality filtering [Wenzek et al. 2020,
+    // CCNet]: train an add-half-smoothed bigram model on the corpus,
+    // score every doc by its mean log2 p(w2|w1), drop the tail. The
+    // conditional is (c12+0.5)/(c1+0.5·V) with V the token vocabulary.
+    // Per-(doc,bigram) contributions are scaled to BIGINTs before the
+    // per-doc SUM (unlike the unigram's doc-local double sum, bigram
+    // terms are numerous enough to hit reordering); the model join is
+    // (w1,w2)-keyed — broadcast at fixture vocab, shuffle at web scale.
+    "q_bigram_logprob" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """filter(transform(sequence(1, size(toks) - 1),
+            |  i -> struct(toks[i-1] AS w1, toks[i] AS w2)),
+            |  p -> p.w1 != '' AND p.w2 != '')""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // bigram OCCURRENCES score directly (no per-doc-bigram rollup:
+      // bigrams are near-unique within a doc, so that rollup compresses
+      // nothing and costs a corpus-sized shuffle); bi is materialized
+      // once for its two consumers (model derivation, scoring)
+      val biM = graft.functions.Materialize(bi)
+      val model = biM.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val first = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").agg(countDistinct(col("w")).as("v"))
+      biM.join(model, Seq("w1", "w2"))
+        .join(first, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor((log2(col("c12") + 0.5) -
+            log2(col("c1") + lit(0.5) * col("v"))) * lit(1e10) + lit(0.5))
+            .cast("bigint").as("ti"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum(col("ti")).as("sti"))
+        .select(col("doc_id"), col("n_bi"),
+          pround4(col("sti").cast("double") / lit(1e10) / col("n_bi"))
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Daily event-count anomaly detection: z-score of each (type, day)
     // count against that type's own daily distribution; |z| > 2 flags.
     // The flag is computed from the ROUNDED z on both sides.
@@ -448,6 +491,30 @@ object AnalyticsQueries extends QueryModule {
         |    / SUM(c_dw)) * 10000 + 0.5) / 10000 AS avg_logprob
         |FROM dw JOIN vocab USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH bi AS (
+        |  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |        FROM documents),
+        |    UNNEST(RANGE(1, LEN(t))) AS u(i)
+        |  WHERE t[u.i] <> '' AND t[u.i + 1] <> ''),
+        |model AS (SELECT w1, w2, COUNT(*) AS c12
+        |  FROM bi GROUP BY w1, w2),
+        |fst AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |  FROM model GROUP BY w1),
+        |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |  (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |ti AS (SELECT doc_id,
+        |    CAST(FLOOR((LOG2(c12 + 0.5) - LOG2(c1 + 0.5 * v))
+        |      * 1e10 + 0.5) AS BIGINT) AS ti
+        |  FROM bi JOIN model USING (w1, w2) JOIN fst USING (w1)
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, COUNT(*) AS n_bi,
+        |  FLOOR(CAST(SUM(ti) AS DOUBLE) / 1e10 / COUNT(*) * 10000 + 0.5)
+        |    / 10000 AS avg_logprob
+        |FROM ti GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_event_anomaly" ->
       """WITH d AS (SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,

@@ -156,27 +156,26 @@ object TextPipelineQueries extends QueryModule {
     // sorts collect_list by position — deterministic, matching the
     // oracle's ordered STRING_AGG.
     "q_rake" -> ((s, dir) => {
-      // two consumers (stopword counts, run building) of the corpus-wide
-      // tokenize — materialize it once, spread from the single-file read
-      val tok = graft.functions.Materialize(
-        t(s, dir, "documents").repartition(col("doc_id"))
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .withColumnRenamed("col", "w")
-          .filter(col("w") =!= ""))
+      // tok and words are cheap to recompute (scan + explode + one
+      // broadcast join + one window) and expensive to checkpoint
+      // (corpus-sized string rows) — measured at the local sf1,
+      // re-derivation beats materialization for both; only `runs`, the
+      // compressed phrase relation with three consumers, checkpoints
+      val tok = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "w")
+        .filter(col("w") =!= "")
       val stop = tok.groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(10)
         .select(col("w").as("sw"))
       val wrun = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // three consumers each (word stats, phrase scores, phrase text) —
-      // materialize once or the corpus-wide tokenize+window re-executes
-      // per consumer (the q_pagerank/q_graph_degree discipline)
-      val words = graft.functions.Materialize(tok
+      val words = tok
         .join(broadcast(stop), col("w") === col("sw"), "left")
         .withColumn("run", sum(when(col("sw").isNotNull, 1L).otherwise(0L))
           .over(wrun))
         .filter(col("sw").isNull)
-        .select(col("doc_id"), col("run"), col("pos"), col("w")))
+        .select(col("doc_id"), col("run"), col("pos"), col("w"))
       val runs = graft.functions.Materialize(words
         .groupBy("doc_id", "run")
         .agg(count(lit(1)).as("len"),

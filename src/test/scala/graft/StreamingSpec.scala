@@ -922,6 +922,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_sample: streaming bottom-k membership equals the batch eval sample") {
+    val docs = table("documents").select(col("lang"), col("doc_id"))
+      .as[(String, Long)].collect().toSeq
+    val (b1, b2) = docs.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(String, Long)]
+    val out = runToTable(
+      StreamingSample.bottomK(spark,
+        in.toDS.map(t => StreamingSample.KeyedDoc(t._1, t._2))).toDF,
+      "update",
+      () => in.addData(b1.map(_._1)), () => in.addData(b2.map(_._1)))
+    // memory-sink rows arrive in batch order; per (group, rank) the last
+    // emission is the final membership (displaced docs never re-emit)
+    val fin = out.collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .foldLeft(Map.empty[(String, Int), Long])(_ + _)
+    val batch = q("q_eval_sample").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(batch.nonEmpty && fin == batch,
+      s"streaming sample diverged: ${fin.toSeq.sorted.take(5)}…")
+  }
+
   test("s_scd2: streaming history fixpoint equals the batch q_scd2 relation") {
     // stream the q_scd2 population (user_id < 25) in two micro-batches
     // split on the global (ts, event_id) order — which preserves every

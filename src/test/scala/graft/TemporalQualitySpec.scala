@@ -347,6 +347,40 @@ class TemporalQualitySpec extends SparkSpec {
       "apple" -> ((1L, 1L, 1.6667))))
   }
 
+  test("bigram logprob: add-half smoothing on a hand-traced two-doc corpus") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-bigram").toString
+    // corpus bigrams: doc0 "a b" → ab; doc1 "a b a b" → ab, ba, ab.
+    // c(ab)=3, c(ba)=1, c1(a)=3, c1(b)=1, V=2:
+    //   p(b|a) = 3.5/4 = 0.875,  log2 = -0.1926…
+    //   p(a|b) = 1.5/2 = 0.75,   log2 = -0.4150…
+    // doc0 avg = -0.1926; doc1 avg = (2·log2 .875 + log2 .75)/3 = -0.2668
+    Seq((0L, "a b"), (1L, "a b a b"))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_bigram_logprob", d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(0L -> ((1L, -0.1926)), 1L -> ((3L, -0.2668))))
+  }
+
+  test("hist equidepth: ntile split sizes and exact bucket bounds") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-hist").toString
+    // 10 rows, cents 100..1000 → NTILE(8): buckets 1-2 take 2 rows,
+    // 3-8 take one; bounds follow the sorted cents
+    (1 to 10).map(i => (i.toLong, 1L, i.toDouble, "R", "O", 0.0))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = run("q_hist_equidepth", d).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(1) == ((2L, 100L, 200L)) && got(2) == ((2L, 300L, 400L)))
+    assert((3 to 8).forall(b => got(b)._1 == 1L))
+    assert(got(8) == ((1L, 1000L, 1000L)))
+  }
+
   test("bucket lookup: equality on the bucket key prunes to 1 of 8 buckets") {
     // assert on the registry query's own plan: the grouped aggregate on
     // the bucket key keeps the bucketed scan alive (a bare filter would
