@@ -58,13 +58,18 @@ object QualityQueries extends QueryModule {
         .select(col("source"),
           expr(s"CAST(LEAST(n_chars DIV $PsiWidth, ${PsiBuckets - 1}) AS INT)")
             .as("b"))
-      val bySrc = docs.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
-      val all = docs.groupBy("b").agg(count(lit(1)).as("cnt_all"))
-      val grid = docs.select("source").distinct()
+      // ONE corpus scan: the (source × bucket) contingency table is the
+      // only corpus-grained aggregate; the marginals (per-bucket,
+      // per-source, grand total) and the dense grid all derive from it —
+      // without the barrier each marginal would be its own full scan
+      val bySrc = graft.functions.Materialize(
+        docs.groupBy("source", "b").agg(count(lit(1)).as("cnt")))
+      val all = bySrc.groupBy("b").agg(sum(col("cnt")).as("cnt_all"))
+      val grid = bySrc.select("source").distinct()
         .select(col("source"),
           explode(sequence(lit(0), lit(PsiBuckets - 1))).as("b"))
-      val nSrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val nAll = docs.agg(count(lit(1)).as("n_all"))
+      val nSrc = bySrc.groupBy("source").agg(sum(col("cnt")).as("n_docs"))
+      val nAll = bySrc.agg(sum(col("cnt")).as("n_all"))
       val sm = lit(0.5)
       val den = lit(PsiBuckets * 0.5)
       val terms = grid

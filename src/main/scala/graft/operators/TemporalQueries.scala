@@ -109,9 +109,12 @@ object TemporalQueries extends QueryModule {
     // CUSUM changepoint per event type on daily counts; the running
     // deviation sum is exact via (cnt·nd − tot) BIGINTs.
     "q_changepoint" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
+      // daily feeds both the CUSUM chain and the before/after attach —
+      // materialize the (type × day)-grained rollup so the corpus scans
+      // once (the relation is |types|·|days| rows)
+      val daily = graft.functions.Materialize(t(s, dir, "events")
         .groupBy(col("event_type"), col("ts").cast("date").as("d"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       val full = Window.partitionBy("event_type")
       val cum = Window.partitionBy("event_type").orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -347,4 +347,46 @@ class PropertySpec extends SparkSpec {
       assert(StreamingSketch.hv48(w) == sqlSide(w), s"hash fork on '$w'")
     }
   }
+
+  test("psi: zero against itself, non-negative, disjoint mass clears the gate") {
+    import graft.streaming.StreamingDrift
+    for (_ <- 1 to 50) {
+      val h = Array.fill(StreamingDrift.Buckets)(rnd.nextInt(1000).toLong)
+      // identical distributions: every (p − q) is exactly 0, so every
+      // scaled term floors to 0 — PSI is 0 by construction, not ~0
+      assert(StreamingDrift.psi(h, h) == 0.0)
+      // PSI is a sum of (p−q)·ln(p/q) terms, each non-negative (both
+      // factors share sign), so any histogram pair scores >= 0
+      val g = Array.fill(StreamingDrift.Buckets)(rnd.nextInt(1000).toLong)
+      assert(StreamingDrift.psi(h, g) >= 0.0, s"negative PSI")
+      // heavy mass in a bucket the reference lacks scores far past the
+      // usual 0.25 "significant drift" gate
+      val spiked = h.clone(); spiked(0) += 5000
+      val ref = h.clone(); ref(0) = 0
+      assert(StreamingDrift.psi(spiked, ref) > 1.0)
+    }
+  }
+
+  test("streaming sample: permutation/batch-split invariant membership") {
+    import graft.streaming.StreamingSketch
+    // the bottom-k (hash, id) fold is the same mergeable-sketch shape as
+    // KMV — replay it through the pure hash to pin membership stability
+    def fold(ids: Seq[Long], k: Int): Vector[(Long, Long)] =
+      ids.foldLeft(Vector.empty[(Long, Long)]) { (s, id) =>
+        val e = (StreamingSketch.hv48(id.toString), id)
+        if (s.contains(e)) s
+        else if (s.length < k) (s :+ e).sorted
+        else if (implicitly[Ordering[(Long, Long)]].lt(e, s.last))
+          (s.init :+ e).sorted
+        else s
+      }
+    for (_ <- 1 to 30) {
+      val ids = Seq.fill(10 + rnd.nextInt(80))(rnd.nextInt(10000).toLong)
+      val base = fold(ids, 8)
+      assert(fold(rnd.shuffle(ids), 8) == base)
+      val truth = ids.distinct.map(id =>
+        (StreamingSketch.hv48(id.toString), id)).sorted.take(8)
+      assert(base == truth.toVector)
+    }
+  }
 }
