@@ -109,8 +109,9 @@ object QualityQueries extends QueryModule {
           sum(col("rk") * col("x")).as("srx"), sum(col("x")).as("sx"))
         .select(col("source"), col("n_docs"),
           pround4((lit(2L) * col("srx") - (col("n_docs") + 1) * col("sx"))
-            .cast("double") / (col("n_docs") * col("sx")).cast("double"))
-            .as("gini"))
+            .cast("double") /
+            nullif((col("n_docs") * col("sx")).cast("double"), lit(0.0)))
+            .as("gini")) // NULL (not NaN) when every length is 0
         .orderBy("source")
     }),
 
@@ -122,17 +123,21 @@ object QualityQueries extends QueryModule {
     // alphabet — KB-sized regardless of corpus; observed days reduce
     // map-side to the same (type, day) grain.
     "q_completeness" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val span = ev.agg(min(col("ts").cast("date")).as("d0"),
-        max(col("ts").cast("date")).as("d1"))
-      val spine = ev.select(col("event_type")).distinct()
+      // ONE corpus scan: the distinct (type, day) relation is the only
+      // corpus-grained aggregate; the day span and the type alphabet
+      // both derive from it (global min/max day == min/max over the
+      // distinct relation), so the spine costs KB, not another scan
+      val seen = graft.functions.Materialize(
+        t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"))
+          .distinct())
+        .withColumn("present", lit(1))
+      val span = seen.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val spine = seen.select(col("event_type")).distinct()
         .crossJoin(broadcast(span))
         .select(col("event_type"),
           explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
             .as("d"))
-      val seen = ev.select(col("event_type"),
-        col("ts").cast("date").as("d")).distinct()
-        .withColumn("present", lit(1))
       spine.join(seen, Seq("event_type", "d"), "left")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_expected"),
@@ -167,8 +172,11 @@ object QualityQueries extends QueryModule {
     "q_benford" -> ((s, dir) => {
       val full = Window.partitionBy(lit(1))
       t(s, dir, "orders")
-        .select(substring(floor(col("o_totalprice") * 100 + lit(0.5))
-          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0) // ≤ 0 has no leading digit (and 1/0 in exp)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
         .withColumn("tot", sum(col("n")).over(full))
         .select(col("digit"), col("n"),
@@ -244,7 +252,7 @@ object QualityQueries extends QueryModule {
          |SELECT source, COUNT(*) AS n_docs,
          |  ${sqlRound4(
              "CAST(2 * SUM(rk * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) / " +
-             "CAST(COUNT(*) * SUM(x) AS DOUBLE)")} AS gini
+             "NULLIF(CAST(COUNT(*) * SUM(x) AS DOUBLE), 0)")} AS gini
          |FROM rk GROUP BY source ORDER BY source""".stripMargin,
 
     "q_completeness" ->
@@ -278,10 +286,13 @@ object QualityQueries extends QueryModule {
         |FROM cl GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q_benford" ->
-      s"""WITH d AS (
-         |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
-         |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      s"""WITH c AS (
+         |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
          |  FROM orders),
+         |d AS (
+         |  SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT)
+         |    AS digit
+         |  FROM c WHERE cents > 0),
          |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
          |a AS (SELECT *, SUM(n) OVER () AS tot FROM g)
          |SELECT digit, n,

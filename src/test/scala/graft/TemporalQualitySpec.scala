@@ -157,6 +157,34 @@ class TemporalQualitySpec extends SparkSpec {
     assert(got(2) == ((1L, 0.25, 0.1761))) // log10(1.5)
   }
 
+  test("benford: non-positive totals have no leading digit and drop out") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-benford0").toString
+    // 0.001 rounds to 0 cents, -5.0 is negative — both excluded; shares
+    // renormalize over the surviving rows
+    Seq((1L, 1.0), (2L, 3.0), (3L, 0.001), (4L, -5.0))
+      .map { case (k, p) => (k, 1L, "O", p, "1996-01-01", "x") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    val got = run("q_benford", d).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1 -> 0.5, 3 -> 0.5))
+  }
+
+  test("gini: an all-zero-length source reports NULL, not NaN") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-gini0").toString
+    (Seq((1L, "Z", 0), (2L, "Z", 0)) ++ Seq((3L, "U", 10), (4L, "U", 10)))
+      .map { case (id, src, n) => (id, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = run("q_gini_length", d).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(rows("Z").isEmpty && rows("U").contains(0.0))
+  }
+
   test("winsorize: IQR clamp on exact quarter-index percentiles") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-wins").toString
