@@ -214,6 +214,30 @@ object TemporalQueries extends QueryModule {
         .orderBy("lag")
     }),
 
+    // Time-to-convert: per user, latency from first view to first later
+    // purchase; the quartile profile of that latency is the
+    // conversion-velocity report (the survival-analysis-lite view the
+    // funnel's step counts don't give). Two user-keyed aggregates and
+    // one co-keyed join; latencies are exact epoch-second BIGINTs and
+    // the quartiles are quarter-exact (the q_percentile analysis).
+    "q_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      fv.join(fp, Seq("user_id"))
+        .filter(col("tp") > col("tv"))
+        .select(expr("(unix_micros(tp) - unix_micros(tv)) DIV 1000000")
+          .as("secs"))
+        .agg(count(lit(1)).as("n_users"),
+          pround4(expr("percentile(secs, 0.25D)")).as("p25_s"),
+          pround4(expr("percentile(secs, 0.5D)")).as("p50_s"),
+          pround4(expr("percentile(secs, 0.75D)")).as("p75_s"),
+          pround4(sum(col("secs")).cast("double") / count(lit(1)))
+            .as("mean_s"))
+    }),
+
     // Day-of-week seasonality index per event type over daily counts.
     "q_seasonality" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -363,6 +387,20 @@ object TemporalQueries extends QueryModule {
              "NULLIF(SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) * " +
              "SQRT(CAST(n_days * syy - sy * sy AS DOUBLE)), 0)")} AS r
          |FROM g ORDER BY lag""".stripMargin,
+
+    "q_time_to_convert" ->
+      s"""WITH fv AS (SELECT user_id, MIN(ts) AS tv FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |fp AS (SELECT user_id, MIN(ts) AS tp FROM events
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |lat AS (SELECT (EPOCH_US(tp) - EPOCH_US(tv)) // 1000000 AS secs
+         |  FROM fv JOIN fp USING (user_id) WHERE tp > tv)
+         |SELECT COUNT(*) AS n_users,
+         |  ${sqlRound4("QUANTILE_CONT(secs, 0.25)")} AS p25_s,
+         |  ${sqlRound4("QUANTILE_CONT(secs, 0.50)")} AS p50_s,
+         |  ${sqlRound4("QUANTILE_CONT(secs, 0.75)")} AS p75_s,
+         |  ${sqlRound4("CAST(SUM(secs) AS DOUBLE) / COUNT(*)")} AS mean_s
+         |FROM lat""".stripMargin,
 
     "q_seasonality" ->
       s"""WITH daily AS (

@@ -30,9 +30,12 @@ object StreamingDrift {
   val Buckets = 10
   val Width = 64
 
-  /** The batch query's bucket rule: least(n_chars DIV 64, 9). */
+  /** The batch query's bucket rule: least(n_chars DIV 64, 9). Clamped at
+    * 0 so an invalid negative length degrades (bucket 0) instead of
+    * crashing the monitor — batch parity is only contracted for valid
+    * (non-negative) lengths. */
   private[graft] def bucket(nChars: Int): Int =
-    math.min(nChars / Width, Buckets - 1)
+    math.min(math.max(nChars, 0) / Width, Buckets - 1)
 
   /** PSI of a source histogram vs the reference — arithmetic is the
     * batch query term-for-term: Laplace (cnt+0.5)/(n+5.0) shares, ln of

@@ -123,6 +123,32 @@ class TemporalQualitySpec extends SparkSpec {
     assert(got(0) == ((1L, 2.0, 1.3333))) // Sunday: 2/1.5
   }
 
+  test("time to convert: first-view→first-purchase pairs only, exact quartiles") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Files.createTempDirectory("graft-ttc").toString
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val t100 = Timestamp.valueOf("2024-06-01 00:01:40")
+    val t200 = Timestamp.valueOf("2024-06-01 00:03:20")
+    // u1 converts in 100 s, u4 in 200 s; u2 never purchases; u3's
+    // purchase PRECEDES its first view — excluded by the tp > tv guard
+    Seq(
+      (1L, t0, 1L, "view"), (2L, t100, 1L, "purchase"),
+      (3L, t0, 2L, "view"),
+      (4L, t0, 3L, "purchase"), (5L, t100, 3L, "view"),
+      (6L, t0, 4L, "view"), (7L, t200, 4L, "purchase"))
+      .map { case (id, ts, u, tp) =>
+        (id, ts, u, tp, Some(1.0): Option[Double], "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = run("q_time_to_convert", d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L)
+    assert((r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3),
+      r(0).getDouble(4)) == ((125.0, 150.0, 175.0, 150.0)))
+  }
+
   test("psi drift: identical distributions score alike, disjoint score high") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-psi").toString
