@@ -32,7 +32,8 @@ object SparkEntry {
     operators.GraphQueries,
     operators.SketchQueries,
     operators.TemporalQueries,
-    operators.QualityQueries
+    operators.QualityQueries,
+    operators.StatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

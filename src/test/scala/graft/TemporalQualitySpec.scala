@@ -435,6 +435,81 @@ class TemporalQualitySpec extends SparkSpec {
     assert(got(8) == ((1L, 1000L, 1000L)))
   }
 
+  test("ks test: disjoint supports hit D=1, identical distributions D=0") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-ks").toString
+    // A: lengths {1,1,2,2}; B: {3,3,4,4} (disjoint → D = 1 at v = 2);
+    // C: copy of A (→ D = 0 vs A)
+    (Seq(1, 1, 2, 2).zipWithIndex.map { case (v, i) => (i.toLong, "A", v) } ++
+      Seq(3, 3, 4, 4).zipWithIndex.map { case (v, i) => (10L + i, "B", v) } ++
+      Seq(1, 1, 2, 2).zipWithIndex.map { case (v, i) => (20L + i, "C", v) })
+      .map { case (id, src, n) => (id, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_ks_test", d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got(("A", "B")) == 1.0)
+    assert(got(("A", "C")) == 0.0)
+    assert(got(("B", "C")) == 1.0)
+  }
+
+  test("chisq + mutual info: independent table scores 0, diagonal scores n / 1 bit") {
+    import spark.implicits._
+    def mk(cells: Seq[(String, String, Int)]): String = {
+      val d = Files.createTempDirectory("graft-chi").toString
+      cells.flatMap { case (l, s, n) => (0 until n).map(i => (l, s, i)) }
+        .zipWithIndex
+        .map { case ((l, s, _), i) => (i.toLong, "x", l, s, 10) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    // perfectly independent 2×2 (all cells 25): chi2 = 0, MI = 0
+    val ind = mk(Seq(("x", "p", 25), ("x", "q", 25), ("y", "p", 25), ("y", "q", 25)))
+    val ci = run("q_chisq", ind).head()
+    assert(ci.getLong(1) == 1L && ci.getDouble(2) == 0.0) // df, chi2
+    assert(run("q_mutual_info", ind).head().getDouble(2) == 0.0)
+    // perfectly associated diagonal (10/10): chi2 = n = 20, MI = 1 bit
+    val dia = mk(Seq(("x", "p", 10), ("y", "q", 10)))
+    val cd = run("q_chisq", dia).head()
+    assert(cd.getLong(0) == 20L && cd.getLong(1) == 1L &&
+      cd.getDouble(2) == 20.0)
+    assert(run("q_mutual_info", dia).head().getDouble(2) == 1.0)
+  }
+
+  test("mean ci: zero-variance language has a zero error bar") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-ci").toString
+    ((0 until 4).map(i => (i.toLong, "en", 100)) ++
+      Seq((10L, "fr", 50), (11L, "fr", 150)))
+      .map { case (id, l, n) => (id, "x", l, "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = run("q_mean_ci", d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got("en") == ((4L, 100.0, 0.0)))
+    // fr: mean 100, sd = 70.7107 → 1.96·sd/√2 = 98.0 exactly
+    assert(got("fr")._1 == 2L && got("fr")._2 == 100.0)
+    assert(got("fr")._3 == 98.0)
+  }
+
+  test("pareto 8020: crossing row found with integer arithmetic") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-pareto").toString
+    // revenue 80, 10, 5, 5 → the top customer alone covers exactly 80%
+    Seq((1L, 80.0), (2L, 10.0), (3L, 5.0), (4L, 5.0))
+      .zipWithIndex.map { case ((cust, p), i) =>
+        (i.toLong, cust, "O", p, "1996-01-01", "x")
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    val r = run("q_pareto_8020", d).head()
+    assert((r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)) ==
+      ((4L, 1, 0.25, 0.8)))
+  }
+
   test("bucket lookup: equality on the bucket key prunes to 1 of 8 buckets") {
     // assert on the registry query's own plan: the grouped aggregate on
     // the bucket key keeps the bucketed scan alive (a bare filter would
