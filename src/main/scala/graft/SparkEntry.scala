@@ -33,7 +33,8 @@ object SparkEntry {
     operators.SketchQueries,
     operators.TemporalQueries,
     operators.QualityQueries,
-    operators.StatsQueries
+    operators.StatsQueries,
+    operators.InferenceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

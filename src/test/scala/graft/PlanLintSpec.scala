@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     "q_embed_neardup" -> "bounded probe set (vec_id < 50) broadcast against the streamed corpus — linear in the corpus; Ann.nearDupPairs is the all-pairs scale path",
     "q_wau" -> "7-day band join against the distinct-days side — calendar-bounded broadcast",
     "q_ks_test" -> "CDF support grid: cross of distinct sources × distinct n_chars values — both bounded derived relations, never the corpus",
-    "q_chisq" -> "dense contingency grid: lang-marginal × source-marginal cross — both alphabet-bounded aggregates (zero cells must contribute e)")
+    "q_chisq" -> "dense contingency grid: lang-marginal × source-marginal cross — both alphabet-bounded aggregates (zero cells must contribute e)",
+    "q_welch_ttest" -> "pairwise test grid: cross of the per-language statistic relation with itself — alphabet-bounded (|langs|² pairs), never the corpus")
 
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
   private val sortLimitOk: Map[String, String] = Map.empty
