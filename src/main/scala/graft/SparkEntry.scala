@@ -34,7 +34,8 @@ object SparkEntry {
     operators.TemporalQueries,
     operators.QualityQueries,
     operators.StatsQueries,
-    operators.InferenceQueries
+    operators.InferenceQueries,
+    operators.RetrievalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -178,6 +178,39 @@ object InferenceQueries extends QueryModule {
           / col("cyy").cast("double")).as("r2"))
     }),
 
+    // Pairwise Pearson correlation of event-type daily counts — the
+    // feature-correlation audit over the (day × type) dense grid.
+    "q_corr_matrix" -> ((s, dir) => {
+      val daily = graft.functions.Materialize(
+        t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"), col("event_type").as("t"))
+          .agg(count(lit(1)).as("c")))
+      val dense = daily.select("d").distinct()
+        .crossJoin(daily.select("t").distinct())
+        .join(daily, Seq("d", "t"), "left")
+        .select(col("d"), col("t"), coalesce(col("c"), lit(0L)).as("c"))
+      val a = dense.select(col("d"), col("t").as("t1"), col("c").as("x"))
+      val b = dense.select(col("d").as("d2"), col("t").as("t2"),
+        col("c").as("y"))
+      a.join(b, col("d") === col("d2") && col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("t1"), col("t2"), col("n_days"),
+          pround4({
+            val dx = col("n_days") * col("sxx") - col("sx") * col("sx")
+            val dy = col("n_days") * col("syy") - col("sy") * col("sy")
+            when(dx > 0 && dy > 0,
+              (col("n_days") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / sqrt(dx.cast("double") * dy.cast("double")))
+          }).as("r"))
+        .orderBy("t1", "t2")
+    }),
+
     // Monroe log-odds: top-5 tokens most distinguishing each source.
     "q_log_odds" -> ((s, dir) => {
       val cst = graft.functions.Materialize(
@@ -319,6 +352,33 @@ object InferenceQueries extends QueryModule {
              "(b1 * CAST(cx1y AS DOUBLE) + b2 * CAST(cx2y AS DOUBLE)) / " +
              "CAST(cyy AS DOUBLE)")} AS r2
          |FROM det""".stripMargin,
+
+    "q_corr_matrix" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type AS t, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT g.d, g.t, CAST(COALESCE(daily.c, 0) AS BIGINT) AS c
+         |  FROM (SELECT dd.d, tt.t
+         |        FROM (SELECT DISTINCT d FROM daily) dd
+         |        CROSS JOIN (SELECT DISTINCT t FROM daily) tt) g
+         |  LEFT JOIN daily ON g.d = daily.d AND g.t = daily.t),
+         |pairs AS (
+         |  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_days,
+         |    CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+         |    CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+         |    CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+         |    CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+         |  FROM dense a JOIN dense b ON a.d = b.d AND a.t < b.t
+         |  GROUP BY a.t, b.t)
+         |SELECT t1, t2, n_days,
+         |  ${sqlRound4(
+             "CASE WHEN n_days * sxx - sx * sx > 0 " +
+             "AND n_days * syy - sy * sy > 0 THEN " +
+             "CAST(n_days * sxy - sx * sy AS DOUBLE) / " +
+             "SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE) * " +
+             "CAST(n_days * syy - sy * sy AS DOUBLE)) END")} AS r
+         |FROM pairs ORDER BY t1, t2""".stripMargin,
 
     "q_log_odds" ->
       s"""WITH cst AS (

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 M — retrieval/curation primitives a training-data
+  * pipeline runs between dedup and export:
+  *
+  *   - q_inverted_index: posting-list construction — the 20 highest-df
+  *     tokens with their document frequency and the 5 smallest doc ids
+  *     holding them (the seed of every sparse-retrieval/BM25 index, and
+  *     the "which docs carry this term" audit).
+  *   - q_novelty: first-occurrence n-gram novelty — per source, the mean
+  *     share of a doc's distinct 3-token shingles NOT seen in any
+  *     earlier doc (by doc_id). The marginal-contribution view of
+  *     dedup: a corpus slice whose new docs are mostly old shingles is
+  *     already covered.
+  *   - q_sample_weighted: one-pass weighted sampling without replacement
+  *     [Efraimidis & Spirakis 2006]: key = ln(u)/w with u a
+  *     deterministic 48-bit md5 uniform and w = n_chars; the top-32 keys
+  *     ARE a length-proportional sample — how a token-budgeted corpus
+  *     sample is drawn in a single scan.
+  *
+  * Determinism: the E-S key uses u = (hv+1)/2⁴⁸ — hv < 2⁵³ so the
+  * dividend is double-exact and the division by a power of two is exact;
+  * ln/division follow the same IEEE sequence in both engines (q_log_odds
+  * precedent), and doc_id breaks any residual tie. Posting lists are
+  * sorted then pipe-joined (q_agg_collect precedent — the driver cannot
+  * hash raw arrays).
+  *
+  * Scale notes (100 TB lens):
+  *   - q_inverted_index shuffles distinct (token, doc_id) pairs once; the
+  *     top-20 relation is broadcast back, so posting collection touches
+  *     only the 20 winners' pairs. A full index build is the same plan
+  *     minus the top-k filter, partitioned by term.
+  *   - q_novelty is two shingle-grained aggregates (min doc per shingle —
+  *     the same grain MinHashDedup shuffles) and one doc-grained roll-up;
+  *     nothing is quadratic, no all-pairs.
+  *   - q_sample_weighted is ONE scan + TakeOrderedAndProject (bounded
+  *     per-partition heaps, merge of 32-row tops) — no global sort, no
+  *     second pass; this is why E-S keys beat rejection sampling at scale.
+  */
+object RetrievalQueries extends QueryModule {
+
+  /** 2⁴⁸ as an exact double (power of two). */
+  private val Hex48 = 281474976710656.0
+
+  private def hv48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+
+  /** Distinct (doc_id, source, 3-token shingle) triples. */
+  private def docShingles(df: DataFrame): DataFrame =
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+        .as("sh"))
+      .distinct()
+
+  override def queries: Map[String, Q] = Map(
+    // Top-20 df tokens with their 5 smallest doc ids (pipe-joined).
+    "q_inverted_index" -> ((s, dir) => {
+      val tok = graft.functions.Materialize(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"), col("doc_id"))
+          .filter(col("w") =!= "")
+          .distinct())
+      val top = tok.groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(20)
+      val post = tok.join(broadcast(top.select("w")), Seq("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("w").orderBy("doc_id")))
+        .filter(col("rn") <= 5)
+        .groupBy("w")
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), "|").as("posting"))
+      top.join(post, Seq("w"))
+        .select(col("w").as("token"), col("df"), col("posting"))
+        .orderBy(col("df").desc, col("token"))
+    }),
+
+    // Per-source mean first-occurrence shingle novelty.
+    "q_novelty" -> ((s, dir) => {
+      val sh = graft.functions.Materialize(
+        docShingles(t(s, dir, "documents")))
+      val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(first, Seq("sh"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"),
+          count_if(col("first_doc") === col("doc_id")).as("n_new"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          pround4(sum(col("n_new")).cast("double") / sum(col("n_sh")))
+            .as("novelty"))
+        .orderBy("source")
+    }),
+
+    // Length-weighted top-32 sample via Efraimidis-Spirakis keys.
+    "q_sample_weighted" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (log((hv48(col("doc_id").cast("string")) + 1).cast("double")
+            / lit(Hex48)) / col("n_chars")).as("k"))
+      keyed.orderBy(col("k").desc, col("doc_id")).limit(32)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("k").desc, col("doc_id"))))
+        .select(col("rnk"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("rnk")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_inverted_index" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT w, doc_id
+         |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w, doc_id
+         |        FROM documents)
+         |  WHERE w <> ''),
+         |top AS (
+         |  SELECT w, COUNT(*) AS df
+         |  FROM tok GROUP BY w
+         |  ORDER BY df DESC, w LIMIT 20),
+         |post AS (
+         |  SELECT w, LIST_AGGREGATE(LIST_SORT(LIST(doc_id))[1:5],
+         |    'string_agg', '|') AS posting
+         |  FROM (SELECT tok.w, tok.doc_id FROM tok JOIN top ON tok.w = top.w)
+         |  GROUP BY w)
+         |SELECT top.w AS token, top.df, post.posting
+         |FROM top JOIN post ON top.w = post.w
+         |ORDER BY df DESC, token""".stripMargin,
+
+    "q_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, source, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
+         |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+         |        FROM documents),
+         |    UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+         |  WHERE LEN(t) >= 3),
+         |fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+         |per_doc AS (
+         |  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+         |    COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_new
+         |  FROM sh s JOIN fst f ON s.sh = f.sh
+         |  GROUP BY s.doc_id, s.source)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  ${sqlRound4(
+             "CAST(SUM(n_new) AS DOUBLE) / CAST(SUM(n_sh) AS BIGINT)")}
+         |    AS novelty
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sample_weighted" -> {
+      val hex12 = (0 until 12).map { i =>
+        s"(STRPOS('0123456789abcdef', SUBSTR(h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
+      }.mkString(" + ")
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    LN((hv + 1) / 281474976710656.0) / n_chars AS k
+         |  FROM (SELECT doc_id, lang, n_chars, $hex12 AS hv
+         |        FROM (SELECT doc_id, lang, n_chars,
+         |                md5(CAST(doc_id AS VARCHAR)) AS h
+         |              FROM documents WHERE n_chars > 0)))
+         |SELECT ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rnk,
+         |  doc_id, lang, n_chars
+         |FROM keyed ORDER BY k DESC, doc_id LIMIT 32""".stripMargin
+    }
+  )
+}

@@ -37,7 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "q_wau" -> "7-day band join against the distinct-days side — calendar-bounded broadcast",
     "q_ks_test" -> "CDF support grid: cross of distinct sources × distinct n_chars values — both bounded derived relations, never the corpus",
     "q_chisq" -> "dense contingency grid: lang-marginal × source-marginal cross — both alphabet-bounded aggregates (zero cells must contribute e)",
-    "q_welch_ttest" -> "pairwise test grid: cross of the per-language statistic relation with itself — alphabet-bounded (|langs|² pairs), never the corpus")
+    "q_welch_ttest" -> "pairwise test grid: cross of the per-language statistic relation with itself — alphabet-bounded (|langs|² pairs), never the corpus",
+    "q_corr_matrix" -> "dense (day × type) grid: calendar-bounded distinct days × alphabet-bounded types — absent cells must zero-fill (q_chisq precedent)")
 
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
   private val sortLimitOk: Map[String, String] = Map.empty
