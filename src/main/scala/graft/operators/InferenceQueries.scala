@@ -56,8 +56,10 @@ import org.apache.spark.sql.types.DecimalType
 object InferenceQueries extends QueryModule {
 
   /** floor(CDF_Poisson(λ=1)(k) · 2⁴⁸) for k = 0..5; hash ≥ last ⇒ w = 6.
-    * Exact integer constants so the draw never touches a float. */
-  private val PoissonT: Seq[Long] = Seq(
+    * Exact integer constants so the draw never touches a float. Shared
+    * with the streaming twin (streaming/StreamingBootstrap) so both draw
+    * IDENTICAL weights for the same (doc_id, replicate). */
+  private[graft] val PoissonT: Seq[Long] = Seq(
     103548857136060L, 207097714272121L, 258872142840152L,
     276130285696162L, 280444821410164L, 281307728552965L)
 

@@ -980,4 +980,33 @@ class StreamingSpec extends SparkSpec {
         r.n_events) == ((st, vf, vt, cur, n)), s"user $u v$v: $r")
     }
   }
+
+  test("s_bootstrap: streaming Poisson-bootstrap CI equals the batch query") {
+    // mergeable-state contract (the s_kmv/s_psi pattern): the per-(lang,
+    // replicate) weighted sums are vector-additive, so streaming the
+    // corpus in two micro-batches must land on the batch query's CI
+    val docs = table("documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect().toSeq
+      .map(t => StreamingBootstrap.DocArrival(t._1, t._2, t._3))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[StreamingBootstrap.DocArrival]
+    val out = runToTable(
+      StreamingBootstrap.bootstrapCi(spark, in.toDS).toDF, "update",
+      () => in.addData(b1), () => in.addData(b2))
+    // upsert by lang: the emission with the largest n is the final state
+    val fin = out.as[StreamingBootstrap.BootCi].collect().toSeq
+      .groupBy(_.lang).map { case (l, rs) => l -> rs.maxBy(_.n) }
+    val batch = q("q_bootstrap_ci")
+      .select(col("lang"), col("n"), col("mean_chars"), col("boot_se"),
+        col("ci_lo"), col("ci_hi"))
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(batch.nonEmpty && fin.keySet == batch.map(_._1).toSet)
+    batch.foreach { case (lang, n, m, se, lo, hi) =>
+      val r = fin(lang)
+      assert((r.n, r.mean_chars, r.boot_se, r.ci_lo, r.ci_hi)
+        == ((n, m, se, lo, hi)), s"$lang: streaming $r vs batch " +
+        s"($n, $m, $se, $lo, $hi)")
+    }
+  }
 }
