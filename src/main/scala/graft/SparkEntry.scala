@@ -35,7 +35,8 @@ object SparkEntry {
     operators.QualityQueries,
     operators.StatsQueries,
     operators.InferenceQueries,
-    operators.RetrievalQueries
+    operators.RetrievalQueries,
+    operators.GovernanceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -389,4 +389,28 @@ class PropertySpec extends SparkSpec {
       assert(base == truth.toVector)
     }
   }
+
+  test("bootstrap state: batch-split/permutation invariant; weights in [0,6]") {
+    import graft.streaming.StreamingBootstrap._
+    def zero = BootState(0L, 0L, Array.fill(B)(0L), Array.fill(B)(0L))
+    def eq(a: BootState, b: BootState): Boolean =
+      a.n == b.n && a.sx == b.sx &&
+        a.swx.sameElements(b.swx) && a.sw.sameElements(b.sw)
+    for (_ <- 1 to 20) {
+      val docs = Seq.fill(5 + rnd.nextInt(40))(
+        DocArrival("l", rnd.nextInt(100000).toLong, 1L + rnd.nextInt(500)))
+      // the state is a vector sum: any split or order lands on the same
+      // totals (the merge contract a shard-then-merge topology relies on)
+      val whole = fold(zero, docs.iterator)
+      val cut = rnd.nextInt(docs.length)
+      val (a, b) = docs.splitAt(cut)
+      assert(eq(fold(fold(zero, a.iterator), b.iterator), whole))
+      assert(eq(fold(zero, rnd.shuffle(docs).iterator), whole))
+      // Poisson(1) weights: bounded, and the mean over many draws is ~1
+      val ws = for (d <- docs; bb <- 1 to B) yield weight(d.docId, bb)
+      assert(ws.forall(w => w >= 0L && w <= 6L))
+      val mean = ws.sum.toDouble / ws.length
+      assert(mean > 0.7 && mean < 1.3, s"weight mean $mean far from 1")
+    }
+  }
 }
