@@ -170,6 +170,65 @@ object TimeSeriesQueries extends QueryModule {
         .orderBy("event_type", "day")
     }),
 
+    // OHLC bars: per (event_type, day), the open/high/low/close of the
+    // value series — the financial downsample. First/last are resolved by
+    // row_number over (ts, event_id) in BOTH engines (arg_min/min_by tie
+    // rules differ across engines; the unique event_id tiebreak makes the
+    // pick total). One corpus-sized shuffle on (type, day); the windows
+    // run inside those partitions.
+    "q_ohlc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "events")
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val wf = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val wl = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rnf", row_number().over(wf))
+        .withColumn("rnl", row_number().over(wl))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          pround4(max(when(col("rnf") === 1, col("value")))).as("open"),
+          pround4(max(col("value"))).as("high"),
+          pround4(min(col("value"))).as("low"),
+          pround4(max(when(col("rnl") === 1, col("value")))).as("close"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Time-weighted average value per event type: each event's value
+    // holds until the user's NEXT event (LEAD), weighted by that gap in
+    // epoch-µs — the TSDB "time-weighted mean" that plain AVG gets wrong
+    // when sampling is irregular. Per-event contributions are exact:
+    // value scaled to 1e-4 BIGINT ticks × µs gap, summed in int128
+    // (DECIMAL(38,0) ↔ HUGEINT — q_ols2 discipline) so neither engine's
+    // double-sum order matters; ONE double division at the end. The LEAD
+    // window is keyed on user_id (corpus-sized shuffle); the final
+    // aggregate is alphabet-bounded.
+    "q_tw_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val seg = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 10000 + lit(0.5)).cast("long").as("sv"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+      seg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("sv").cast(d38) * col("dt")).as("num"),
+          sum(col("dt").cast(d38)).as("den"))
+        .select(col("event_type"), col("n_segments"),
+          pround4(when(col("den") > 0,
+            col("num").cast("double") / (col("den").cast("double") * 10000)))
+            .as("tw_avg"))
+        .orderBy("event_type")
+    }),
+
     // Rolling 7-day active users (WAU) per calendar day: dedup to the
     // (user, day) grain FIRST (that's the corpus-sized shuffle), then a
     // fan-out-≤7 range join against the bounded day list, then one
@@ -415,6 +474,38 @@ object TimeSeriesQueries extends QueryModule {
         |  AND b.di >= a.di - 9 AND b.di <= a.di
         |GROUP BY a.event_type, a.dday, a.n
         |ORDER BY a.event_type, day""".stripMargin,
+
+    "q_ohlc" ->
+      s"""WITH base AS (
+         |  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, STRFTIME(ts, '%Y-%m-%d')
+         |      ORDER BY ts, event_id) AS rnf,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, STRFTIME(ts, '%Y-%m-%d')
+         |      ORDER BY ts DESC, event_id DESC) AS rnl
+         |  FROM events)
+         |SELECT event_type, day, COUNT(*) AS n,
+         |  ${sqlRound4("MAX(CASE WHEN rnf = 1 THEN value END)")} AS open,
+         |  ${sqlRound4("MAX(value)")} AS high,
+         |  ${sqlRound4("MIN(value)")} AS low,
+         |  ${sqlRound4("MAX(CASE WHEN rnl = 1 THEN value END)")} AS close
+         |FROM base GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin,
+
+    "q_tw_avg" ->
+      s"""WITH seg AS (
+         |  SELECT user_id, event_type, event_id, EPOCH_US(ts) AS us,
+         |    CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS sv,
+         |    LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - EPOCH_US(ts) AS dt
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_segments,
+         |  ${sqlRound4(
+             "CASE WHEN SUM(CAST(dt AS HUGEINT)) > 0 THEN " +
+             "CAST(SUM(CAST(sv AS HUGEINT) * dt) AS DOUBLE) / " +
+             "(CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE) * 10000) END")}
+         |    AS tw_avg
+         |FROM seg WHERE dt IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

@@ -541,4 +541,54 @@ class TemporalQualitySpec extends SparkSpec {
       col("l_orderkey") === col("o_orderkey"))
     assert(join.count() == direct.count())
   }
+
+  test("ohlc: open/close resolve by (ts, event_id), high/low exact") {
+    val d = Files.createTempDirectory("graft-ohlc").toString
+    import spark.implicits._
+    import java.sql.Timestamp
+    def h(n: Int) = Timestamp.valueOf(f"2024-01-01 $n%02d:00:00")
+    // values 5, 9, 1, 3 across the day; plus a same-ts pair at hour 5
+    // where the LOWER event_id must win "first" and the higher "last"
+    Seq[(Long, Timestamp, Long, String, Option[Double], String)](
+      (1L, h(1), 1L, "a", Some(5.0), "{}"),
+      (2L, h(2), 1L, "a", Some(9.0), "{}"),
+      (3L, h(3), 1L, "a", Some(1.0), "{}"),
+      (4L, h(4), 1L, "a", Some(3.0), "{}"),
+      (10L, h(5), 1L, "b", Some(7.0), "{}"),
+      (11L, h(5), 1L, "b", Some(2.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val m = SparkEntry.queries("q_ohlc")(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("open"),
+          r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close")))).toMap
+    assert(m("a") == ((4L, 5.0, 9.0, 1.0, 3.0)))
+    assert(m("b") == ((2L, 7.0, 7.0, 2.0, 2.0)),
+      "same-ts tie: open = lower event_id, close = higher")
+  }
+
+  test("tw_avg: gap-weighted mean, last event dropped, type of segment start") {
+    val d = Files.createTempDirectory("graft-twavg").toString
+    import spark.implicits._
+    import java.sql.Timestamp
+    def sec(n: Int) = new Timestamp(1704067200000L + n * 1000L)
+    // user 1: a@10 for 100 s, then b@20 for 200 s, then a terminal event
+    // (no segment) → tw(a) = 10 (one segment), tw(b) = 20 (one segment)
+    // user 2: a@40 for 300 s → combined tw(a) = (10·100 + 40·300)/400
+    Seq[(Long, Timestamp, Long, String, Option[Double], String)](
+      (1L, sec(0), 1L, "a", Some(10.0), "{}"),
+      (2L, sec(100), 1L, "b", Some(20.0), "{}"),
+      (3L, sec(300), 1L, "a", Some(99.0), "{}"),
+      (4L, sec(0), 2L, "a", Some(40.0), "{}"),
+      (5L, sec(300), 2L, "b", Some(99.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val m = SparkEntry.queries("q_tw_avg")(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Double]("tw_avg")))).toMap
+    assert(m("a") == ((2L, 32.5)), "(10·100 + 40·300) / 400 = 32.5")
+    assert(m("b") == ((1L, 20.0)))
+    assert(!m.contains("__none"), m.toString)
+  }
 }
