@@ -168,6 +168,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NativeJaro.descriptor)
     ext.injectOptimizerRule(_ => PromoteCosineUdf)
     ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
