@@ -413,4 +413,25 @@ class PropertySpec extends SparkSpec {
       assert(mean > 0.7 && mean < 1.3, s"weight mean $mean far from 1")
     }
   }
+
+  test("ohlc state: batch-split/permutation invariant; matches a naive model") {
+    import graft.streaming.StreamingOhlc._
+    for (_ <- 1 to 20) {
+      val ticks = Seq.tabulate(3 + rnd.nextInt(40))(i =>
+        TickArrival("a", "d", rnd.nextInt(5).toLong /* force ts ties */,
+          i.toLong, rnd.nextInt(1000) / 10.0))
+      val whole = fold(None, ticks.iterator).get
+      val cut = rnd.nextInt(ticks.length)
+      val (a, b) = ticks.splitAt(cut)
+      assert(fold(fold(None, a.iterator), b.iterator).get == whole)
+      assert(fold(None, rnd.shuffle(ticks).iterator).get == whole)
+      // naive model: sort by the total order, take ends
+      val sorted = ticks.sortBy(t => (t.tsUs, t.eventId))
+      assert(whole.open == sorted.head.value)
+      assert(whole.close == sorted.last.value)
+      assert(whole.high == ticks.map(_.value).max)
+      assert(whole.low == ticks.map(_.value).min)
+      assert(whole.n == ticks.length.toLong)
+    }
+  }
 }

@@ -981,6 +981,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_ohlc: streaming candlesticks equal the batch bars") {
+    // mergeable first/last/min/max state: stream the events in two
+    // micro-batches (deliberately NOT time-ordered — the second batch
+    // replays earlier timestamps) and pin the final bars to q_ohlc
+    val ticks = table("events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+        unix_micros(col("ts")), col("event_id"), col("value"))
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+      .map(t => StreamingOhlc.TickArrival(t._1, t._2, t._3, t._4, t._5))
+    val (b1, b2) = ticks.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[StreamingOhlc.TickArrival]
+    val out = runToTable(
+      StreamingOhlc.ohlc(spark, in.toDS).toDF, "update",
+      () => in.addData(b1.map(_._1)), () => in.addData(b2.map(_._1)))
+    // upsert by (type, day): the emission with the largest n is final
+    val fin = out.as[StreamingOhlc.OhlcBar].collect().toSeq
+      .groupBy(b => (b.event_type, b.day)).map { case (k, bs) =>
+        k -> bs.maxBy(_.n)
+      }
+    val batch = q("q_ohlc")
+      .as[(String, String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(batch.nonEmpty && fin.size == batch.size)
+    batch.foreach { case (tpe, day, n, o, h, l, c) =>
+      val b = fin((tpe, day))
+      assert((b.n, b.open, b.high, b.low, b.close) == ((n, o, h, l, c)),
+        s"($tpe, $day): streaming $b vs batch ($n, $o, $h, $l, $c)")
+    }
+  }
+
   test("s_bootstrap: streaming Poisson-bootstrap CI equals the batch query") {
     // mergeable-state contract (the s_kmv/s_psi pattern): the per-(lang,
     // replicate) weighted sums are vector-additive, so streaming the
