@@ -114,22 +114,27 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
-  test("no registry plan cartesians, nested-loops, or unfused sort+limit") {
+  /** Unpartitioned windows whose input is NOT aggregate/limit-bounded.
+    * (Bounded ones — q_pareto_8020's customer-grain ranking and friends —
+    * never fire the rule at all.) */
+  private val globalWindowOk: Map[String, String] = Map.empty
+
+  test("no registry plan cartesians, nested-loops, unfused sort+limit, " +
+    "or unbounded global windows (PlanDoctor sweep)") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan
-        val nodes = flatten(plan)
-        val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-        if (nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
-            !cartesianOk.contains(name)) bad += s"$name: CartesianProduct"
-        if (nodes.exists {
-              case b: BroadcastNestedLoopJoinExec => !scalarBuildSide(b)
-              case _ => false
-            } && !bnljOk.contains(name)) bad += s"$name: BroadcastNestedLoopJoin"
-        if (nodes.exists(limitOverSort) &&
-            !nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]) &&
-            !sortLimitOk.contains(name)) bad += s"$name: GlobalLimit over global Sort (expected TakeOrderedAndProject)"
-        bad
+        graft.plans.PlanDoctor.diagnosePlan(plan)
+          .filter(_.severity == "risk")
+          .filterNot { f =>
+            (f.rule == "cartesian-product" && cartesianOk.contains(name)) ||
+            (f.rule == "nested-loop-join" && bnljOk.contains(name)) ||
+            (f.rule == "unfused-sort-limit" &&
+              (sortLimitOk.contains(name) ||
+                flatten(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]))) ||
+            (f.rule == "global-window" && globalWindowOk.contains(name))
+          }
+          .map(f => s"$name: ${f.render}")
     }
     assert(violations.isEmpty,
       s"plan lint violations:\n  ${violations.mkString("\n  ")}")
