@@ -406,10 +406,41 @@ object JoinQueries extends QueryModule {
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy("l_orderkey")
+    }),
+
+    // Unique-key join elimination under the oracle gate: the query left-
+    // joins the customer dimension but reads only order columns, so with
+    // c_custkey DECLARED unique the optimizer rule (plans/JoinElimination)
+    // drops the join — while the ORACLE executes the join literally. A
+    // hash match proves the elimination is semantics-preserving, the
+    // q_rollup_rewrite discipline; JoinElimSpec proves the join actually
+    // left the plan (eliminatedCount + plan walk).
+    "q_join_elim" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      graft.plans.JoinElimination.clear()
+      graft.plans.JoinElimination.registerUniqueKey(customer, Seq("c_custkey"))
+      val out = graft.functions.Materialize(
+        orders
+          .join(customer,
+            orders("o_custkey") === customer("c_custkey"), "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("rev"))
+          .orderBy("o_orderpriority"))
+      graft.plans.JoinElimination.clear()
+      out
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q_join_elim" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_null_safe_join" ->
       """WITH c AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
         |           FROM customer),

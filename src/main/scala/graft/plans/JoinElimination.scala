@@ -68,6 +68,7 @@ object JoinElimination extends Rule[LogicalPlan] {
       require(names.contains(c), s"unique-key column $c not in ${names}")
     }
     registry.add(Entry(stripProjects(analyzed), cols))
+    install(dim.sparkSession) // declaring a key implies wanting the rule
   }
 
   def clear(): Unit = registry.clear()

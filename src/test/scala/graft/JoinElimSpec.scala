@@ -128,6 +128,15 @@ class JoinElimSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("the oracle-gated q_join_elim actually eliminates when run") {
+    val before = JoinElimination.eliminatedCount
+    SparkEntry.queries("q_join_elim")(spark, sf).collect()
+    assert(JoinElimination.eliminatedCount > before,
+      "the registered query must exercise the rule, not just the shape")
+    // the query fn clears the registry on exit; restore this suite's key
+    JoinElimination.registerUniqueKey(customer, Seq("c_custkey"))
+  }
+
   test("attribute-only project over the dimension still matches") {
     val pruned = customer.select("c_custkey", "c_name")
     val j = orders
