@@ -154,6 +154,44 @@ object RollupRewrite extends Rule[LogicalPlan] {
     loadPersisted(fact, path)
   }
 
+  /** INCREMENTAL refresh of a persisted rollup under the APPEND-ONLY
+    * contract: `delta` holds only the rows added to the fact since the
+    * rollup was last written (never updates or deletes — those need the
+    * full registerPersisted rebuild). Every partial is mergeable, so the
+    * refresh is rollup(old) ⊎ rollup(delta) re-aggregated — sum of
+    * __cnt/__sum/__cntn, min of __min, max of __max — and costs
+    * O(delta + rollup), NEVER a fact scan. The merged table is
+    * materialized (localCheckpoint) BEFORE the overwrite so the lazy
+    * read cannot race its own target, then registered for `factNow`
+    * (the fact INCLUDING the delta — the plan later queries will carry).
+    * Returns the refreshed read-back rollup. */
+  def refreshAppended(factNow: DataFrame, path: String,
+                      delta: DataFrame): DataFrame = {
+    checkFact(factNow)
+    val spark = factNow.sparkSession
+    val old = spark.read.parquet(path)
+    val cols = old.columns.toSeq
+    require(cols.contains("__cnt"),
+      s"$path is not a RollupRewrite table (missing __cnt)")
+    def strip(p: String) = cols.filter(_.startsWith(p)).map(_.stripPrefix(p))
+    val groupCols = cols.filterNot(_.startsWith("__"))
+    val deltaRollup = build(delta, groupCols,
+      strip("__sum_"), strip("__min_"), strip("__max_"))
+      .select(cols.map(col): _*) // align column order for the union
+    val mergeAggs = cols.filter(_.startsWith("__")).map { c =>
+      if (c.startsWith("__min_")) min(col(c)).as(c)
+      else if (c.startsWith("__max_")) max(col(c)).as(c)
+      else sum(col(c)).as(c) // __cnt, __sum_*, __cntn_* all add
+    }
+    val merged = graft.functions.Materialize(
+      old.unionByName(deltaRollup)
+        .groupBy(groupCols.map(col): _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .select(cols.map(col): _*))
+    merged.write.mode("overwrite").parquet(path)
+    loadPersisted(factNow, path)
+  }
+
   /** Register a previously written rollup table for `fact`. The column
     * contract is decoded from the rollup's own schema (group columns =
     * the non-`__` names; measures from the `__sum_`/`__min_`/`__max_`

@@ -178,6 +178,47 @@ class RollupSpec extends SparkSpec with BeforeAndAfterAll {
     assert(q.collect().map(_.toSeq).sameElements(exp))
   }
 
+  test("refreshAppended: incremental merge == full rebuild, and serves") {
+    RollupRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh_")
+      .toString
+    // append-only story: the fact arrives in two slices
+    val slice1 = fact.filter(col("l_orderkey") % 3 =!= 0)
+    val slice2 = fact.filter(col("l_orderkey") % 3 === 0)
+    RollupRewrite.registerPersisted(slice1, dir,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_suppkey"), minCols = Seq("l_partkey"),
+      maxCols = Seq("l_partkey"))
+    RollupRewrite.clear()
+    // slice2 lands: merge partials, never rescan slice1
+    RollupRewrite.refreshAppended(fact, dir, slice2)
+    // table content == a from-scratch build over the FULL fact
+    val refreshed = spark.read.parquet(dir)
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq)
+    val rebuilt = RollupRewrite.build(fact,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_suppkey"),
+        Seq("l_partkey"), Seq("l_partkey"))
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq)
+    assert(refreshed.toSeq == rebuilt.toSeq,
+      "merged partials must equal the full rebuild exactly")
+    // and the refreshed rollup now serves queries over the full fact
+    def q = fact.groupBy("l_returnflag")
+      .agg(sum("l_suppkey").as("s"), min("l_partkey").as("mn"),
+        avg("l_suppkey").as("a"))
+      .orderBy("l_returnflag")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_refresh_") && !plan.contains("lineitem"),
+      s"not served from the refreshed rollup:\n$plan")
+    val direct = fact.filter(lit(true)).groupBy("l_returnflag")
+      .agg(sum("l_suppkey").as("s"), min("l_partkey").as("mn"),
+        avg("l_suppkey").as("a"))
+      .orderBy("l_returnflag")
+    // filter(lit(true)) perturbs the plan so THIS one scans the fact
+    assert(q.collect().map(_.toSeq).toSeq
+      == direct.collect().map(_.toSeq).toSeq)
+    RollupRewrite.clear()
+  }
+
   test("the smallest matching rollup wins when several match") {
     RollupRewrite.clear()
     def q = fact.groupBy("l_returnflag").agg(sum("l_linenumber").as("s"))
