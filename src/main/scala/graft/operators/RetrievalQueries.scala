@@ -98,6 +98,41 @@ object RetrievalQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // BM25 top-10 for the corpus's own 3 highest-df terms [Robertson &
+    // Zaragoza 2009; Lucene's idf variant] — the sparse-retrieval scorer
+    // over the q_inverted_index machinery. Per-term contributions are
+    // scaled to BIGINTs before the per-doc sum so the ranking never
+    // depends on float summation order.
+    "q_bm25" -> ((s, dir) => {
+      val tok = graft.functions.Materialize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= ""))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dfw = tok.select("w", "doc_id").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val qterms = dfw.orderBy(col("df").desc, col("w")).limit(3)
+      val tf = tok.join(broadcast(qterms), Seq("w"))
+        .groupBy("doc_id", "w", "df").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          floor((log((col("n_docs") - col("df") + 0.5)
+              / (col("df") + 0.5) + lit(1.0))
+            * (col("tf") * lit(2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * col("dl")
+                  / (col("sum_dl").cast("double") / col("n_docs"))))))
+            * lit(1e10) + lit(0.5)).cast("bigint").as("ti"))
+        .groupBy("doc_id").agg(sum(col("ti")).as("si"))
+      scored.orderBy(col("si").desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("si").desc, col("doc_id"))))
+        .select(col("rnk"), col("doc_id"),
+          pround4(col("si").cast("double") / lit(1e10)).as("score"))
+        .orderBy("rnk")
+    }),
+
     // Length-weighted top-32 sample via Efraimidis-Spirakis keys.
     "q_sample_weighted" -> ((s, dir) => {
       val keyed = t(s, dir, "documents")
@@ -151,6 +186,39 @@ object RetrievalQueries extends QueryModule {
              "CAST(SUM(n_new) AS DOUBLE) / CAST(SUM(n_sh) AS BIGINT)")}
          |    AS novelty
          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w
+         |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE w <> ''),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |dfw AS (
+         |  SELECT w, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT w, doc_id FROM tok) GROUP BY w),
+         |qterms AS (SELECT w, df FROM dfw ORDER BY df DESC, w LIMIT 3),
+         |tf AS (
+         |  SELECT tok.doc_id, tok.w, q.df, COUNT(*) AS tf
+         |  FROM tok JOIN qterms q ON tok.w = q.w
+         |  GROUP BY tok.doc_id, tok.w, q.df),
+         |terms AS (
+         |  SELECT tf.doc_id,
+         |    CAST(FLOOR((LN((s.n_docs - tf.df + 0.5) / (tf.df + 0.5) + 1.0)
+         |      * (tf.tf * 2.2
+         |        / (tf.tf + 1.2 * (0.25
+         |          + 0.75 * dl.dl
+         |            / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+         |      * 1e10 + 0.5) AS BIGINT) AS ti
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT doc_id, CAST(SUM(ti) AS BIGINT) AS si
+         |  FROM terms GROUP BY doc_id)
+         |SELECT ROW_NUMBER() OVER (ORDER BY si DESC, doc_id) AS rnk,
+         |  doc_id, ${sqlRound4("CAST(si AS DOUBLE) / 1e10")} AS score
+         |FROM scored ORDER BY si DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_sample_weighted" -> {
       val hex12 = (0 until 12).map { i =>

@@ -58,6 +58,34 @@ class RetrievalSpec extends SparkSpec {
       "the 10^6-weight doc must outrank unit-weight docs")
   }
 
+  test("bm25: ranks and scores match an independent scorer") {
+    val d = docs(Files.createTempDirectory("graft-bm25").toString, Seq(
+      (1L, "aa aa bb", "en", "s", 8L),
+      (2L, "aa cc", "en", "s", 5L),
+      (3L, "bb bb bb cc", "en", "s", 11L)))
+    // independent evaluation: N=3, every term df=2, dl = 3/2/4, avgdl=3
+    def term(tf: Long, df: Long, dl: Long, n: Long, avgdl: Double): Long = {
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      math.floor(idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        * 1e10 + 0.5).toLong
+    }
+    def score(terms: Seq[(Long, Long)], dl: Long): Double = {
+      val si = terms.map { case (tf, df) => term(tf, df, dl, 3L, 3.0) }.sum
+      math.floor(si.toDouble / 1e10 * 10000 + 0.5) / 10000
+    }
+    val expected = Map( // (doc, its query-term tfs)
+      1L -> score(Seq((2L, 2L), (1L, 2L)), 3L), // aa×2, bb×1
+      2L -> score(Seq((1L, 2L), (1L, 2L)), 2L), // aa, cc
+      3L -> score(Seq((3L, 2L), (1L, 2L)), 4L)) // bb×3, cc
+    val rows = run("q_bm25", d).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score")))
+    assert(rows.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"hand-derived order doc1 > doc3 > doc2: $rows")
+    rows.foreach { case (_, doc, s) => assert(s == expected(doc),
+      s"doc $doc: engine $s vs model ${expected(doc)}") }
+  }
+
   test("corr_matrix: r = +1, r = -1, and NULL on a constant series") {
     val d = Files.createTempDirectory("graft-corr").toString
     import spark.implicits._
