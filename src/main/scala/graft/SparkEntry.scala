@@ -36,7 +36,8 @@ object SparkEntry {
     operators.StatsQueries,
     operators.InferenceQueries,
     operators.RetrievalQueries,
-    operators.GovernanceQueries
+    operators.GovernanceQueries,
+    operators.EvalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 M — retrieval/model EVALUATION metrics over the labeled
+  * embeddings table: after the engine builds indexes (q_inverted_index,
+  * IvfIndex, PQ) and retrieves neighbors, these score HOW GOOD the
+  * retrieval is — the eval harness a training-data pipeline runs on every
+  * index rebuild:
+  *
+  *   - q_ndcg: NDCG@10 + precision@10 per probe, relevance = label match
+  *     [Järvelin & Kekäläinen 2002]. DCG and ideal-DCG positions are
+  *     scaled to BIGINTs so the metric never depends on float summation
+  *     order; the ideal ranking is derived in-relation (first m = min(10,
+  *     |same-label| − 1) positions relevant).
+  *   - q_centroid_confusion: nearest-centroid classification audit — per
+  *     label a mean-vector centroid (the q_vector_mean scaled-integer
+  *     idiom), every vector assigned to its best centroid by cosine
+  *     (norms constant per label, so scaled-integer dot products order
+  *     identically), and the (true, predicted) confusion counts.
+  *
+  * Scale notes (100 TB lens):
+  *   - q_ndcg joins a 10-row broadcast probe set against the corpus
+  *     (the q_knn_join shape — allowlisted); everything after the top-10
+  *     window is KB-sized.
+  *   - q_centroid_confusion is two relational passes at (vec × dim)
+  *     grain: centroid build (label×dim partial aggregate — alphabet ×
+  *     64 post-shuffle) and assignment (dim-grain join against the
+  *     broadcast 3×64 centroid relation, collapsed map-side to
+  *     vec × label). No driver math, no UDF — the classifier IS a plan.
+  */
+object EvalQueries extends QueryModule {
+
+  private def cosine(s: org.apache.spark.sql.SparkSession,
+                     a: String, b: String): Column = {
+    graft.functions.NativeCosine.register(s)
+    call_function(graft.functions.NativeCosine.name, col(a), col(b))
+  }
+
+  private def duckCosine(a: String, b: String): String =
+    s"""(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |  * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+      .stripMargin
+
+  override def queries: Map[String, Q] = Map(
+    // NDCG@10 and P@10 per probe, relevance = same label.
+    "q_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("pid"), col("embedding").as("p"),
+          col("label").as("plabel"))
+      val top = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("plabel"), col("vec_id"), col("label"),
+          cosine(s, "embedding", "p").as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val labelCnt = e.groupBy(col("label").as("plabel"))
+        .agg(count(lit(1)).as("nlab"))
+      top.join(broadcast(labelCnt), Seq("plabel"))
+        .select(col("pid"), col("rn"),
+          when(col("label") === col("plabel"), 1L).otherwise(0L).as("rel"),
+          least(lit(10L), col("nlab") - 1).as("m"))
+        .select(col("pid"), col("rel"),
+          floor(col("rel").cast("double") / log2(col("rn") + 1) * 1e12
+            + lit(0.5)).cast("long").as("gain"),
+          when(col("rn") <= col("m"),
+            floor(lit(1.0) / log2(col("rn") + 1) * 1e12 + lit(0.5))
+              .cast("long")).otherwise(0L).as("igain"))
+        .groupBy("pid")
+        .agg(sum(col("rel")).as("n_rel"), sum(col("gain")).as("dcg"),
+          sum(col("igain")).as("idcg"))
+        .select(col("pid").as("probe_id"), col("n_rel"),
+          pround4(when(col("idcg") > 0,
+            col("dcg").cast("double") / col("idcg"))).as("ndcg"),
+          pround4(col("n_rel").cast("double") / 10).as("p_at_10"))
+        .orderBy("probe_id")
+    }),
+
+    // Nearest-centroid confusion matrix over the labeled embeddings.
+    "q_centroid_confusion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ex = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      // centroid mean per (label, pos): exact scaled-BIGINT sum, two
+      // pinned divisions (the q_vector_mean discipline)
+      val cent = graft.functions.Materialize(
+        ex.groupBy(col("label").as("clabel"), col("pos"))
+          .agg(((sum(floor(col("v").cast("double") * 10000 + lit(0.5))
+            .cast("long")).cast("double") / 10000) / count(lit(1)))
+            .as("mv")))
+      val cnorm = cent.groupBy("clabel")
+        .agg(sum(floor(col("mv") * col("mv") * 1e12 + lit(0.5))
+          .cast("long")).as("cn"))
+      val dots = ex.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(floor(col("v").cast("double") * col("mv") * 1e8 + lit(0.5))
+          .cast("long")).as("dot"))
+      val pred = dots.join(broadcast(cnorm), Seq("clabel"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          (col("dot").cast("double") / sqrt(col("cn").cast("double")))
+            .as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("score").desc, col("clabel"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("label").as("true_label"),
+          col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_ndcg" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS pid, embedding AS p, label AS plabel
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT pr.pid, pr.plabel, e.vec_id, e.label,
+         |    ${duckCosine("e.embedding", "pr.p")} AS cos
+         |  FROM embeddings e CROSS JOIN probes pr
+         |  WHERE e.vec_id <> pr.pid),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT pid, plabel, vec_id, label, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY pid
+         |        ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored)
+         |  WHERE rn <= 10),
+         |lc AS (SELECT label AS plabel, COUNT(*) AS nlab
+         |  FROM embeddings GROUP BY label),
+         |g AS (
+         |  SELECT t.pid, t.rn,
+         |    CASE WHEN t.label = t.plabel THEN 1 ELSE 0 END AS rel,
+         |    LEAST(10, lc.nlab - 1) AS m
+         |  FROM top t JOIN lc ON t.plabel = lc.plabel),
+         |terms AS (
+         |  SELECT pid, rel,
+         |    CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rn + 1) * 1e12 + 0.5)
+         |      AS BIGINT) AS gain,
+         |    CASE WHEN rn <= m THEN
+         |      CAST(FLOOR(1.0 / LOG2(rn + 1) * 1e12 + 0.5) AS BIGINT)
+         |      ELSE 0 END AS igain
+         |  FROM g)
+         |SELECT pid AS probe_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |  ${sqlRound4(
+             "CASE WHEN SUM(igain) > 0 THEN " +
+             "CAST(SUM(gain) AS DOUBLE) / CAST(SUM(igain) AS BIGINT) END")}
+         |    AS ndcg,
+         |  ${sqlRound4("CAST(SUM(rel) AS DOUBLE) / 10")} AS p_at_10
+         |FROM terms GROUP BY pid ORDER BY probe_id""".stripMargin,
+
+    "q_centroid_confusion" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, CAST(i - 1 AS INT) AS pos,
+         |    CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN RANGE(1, 65) t(i)),
+         |cent AS (
+         |  SELECT label AS clabel, pos,
+         |    (CAST(SUM(CAST(FLOOR(v * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 10000) / COUNT(*) AS mv
+         |  FROM ex GROUP BY label, pos),
+         |cn AS (
+         |  SELECT clabel,
+         |    CAST(SUM(CAST(FLOOR(mv * mv * 1e12 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cn
+         |  FROM cent GROUP BY clabel),
+         |dots AS (
+         |  SELECT ex.vec_id, ex.label, c.clabel,
+         |    CAST(SUM(CAST(FLOOR(ex.v * c.mv * 1e8 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS dot
+         |  FROM ex JOIN cent c ON ex.pos = c.pos
+         |  GROUP BY ex.vec_id, ex.label, c.clabel),
+         |pred AS (
+         |  SELECT * FROM (
+         |    SELECT d.vec_id, d.label, d.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |        ORDER BY CAST(d.dot AS DOUBLE) / SQRT(CAST(cn.cn AS DOUBLE))
+         |          DESC, d.clabel) AS rn
+         |    FROM dots d JOIN cn ON d.clabel = cn.clabel)
+         |  WHERE rn = 1)
+         |SELECT label AS true_label, clabel AS pred_label, COUNT(*) AS n
+         |FROM pred GROUP BY label, clabel
+         |ORDER BY true_label, pred_label""".stripMargin
+  )
+}

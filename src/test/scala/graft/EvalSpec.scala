@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+/** Planted-fixture semantics for EvalQueries: NDCG's 1.0 / 0.0 corners
+  * and the ideal-DCG truncation, and the centroid classifier's perfect
+  * diagonal on separable clusters.
+  */
+class EvalSpec extends SparkSpec {
+
+  private def run(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** 64-dim one-hot-ish vector: `hot` carries `w`, rest zero. */
+  private def vec(hot: Int, w: Float): Array[Float] = {
+    val a = Array.fill(64)(0.0f); a(hot) = w; a
+  }
+
+  private def emb(d: String,
+                  rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("ndcg: perfect ranking scores 1.0, fully-wrong ranking scores 0.0") {
+    // probe 0 (label 0, axis 0). Same-label candidates sit ON the probe
+    // axis (cos 1 > everything); 12 other-label candidates on axis 1.
+    val d = emb(Files.createTempDirectory("graft-ndcg").toString,
+      Seq((0L, vec(0, 1f), 0)) ++
+        (1L to 3L).map(i => (i, vec(0, (10 - i).toFloat), 0)) ++
+        (4L to 15L).map(i => (i, vec(1, i.toFloat), 1)))
+    val rows = run("q_ndcg", d).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Double]("ndcg"),
+          r.getAs[Double]("p_at_10")))).toMap
+    // probe 0: its 3 same-label twins rank 1-3 (cos 1), m = 3 → ideal
+    assert(rows(0L) == ((3L, 1.0, 0.3)), rows(0L).toString)
+    // probe 4 (label 1): the top-10 contains 9 same-label + the probe
+    // axis-0 vectors score cos 0 — same-label fills the list → NDCG 1
+    assert(rows(4L)._2 == 1.0)
+    // a probe whose ONLY same-label candidates are crowded out: give
+    // label 2 a lone probe (no same-label candidates at all) → idcg = 0
+    val d2 = emb(Files.createTempDirectory("graft-ndcg2").toString,
+      Seq((0L, vec(0, 1f), 2)) ++
+        (4L to 15L).map(i => (i, vec(1, i.toFloat), 1)))
+    val lone = run("q_ndcg", d2).collect()
+      .find(_.getAs[Long]("probe_id") == 0L).get
+    assert(lone.getAs[Long]("n_rel") == 0L)
+    assert(lone.isNullAt(lone.fieldIndex("ndcg")),
+      "no possible relevant candidate → NULL ndcg, not 0/0")
+  }
+
+  test("centroid confusion: separable clusters give a perfect diagonal") {
+    val d = emb(Files.createTempDirectory("graft-conf").toString,
+      (0L to 4L).map(i => (i, vec(0, (i + 1).toFloat), 0)) ++
+        (5L to 9L).map(i => (i, vec(1, (i + 1).toFloat), 1)) ++
+        (10L to 14L).map(i => (i, vec(2, (i + 1).toFloat), 7)))
+    val m = run("q_centroid_confusion", d).collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+        r.getAs[Long]("n")).toMap
+    assert(m == Map((0, 0) -> 5L, (1, 1) -> 5L, (7, 7) -> 5L),
+      s"axis-separated clusters must classify perfectly: $m")
+  }
+}

@@ -38,7 +38,8 @@ class PlanLintSpec extends SparkSpec {
     "q_ks_test" -> "CDF support grid: cross of distinct sources × distinct n_chars values — both bounded derived relations, never the corpus",
     "q_chisq" -> "dense contingency grid: lang-marginal × source-marginal cross — both alphabet-bounded aggregates (zero cells must contribute e)",
     "q_welch_ttest" -> "pairwise test grid: cross of the per-language statistic relation with itself — alphabet-bounded (|langs|² pairs), never the corpus",
-    "q_corr_matrix" -> "dense (day × type) grid: calendar-bounded distinct days × alphabet-bounded types — absent cells must zero-fill (q_chisq precedent)")
+    "q_corr_matrix" -> "dense (day × type) grid: calendar-bounded distinct days × alphabet-bounded types — absent cells must zero-fill (q_chisq precedent)",
+    "q_ndcg" -> "10-row probe set broadcast against the streamed corpus (the q_knn_join shape) — linear in the corpus, KB-bounded after the top-10 window")
 
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
   private val sortLimitOk: Map[String, String] = Map.empty
