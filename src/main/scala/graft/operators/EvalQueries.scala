@@ -82,6 +82,34 @@ object EvalQueries extends QueryModule {
         .orderBy("probe_id")
     }),
 
+    // ROC-AUC of "cosine to probe 0" as a same-label classifier score,
+    // via the Mann-Whitney rank-sum on a DISTRIBUTED two-phase rank
+    // (functions/RangeRank) — no single-partition window anywhere in the
+    // plan. Scores are exact scaled integers and the tie-break (vec_id)
+    // is total, so the ordinal rank formula is engine-identical.
+    "q_auc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"), col("label").as("plabel"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          floor(cosine(s, "embedding", "p") * 1e12 + lit(0.5))
+            .cast("long").as("sc"),
+          when(col("label") === col("plabel"), 1L).otherwise(0L).as("pos"))
+      graft.functions.RangeRank
+        .withRank(cand, Seq(col("sc"), col("vec_id")), "r")
+        .agg(sum(col("pos")).as("n_pos"),
+          sum(lit(1L) - col("pos")).as("n_neg"),
+          sum(col("pos") * col("r")).as("sr"))
+        .select(col("n_pos"), col("n_neg"),
+          // 2U / 2n⁺n⁻ keeps every term BIGINT until the one division
+          pround4(when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("sr") * 2 - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") / (col("n_pos") * col("n_neg") * 2)))
+            .as("auc"))
+    }),
+
     // Nearest-centroid confusion matrix over the labeled embeddings.
     "q_centroid_confusion" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -155,6 +183,28 @@ object EvalQueries extends QueryModule {
          |    AS ndcg,
          |  ${sqlRound4("CAST(SUM(rel) AS DOUBLE) / 10")} AS p_at_10
          |FROM terms GROUP BY pid ORDER BY probe_id""".stripMargin,
+
+    "q_auc" ->
+      s"""WITH probe AS (
+         |  SELECT embedding AS p, label AS plabel
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id,
+         |    CAST(FLOOR(${duckCosine("e.embedding", "pr.p")} * 1e12 + 0.5)
+         |      AS BIGINT) AS sc,
+         |    CASE WHEN e.label = pr.plabel THEN 1 ELSE 0 END AS pos
+         |  FROM embeddings e CROSS JOIN probe pr
+         |  WHERE e.vec_id <> 0),
+         |rk AS (
+         |  SELECT pos, ROW_NUMBER() OVER (ORDER BY sc, vec_id) AS r
+         |  FROM cand)
+         |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+         |  ${sqlRound4(
+             "CASE WHEN SUM(pos) > 0 AND SUM(1 - pos) > 0 THEN " +
+             "CAST(SUM(pos * r) * 2 - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)" +
+             " / (SUM(pos) * SUM(1 - pos) * 2) END")} AS auc
+         |FROM rk""".stripMargin,
 
     "q_centroid_confusion" ->
       s"""WITH ex AS (

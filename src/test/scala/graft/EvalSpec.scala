@@ -52,6 +52,51 @@ class EvalSpec extends SparkSpec {
       "no possible relevant candidate → NULL ndcg, not 0/0")
   }
 
+  test("range-rank: distributed two-phase rank == single-window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicate keys force the tiebreak; enough rows to span partitions
+    val df = Seq.fill(5000)((rnd.nextInt(300).toLong, rnd.nextLong()))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("k", "v", "id")
+    val two = graft.functions.RangeRank
+      .withRank(df, Seq(col("k"), col("id")), "r", partitions = 7)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val one = df.withColumn("r",
+        row_number().over(Window.orderBy(col("k"), col("id"))))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(two == one, "two-phase ranks must equal the global window")
+    // and the two-phase plan has NO unpartitioned corpus window
+    val risks = graft.plans.PlanDoctor.diagnose(
+      graft.functions.RangeRank.withRank(df, Seq(col("k"), col("id")), "r",
+        partitions = 7))
+      .filter(f => f.severity == "risk" && f.rule == "global-window")
+    assert(risks.isEmpty, risks.map(_.render).toString)
+  }
+
+  test("auc: separable scores give 1.0, inverted scores give 0.0") {
+    // probe 0 label 0 on axis 0. Same-label candidates CLOSER to the
+    // probe than every other-label candidate → AUC 1; flip labels → 0.
+    def fixture(sameLabelNear: Boolean): String = {
+      val (nearL, farL) = if (sameLabelNear) (0, 1) else (1, 0)
+      emb(Files.createTempDirectory("graft-auc").toString,
+        Seq((0L, vec(0, 1f), 0)) ++
+          (1L to 5L).map(i => (i, { // near: mostly axis 0
+            val a = vec(0, 10f); a(1) = i.toFloat; a
+          }, nearL)) ++
+          (6L to 10L).map(i => (i, { // far: mostly axis 1
+            val a = vec(1, 10f); a(0) = (i - 5).toFloat; a
+          }, farL)))
+    }
+    val hi = run("q_auc", fixture(true)).collect().head
+    assert(hi.getAs[Long]("n_pos") == 5L && hi.getAs[Long]("n_neg") == 5L)
+    assert(hi.getAs[Double]("auc") == 1.0)
+    val lo = run("q_auc", fixture(false)).collect().head
+    assert(lo.getAs[Double]("auc") == 0.0)
+  }
+
   test("centroid confusion: separable clusters give a perfect diagonal") {
     val d = emb(Files.createTempDirectory("graft-conf").toString,
       (0L to 4L).map(i => (i, vec(0, (i + 1).toFloat), 0)) ++
