@@ -110,6 +110,37 @@ object EvalQueries extends QueryModule {
             .as("auc"))
     }),
 
+    // Calibration/reliability curve: scores bucketed into rank deciles
+    // (integer arithmetic on the SAME distributed rank as q_auc), per
+    // decile the positive rate and mean score — "do higher cosines mean
+    // higher same-label probability, monotonically?"
+    "q_reliability" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"), col("label").as("plabel"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          floor(cosine(s, "embedding", "p") * 1e12 + lit(0.5))
+            .cast("long").as("sc"),
+          when(col("label") === col("plabel"), 1L).otherwise(0L).as("pos"))
+      val tot = cand.agg(count(lit(1)).as("n"))
+      graft.functions.RangeRank
+        .withRank(cand, Seq(col("sc"), col("vec_id")), "r")
+        .crossJoin(broadcast(tot))
+        .select(col("sc"), col("pos"),
+          expr("((r - 1) * 10) div n").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_bucket"), sum(col("pos")).as("n_pos"),
+          sum(col("sc")).as("ssc"))
+        .select(col("decile"), col("n_bucket"), col("n_pos"),
+          pround4(col("n_pos").cast("double") / col("n_bucket"))
+            .as("pos_rate"),
+          pround4(col("ssc").cast("double") / col("n_bucket") / 1e12)
+            .as("mean_cos"))
+        .orderBy("decile")
+    }),
+
     // Nearest-centroid confusion matrix over the labeled embeddings.
     "q_centroid_confusion" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -205,6 +236,29 @@ object EvalQueries extends QueryModule {
              "CAST(SUM(pos * r) * 2 - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)" +
              " / (SUM(pos) * SUM(1 - pos) * 2) END")} AS auc
          |FROM rk""".stripMargin,
+
+    "q_reliability" ->
+      s"""WITH probe AS (
+         |  SELECT embedding AS p, label AS plabel
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id,
+         |    CAST(FLOOR(${duckCosine("e.embedding", "pr.p")} * 1e12 + 0.5)
+         |      AS BIGINT) AS sc,
+         |    CASE WHEN e.label = pr.plabel THEN 1 ELSE 0 END AS pos
+         |  FROM embeddings e CROSS JOIN probe pr
+         |  WHERE e.vec_id <> 0),
+         |rk AS (
+         |  SELECT sc, pos,
+         |    ROW_NUMBER() OVER (ORDER BY sc, vec_id) AS r,
+         |    COUNT(*) OVER () AS n
+         |  FROM cand)
+         |SELECT ((r - 1) * 10) // n AS decile, COUNT(*) AS n_bucket,
+         |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  ${sqlRound4("CAST(SUM(pos) AS DOUBLE) / COUNT(*)")} AS pos_rate,
+         |  ${sqlRound4("CAST(SUM(sc) AS DOUBLE) / COUNT(*) / 1e12")}
+         |    AS mean_cos
+         |FROM rk GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q_centroid_confusion" ->
       s"""WITH ex AS (

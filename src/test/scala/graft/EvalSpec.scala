@@ -97,6 +97,28 @@ class EvalSpec extends SparkSpec {
     assert(lo.getAs[Double]("auc") == 0.0)
   }
 
+  test("reliability: deciles partition the ranking; separable data is " +
+    "a step function") {
+    val d = emb(Files.createTempDirectory("graft-rel").toString,
+      Seq((0L, vec(0, 1f), 0)) ++
+        (1L to 10L).map(i => (i, { // same label, cosine ≈ 1
+          val a = vec(0, 10f); a(1) = i * 0.1f; a
+        }, 0)) ++
+        (11L to 20L).map(i => (i, { // other label, cosine ≈ 0
+          val a = vec(1, 10f); a(0) = (i - 10) * 0.1f; a
+        }, 1)))
+    val rows = run("q_reliability", d).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_bucket"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("pos_rate")))
+    assert(rows.map(_._2).sum == 20L, "deciles partition all candidates")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    // rank ascending = score ascending: the LOW deciles are negatives,
+    // the HIGH deciles positives — a clean step
+    val (lo, hi) = rows.partition(_._1 < 5)
+    assert(lo.forall(_._4 == 0.0), s"low deciles all-negative: $rows")
+    assert(hi.forall(_._4 == 1.0), s"high deciles all-positive: $rows")
+  }
+
   test("centroid confusion: separable clusters give a perfect diagonal") {
     val d = emb(Files.createTempDirectory("graft-conf").toString,
       (0L to 4L).map(i => (i, vec(0, (i + 1).toFloat), 0)) ++
