@@ -40,6 +40,10 @@ object EvalQueries extends QueryModule {
     call_function(graft.functions.NativeCosine.name, col(a), col(b))
   }
 
+  /** 48-bit integer of the first 12 md5 hex chars (SketchQueries idiom). */
+  private def hv48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+
   private def duckCosine(a: String, b: String): String =
     s"""(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -108,6 +112,69 @@ object EvalQueries extends QueryModule {
             (col("sr") * 2 - col("n_pos") * (col("n_pos") + 1))
               .cast("double") / (col("n_pos") * col("n_neg") * 2)))
             .as("auc"))
+    }),
+
+    // Dedup-pipeline self-audit: on a BOUNDED doc block, compare the
+    // banded-MinHash candidate set (k=8 signatures, 4 bands × 2 rows,
+    // md5-derived so both engines draw identical hashes) against exact
+    // shingle-Jaccard ≥ 0.5 ground truth → candidate precision / recall /
+    // F1. The fixture-scale twin of the AnnBench/SimHashBench recall
+    // measurements: the ORACLE-CHECKED proof that band collision finds
+    // what exact Jaccard finds. The block (doc_id < 1000, 7-28 true pairs per SF) bounds the
+    // exact-pair side; production recall at scale is measured in the
+    // benches, this pins the MECHANISM.
+    "q_minhash_eval" -> ((s, dir) => {
+      val sh = graft.functions.Materialize(
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 1000)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+            .as("sh"))
+          .distinct())
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      // exact ground truth: 2·|∩| ≥ |∪| (jaccard ≥ 0.5, integer compare)
+      val inter = sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val truePairs = inter
+        .join(cnt.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
+        .join(cnt.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+        .filter(col("i") * 3 >= col("ca") + col("cb")) // jac ≥ ½ ⇔ 3i ≥ ca+cb
+        .select(col("a"), col("b"))
+      // banded minhash: m_j = min md5-48(j:shingle); band key = 2 rows
+      val sigs = sh.select(col("doc_id"),
+          explode(sequence(lit(0), lit(7))).as("j"),
+          col("sh"))
+        .groupBy("doc_id", "j")
+        .agg(min(hv48(concat(col("j").cast("string"), lit(":"), col("sh"))))
+          .as("m"))
+        .withColumn("band", expr("j div 2"))
+        .groupBy("doc_id", "band")
+        .agg(min(when(col("j") % 2 === 0, col("m"))).as("m0"),
+          min(when(col("j") % 2 === 1, col("m"))).as("m1"))
+      val cand = sigs.select(col("doc_id").as("a"), col("band"),
+          col("m0"), col("m1"))
+        .join(sigs.select(col("doc_id").as("b"), col("band"),
+          col("m0"), col("m1")), Seq("band", "m0", "m1"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val hits = cand.join(truePairs, Seq("a", "b")).select("a", "b")
+      val nt = truePairs.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = hits.agg(count(lit(1)).as("n_hit"))
+      nt.crossJoin(nc).crossJoin(nh)
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          pround4(when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand"))).as("precision"),
+          pround4(when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true"))).as("recall"),
+          pround4(when(col("n_cand") + col("n_true") > 0,
+            col("n_hit").cast("double") * 2
+              / (col("n_cand") + col("n_true")))).as("f1"))
     }),
 
     // Calibration/reliability curve: scores bucketed into rank deciles
@@ -236,6 +303,63 @@ object EvalQueries extends QueryModule {
              "CAST(SUM(pos * r) * 2 - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)" +
              " / (SUM(pos) * SUM(1 - pos) * 2) END")} AS auc
          |FROM rk""".stripMargin,
+
+    "q_minhash_eval" -> {
+      val hex12 = (0 until 12).map { i =>
+        s"(STRPOS('0123456789abcdef', SUBSTR(h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
+      }.mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
+         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+         |        FROM documents WHERE doc_id < 1000),
+         |    UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+         |  WHERE LEN(t) >= 3),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |tp AS (
+         |  SELECT i.a, i.b
+         |  FROM inter i
+         |  JOIN cnt ca ON i.a = ca.doc_id
+         |  JOIN cnt cb ON i.b = cb.doc_id
+         |  WHERE i.i * 3 >= ca.c + cb.c),
+         |hv AS (
+         |  SELECT doc_id, j, MIN($hex12) AS m
+         |  FROM (SELECT sh.doc_id, t.j,
+         |          md5(CAST(t.j AS VARCHAR) || ':' || sh.sh) AS h
+         |        FROM sh CROSS JOIN RANGE(0, 8) t(j))
+         |  GROUP BY doc_id, j),
+         |sig AS (
+         |  SELECT doc_id, j // 2 AS band,
+         |    MIN(CASE WHEN j % 2 = 0 THEN m END) AS m0,
+         |    MIN(CASE WHEN j % 2 = 1 THEN m END) AS m1
+         |  FROM hv GROUP BY doc_id, j // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |    AND a.doc_id < b.doc_id),
+         |hit AS (SELECT c.a, c.b FROM cand c JOIN tp ON c.a = tp.a AND c.b = tp.b),
+         |ns AS (
+         |  SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+         |    (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM hit) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  ${sqlRound4(
+             "CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END")}
+         |    AS precision,
+         |  ${sqlRound4(
+             "CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END")}
+         |    AS recall,
+         |  ${sqlRound4(
+             "CASE WHEN n_cand + n_true > 0 THEN " +
+             "CAST(n_hit AS DOUBLE) * 2 / (n_cand + n_true) END")} AS f1
+         |FROM ns""".stripMargin
+    },
 
     "q_reliability" ->
       s"""WITH probe AS (

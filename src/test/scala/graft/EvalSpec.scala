@@ -119,6 +119,26 @@ class EvalSpec extends SparkSpec {
     assert(hi.forall(_._4 == 1.0), s"high deciles all-positive: $rows")
   }
 
+  test("minhash_eval: planted dup is found, disjoint docs are neither " +
+    "true nor candidate") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-me").toString
+    // docs 1,2 identical (jaccard 1 — true pair AND band collision);
+    // docs 3,4 disjoint from everything
+    Seq((1L, "x y z w q r", "en", "s", 10L),
+      (2L, "x y z w q r", "en", "s", 10L),
+      (3L, "a b c d e f", "en", "s", 10L),
+      (4L, "g h i j k l", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = run("q_minhash_eval", d).collect().head
+    assert(r.getAs[Long]("n_true") == 1L)
+    assert(r.getAs[Long]("n_hit") == 1L,
+      "identical docs share every band — the candidate pass MUST find them")
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Long]("n_cand") >= 1L)
+  }
+
   test("centroid confusion: separable clusters give a perfect diagonal") {
     val d = emb(Files.createTempDirectory("graft-conf").toString,
       (0L to 4L).map(i => (i, vec(0, (i + 1).toFloat), 0)) ++
