@@ -38,6 +38,23 @@ trait QueryModule {
   /** The DuckDB-side twin of [[pround4]]. */
   protected def sqlRound4(e: String): String =
     s"FLOOR(($e) * 10000 + 0.5) / 10000"
+
+  /** 48-bit integer of the first 12 md5 hex chars — THE cross-engine hash
+    * primitive (2⁴⁸ < 2⁵³ so the value survives any double round-trip).
+    * One definition serves every module: the hash IS the determinism
+    * contract, so a drifted copy would silently fork batch vs oracle vs
+    * streaming agreement (StreamingSketch.hv48 is the JVM-side twin). */
+  protected def hv48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+  }
+
+  /** DuckDB twin of [[hv48]]: per-hex-digit strpos fold over `h`, an
+    * expression yielding an md5 hex string (DuckDB has no base-16 conv). */
+  protected def sqlHv48(h: String): String =
+    (0 until 12).map { i =>
+      s"(STRPOS('0123456789abcdef', SUBSTR($h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
+    }.mkString(" + ")
 }
 
 /** Central fixture-table loader (TESTDATA.md / FIXTURES.md §B). */

@@ -31,7 +31,9 @@ object RangeRank {
   def withRank(df: DataFrame, sortCols: Seq[Column], rankName: String,
                partitions: Int = 0): DataFrame = {
     require(!df.columns.contains(rankName), s"column $rankName exists")
-    require(!df.columns.contains("__rr_pid"), "column __rr_pid exists")
+    Seq("__rr_pid", "__rr_rn", "__rr_off", "__rr_n").foreach { c =>
+      require(!df.columns.contains(c), s"reserved column $c exists in input")
+    }
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions

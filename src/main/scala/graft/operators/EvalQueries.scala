@@ -40,10 +40,6 @@ object EvalQueries extends QueryModule {
     call_function(graft.functions.NativeCosine.name, col(a), col(b))
   }
 
-  /** 48-bit integer of the first 12 md5 hex chars (SketchQueries idiom). */
-  private def hv48(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
-
   private def duckCosine(a: String, b: String): String =
     s"""(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -191,9 +187,12 @@ object EvalQueries extends QueryModule {
           floor(cosine(s, "embedding", "p") * 1e12 + lit(0.5))
             .cast("long").as("sc"),
           when(col("label") === col("plabel"), 1L).otherwise(0L).as("pos"))
-      val tot = cand.agg(count(lit(1)).as("n"))
-      graft.functions.RangeRank
+      val ranked = graft.functions.RangeRank
         .withRank(cand, Seq(col("sc"), col("vec_id")), "r")
+      // count from the PINNED ranked relation — aggregating `cand` here
+      // would re-run the whole cosine-scoring corpus pass a second time
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked
         .crossJoin(broadcast(tot))
         .select(col("sc"), col("pos"),
           expr("((r - 1) * 10) div n").as("decile"))
@@ -305,9 +304,7 @@ object EvalQueries extends QueryModule {
          |FROM rk""".stripMargin,
 
     "q_minhash_eval" -> {
-      val hex12 = (0 until 12).map { i =>
-        s"(STRPOS('0123456789abcdef', SUBSTR(h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
-      }.mkString(" + ")
+      val hex12 = sqlHv48("h")
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
          |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t

@@ -42,9 +42,6 @@ import org.apache.spark.sql.functions._
   */
 object GovernanceQueries extends QueryModule {
 
-  private def hv48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
-
   override def queries: Map[String, Q] = Map(
     // ε=1 DP release of (lang, source) counts, deterministic Laplace.
     "q_dp_counts" -> ((s, dir) => {
@@ -116,9 +113,7 @@ object GovernanceQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "q_dp_counts" -> {
-      val hex12 = (0 until 12).map { i =>
-        s"(STRPOS('0123456789abcdef', SUBSTR(h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
-      }.mkString(" + ")
+      val hex12 = sqlHv48("h")
       s"""WITH g AS (
          |  SELECT lang, source, COUNT(*) AS n,
          |    md5(lang || '|' || source) AS h

@@ -63,13 +63,10 @@ object InferenceQueries extends QueryModule {
     103548857136060L, 207097714272121L, 258872142840152L,
     276130285696162L, 280444821410164L, 281307728552965L)
 
-  /** Bootstrap replicate count. */
-  private val B = 32
-
-  /** 48-bit integer value of the first 12 md5 hex chars (SketchQueries
-    * precedent — 2⁴⁸ < 2⁵³ so the value is double-exact if ever cast). */
-  private def hv48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+  /** Bootstrap replicate count — shared with the streaming twin so the
+    * batch/stream parity contract cannot drift on one of its two
+    * constants (PoissonT is the other). */
+  private[graft] val B = 32
 
   override def queries: Map[String, Q] = Map(
     // Pairwise Welch t: for every lang pair, is the mean length different?
@@ -264,9 +261,7 @@ object InferenceQueries extends QueryModule {
          |ORDER BY l1, l2""".stripMargin,
 
     "q_bootstrap_ci" -> {
-      val hex12 = (0 until 12).map { i =>
-        s"(STRPOS('0123456789abcdef', SUBSTR(h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
-      }.mkString(" + ")
+      val hex12 = sqlHv48("h")
       val wCase = "CASE " + PoissonT.zipWithIndex
         .map { case (thr, k) => s"WHEN hv < $thr THEN $k" }
         .mkString(" ") + " ELSE 6 END"

@@ -418,7 +418,8 @@ object JoinQueries extends QueryModule {
     "q_join_elim" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
-      graft.plans.JoinElimination.clear()
+      // scoped registration: unregisterKey removes only THIS declaration,
+      // never a library user's other keys (clear() would wipe them)
       graft.plans.JoinElimination.registerUniqueKey(customer, Seq("c_custkey"))
       val out = graft.functions.Materialize(
         orders
@@ -429,7 +430,7 @@ object JoinQueries extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
               .as("rev"))
           .orderBy("o_orderpriority"))
-      graft.plans.JoinElimination.clear()
+      graft.plans.JoinElimination.unregisterKey(customer)
       out
     })
   )

@@ -47,9 +47,6 @@ object RetrievalQueries extends QueryModule {
   /** 2⁴⁸ as an exact double (power of two). */
   private val Hex48 = 281474976710656.0
 
-  private def hv48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
-
   /** Distinct (doc_id, source, 3-token shingle) triples. */
   private def docShingles(df: DataFrame): DataFrame =
     df.repartition(col("doc_id"))
@@ -221,9 +218,7 @@ object RetrievalQueries extends QueryModule {
          |FROM scored ORDER BY si DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_sample_weighted" -> {
-      val hex12 = (0 until 12).map { i =>
-        s"(STRPOS('0123456789abcdef', SUBSTR(h, ${1 + i}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
-      }.mkString(" + ")
+      val hex12 = sqlHv48("h")
       s"""WITH keyed AS (
          |  SELECT doc_id, lang, n_chars,
          |    LN((hv + 1) / 281474976710656.0) / n_chars AS k

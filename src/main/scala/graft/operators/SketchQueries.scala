@@ -58,9 +58,7 @@ object SketchQueries extends QueryModule {
 
   private val HexScale = 281474976710656L // 16^12 = 2^48
 
-  /** 48-bit integer value of the first 12 md5 hex chars of a string. */
-  private def hv48(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+  // hv48 now comes from QueryModule — one definition engine-wide
 
   /** Bloom position j ∈ {0,1,2}: 4-hex-char slice of md5 mod M. */
   private def bloomPos(c: Column, j: Int): Column =

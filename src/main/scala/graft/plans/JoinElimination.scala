@@ -44,7 +44,14 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object JoinElimination extends Rule[LogicalPlan] {
 
-  private final case class Entry(plan: LogicalPlan, key: Seq[String])
+  /** `key` holds OUTPUT POSITIONS in `plan` — positional, not by name,
+    * because the stored (project-stripped) plan may legally carry
+    * duplicate column names (e.g. a join of two tables that share one),
+    * and a name-keyed match could bind the declared key to the OTHER,
+    * non-unique same-named attribute and eliminate unsoundly. sameResult
+    * guarantees positional output correspondence, so positions are the
+    * exact currency. */
+  private final case class Entry(plan: LogicalPlan, key: Set[Int])
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Entry]()
@@ -67,11 +74,34 @@ object JoinElimination extends Rule[LogicalPlan] {
     cols.foreach { c =>
       require(names.contains(c), s"unique-key column $c not in ${names}")
     }
-    registry.add(Entry(stripProjects(analyzed), cols))
+    val stored = stripProjects(analyzed)
+    // map each declared name (unambiguous in the PROJECTED output) to its
+    // position in the stored plan's output via exprId — attribute-only
+    // projects pass attributes through, so the id is stable
+    val keyPos = cols.map { c =>
+      val attr = analyzed.output.find(_.name == c).get
+      val pos = stored.output.indexWhere(_.exprId == attr.exprId)
+      require(pos >= 0,
+        s"unique-key column $c did not resolve into the stored plan")
+      pos
+    }.toSet
+    registry.add(Entry(stored, keyPos))
     install(dim.sparkSession) // declaring a key implies wanting the rule
   }
 
   def clear(): Unit = registry.clear()
+
+  /** Drop every key declared for `dim` (by canonicalized plan equality) —
+    * the scoped alternative to [[clear]]: callers that register a key for
+    * one computation (q_join_elim, a notebook cell) remove THEIR
+    * declaration without wiping unrelated ones. Returns how many. */
+  def unregisterKey(dim: DataFrame): Int = {
+    val target = stripProjects(dim.queryExecution.analyzed)
+    val stale = registry.toArray(Array.empty[Entry])
+      .filter(_.plan.sameResult(target)).toSeq
+    stale.foreach(registry.remove)
+    stale.size
+  }
 
   /** Joins eliminated since session start (spec proof hook). */
   def eliminatedCount: Long = eliminated.get()
@@ -162,8 +192,17 @@ object JoinElimination extends Rule[LogicalPlan] {
           rightKeyAttrs(cond, left, right).exists { attrs =>
             val cands = matchCandidates(right)
             registry.toArray(Array.empty[Entry]).exists { e =>
-              attrs.map(_.name).toSet == e.key.toSet &&
-                cands.exists(e.plan.sameResult)
+              cands.exists { cand =>
+                // positions of the condition's right attrs in THIS
+                // candidate's output (exprIds flow through the peeled
+                // attribute-projects); sameResult makes candidate and
+                // stored outputs correspond positionally
+                val pos = attrs
+                  .map(a => cand.output.indexWhere(_.exprId == a.exprId))
+                  .toSet
+                !pos.contains(-1) && pos == e.key &&
+                  e.plan.sameResult(cand)
+              }
             }
           }
       case _ => false

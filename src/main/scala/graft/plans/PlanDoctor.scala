@@ -51,6 +51,25 @@ object PlanDoctor {
 
   def diagnosePlan(plan: SparkPlan): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    // reused exchanges/stages alias subtrees — visit each NODE once so a
+    // plan with two distinct identical-shaped risks still counts 2, but
+    // an aliased subtree counts once
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    // whole-stage codegen only exists AFTER collapse; an AQE plan that
+    // has not executed yet carries none, and flagging every Project in it
+    // as "interpreted" would be pure noise — only judge codegen coverage
+    // when the plan actually shows codegen stages
+    val hasCodegen = {
+      def any(p: SparkPlan): Boolean = p match {
+        case _: WholeStageCodegenExec => true
+        case a: AdaptiveSparkPlanExec => any(a.executedPlan)
+        case s: QueryStageExec => any(s.plan)
+        case other => other.children.exists(any) ||
+          other.subqueries.exists(any)
+      }
+      any(plan)
+    }
 
     def bounded(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => true
@@ -93,11 +112,15 @@ object PlanDoctor {
     }
 
     def walk(p: SparkPlan, inCodegen: Boolean): Unit = {
+      if (!seen.add(p)) return
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan, inCodegen)
         case s: QueryStageExec => walk(s.plan, inCodegen)
         case w: WholeStageCodegenExec =>
           w.children.foreach(walk(_, inCodegen = true))
+        case i: org.apache.spark.sql.execution.InputAdapter =>
+          // the explicit codegen BOUNDARY: below it runs interpreted
+          i.children.foreach(walk(_, inCodegen = false))
         case _ =>
           p match {
             case c: CartesianProductExec =>
@@ -139,7 +162,8 @@ object PlanDoctor {
             case _ => ()
           }
           p match {
-            case _: ProjectExec | _: FilterExec if !inCodegen =>
+            case _: ProjectExec | _: FilterExec
+              if !inCodegen && hasCodegen =>
               out += Finding("interpreted-stage", "warn", p.nodeName,
                 "row-at-a-time execution outside whole-stage codegen — " +
                   "a CodegenFallback expression broke the fused pipeline")
@@ -151,6 +175,6 @@ object PlanDoctor {
     }
 
     walk(plan, inCodegen = false)
-    out.toSeq.distinct
+    out.toSeq
   }
 }

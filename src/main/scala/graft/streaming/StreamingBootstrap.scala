@@ -31,7 +31,9 @@ object StreamingBootstrap {
                     boot_se: Double, ci_lo: Double, ci_hi: Double)
   case class BootState(n: Long, sx: Long, swx: Array[Long], sw: Array[Long])
 
-  val B = 32
+  /** Shared with the batch query — the parity contract's second constant
+    * (the first, PoissonT, was already shared). */
+  val B: Int = graft.operators.InferenceQueries.B
 
   private def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
 

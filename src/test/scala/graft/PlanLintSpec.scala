@@ -39,8 +39,10 @@ class PlanLintSpec extends SparkSpec {
     "q_chisq" -> "dense contingency grid: lang-marginal × source-marginal cross — both alphabet-bounded aggregates (zero cells must contribute e)",
     "q_welch_ttest" -> "pairwise test grid: cross of the per-language statistic relation with itself — alphabet-bounded (|langs|² pairs), never the corpus",
     "q_corr_matrix" -> "dense (day × type) grid: calendar-bounded distinct days × alphabet-bounded types — absent cells must zero-fill (q_chisq precedent)",
-    "q_ndcg" -> "10-row probe set broadcast against the streamed corpus (the q_knn_join shape) — linear in the corpus, KB-bounded after the top-10 window",
-    "q_reliability" -> "single-probe attach: broadcast side filtered to one vec_id (the q_cosine_topk shape)")
+    "q_ndcg" -> "10-row probe set broadcast against the streamed corpus (the q_knn_join shape) — linear in the corpus, KB-bounded after the top-10 window")
+    // q_reliability's probe BNLJ no longer reaches the final plan: the
+    // RangeRank checkpoint pays it at construction, and since the
+    // review-pass fix its `tot` also reads the pinned relation
 
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
   private val sortLimitOk: Map[String, String] = Map.empty
