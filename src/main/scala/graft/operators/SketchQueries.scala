@@ -53,8 +53,10 @@ object SketchQueries extends QueryModule {
   /** Bottom-k sample size for the quantile sketch. */
   private val QK = 64
 
-  /** Per-language eval-sample size. */
-  private val EK = 16
+  /** Per-language eval-sample size. Shared with the streaming twin
+    * (StreamingSample's default k) so the batch/stream parity contract
+    * can't drift on the constant — the StreamingBootstrap.B pattern. */
+  private[graft] val EK = 16
 
   private val HexScale = 281474976710656L // 16^12 = 2^48
 

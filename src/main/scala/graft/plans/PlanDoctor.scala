@@ -46,8 +46,34 @@ object PlanDoctor {
     def render: String = s"[$severity] $rule at $node — $detail"
   }
 
+  /** Diagnose the plan AS CURRENTLY RESOLVED. Before any action runs,
+    * an AQE query reports its initial (pre-replan) physical plan; after
+    * an action, the same traversal sees the final adaptive plan (the
+    * walk resolves through AdaptiveSparkPlanExec.executedPlan). For the
+    * what-actually-ran verdict, prefer [[diagnoseExecuted]]. */
   def diagnose(df: DataFrame): Seq[Finding] =
     diagnosePlan(df.queryExecution.executedPlan)
+
+  /** Diagnose what AQE ACTUALLY EXECUTED: force THIS df's physical plan
+    * to its final adaptive form by running `action`, then walk that
+    * final plan. The difference from [[diagnose]] matters exactly when
+    * AQE re-plans at runtime — a sort-merge join demoted to broadcast on
+    * observed stats, a skew join split — shapes invisible in the
+    * pre-execution plan (PlanDoctorSpec pins a pre/post divergence on
+    * such a join).
+    *
+    * The default action executes the df's OWN QueryExecution
+    * (`toRdd.count()`, distributed, no driver data). `df.count()` would
+    * NOT work: Dataset.count plans a SEPARATE aggregate query and leaves
+    * this df's adaptive plan untouched — the subtle trap this default
+    * exists to hide. `collect()`-style Dataset actions that go through
+    * `withAction` on the df's own queryExecution also finalize it. */
+  def diagnoseExecuted(df: DataFrame,
+      action: DataFrame => Unit =
+        d => { d.queryExecution.toRdd.count(); () }): Seq[Finding] = {
+    action(df)
+    diagnosePlan(df.queryExecution.executedPlan)
+  }
 
   def diagnosePlan(plan: SparkPlan): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
@@ -71,6 +97,11 @@ object PlanDoctor {
       any(plan)
     }
 
+    // In an EXECUTED adaptive plan a broadcast build side often appears as
+    // a ReusedExchangeExec — a LEAF that aliases another stage's exchange.
+    // Without resolving through it, the scalar-aggregate build sides that
+    // are fine in the initial plan would be flagged after execution
+    // (observed: q_pagerank/q_mad_outlier/q_merge_upsert false positives).
     def bounded(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => true
       case _: TakeOrderedAndProjectExec => true
@@ -78,6 +109,8 @@ object PlanDoctor {
       case l: LocalTableScanExec => true
       case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
       case s: QueryStageExec => bounded(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        bounded(r.child)
       case other => other.children.exists(bounded)
     }
 
@@ -88,6 +121,8 @@ object PlanDoctor {
       case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
       case a: AdaptiveSparkPlanExec => singleRow(a.executedPlan)
       case s: QueryStageExec => singleRow(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        singleRow(r.child)
       case other if other.children.size == 1 => singleRow(other.children.head)
       case _ => false
     }

@@ -120,6 +120,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
   def build(fact: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
+    // the persisted-rollup schema IS the contract: loadPersisted decodes
+    // group columns as "names not starting with __", so a fact column that
+    // itself starts with __ would be misclassified as a measure on reload
+    // and silently corrupt refreshAppended's merged grouping — reject it
+    // here, at build time, where the caller can still rename
+    val reserved = (groupCols ++ sumCols ++ minCols ++ maxCols)
+      .filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      "rollup group/measure names must not start with '__' (reserved for " +
+        s"the partial-aggregate schema contract): ${reserved.mkString(", ")}")
     val aggs = count(lit(1)).as("__cnt") +:
       (sumCols.flatMap(c => Seq(sum(col(c)).as(s"__sum_$c"),
         count(col(c)).as(s"__cntn_$c"))) ++

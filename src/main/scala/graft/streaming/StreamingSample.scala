@@ -26,7 +26,7 @@ object StreamingSample {
     * micro-batch emits the group's full current sample (≤ k rows) —
     * downstream replaces the group's membership wholesale. */
   def bottomK(spark: SparkSession, ds: Dataset[KeyedDoc],
-              k: Int = 16): Dataset[SampleMember] = {
+              k: Int = graft.operators.SketchQueries.EK): Dataset[SampleMember] = {
     import spark.implicits._
     require(k >= 1, s"sample needs k >= 1, got $k")
     ds.groupByKey(_.group)

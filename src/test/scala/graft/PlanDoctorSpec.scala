@@ -69,6 +69,31 @@ class PlanDoctorSpec extends SparkSpec {
     assert(!w2.contains("filter-not-pushed"))
   }
 
+  test("diagnoseExecuted grades the final adaptive plan (AQE broadcast " +
+    "demotion invisible to the pre-execution diagnose)") {
+    val bt = "spark.sql.autoBroadcastJoinThreshold"
+    val abt = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(bt)
+    try {
+      // static planning sees no broadcast budget -> SortMergeJoin; AQE's
+      // own runtime threshold then demotes on observed build-side stats
+      spark.conf.set(bt, "-1")
+      spark.conf.set(abt, "10485760")
+      val df = table("orders").join(table("customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      val pre = df.queryExecution.executedPlan.toString
+      assert(pre.contains("SortMergeJoin"),
+        s"expected the initial plan to be a sort-merge join:\n$pre")
+      val findings = PlanDoctor.diagnoseExecuted(df)
+      val post = df.queryExecution.executedPlan.toString
+      assert(post.contains("BroadcastHashJoin"),
+        s"AQE did not re-plan the join to broadcast at runtime:\n$post")
+      assert(!findings.exists(_.severity == "risk"),
+        findings.map(_.render).toString)
+    } finally { spark.conf.set(bt, old); spark.conf.unset(abt) }
+  }
+
   test("a healthy aggregate query yields zero risk findings") {
     val q = table("lineitem").groupBy("l_returnflag")
       .agg(sum(col("l_quantity")).as("s")).orderBy("l_returnflag")

@@ -209,6 +209,22 @@ class PlanSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 0L))
   }
 
+  test("q_dpp_join: fact scan is dynamically partition-pruned by the dim filter") {
+    val df = q("q_dpp_join")
+    df.collect() // DPP shows in the EXECUTED scan's partition filters
+    val plan = df.queryExecution.executedPlan
+    val scans = graft.plans.PlanAllowlist.flatten(plan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val pruned = scans.filter(_.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+    assert(pruned.nonEmpty,
+      s"no DynamicPruningExpression in any scan's partition filters:\n$plan")
+    // the runtime prune must actually bite: ~21 Q2 months of ~80 total
+    val read = pruned.head.metrics.get("numPartitions").map(_.value)
+    assert(read.exists(n => n > 0 && n <= 30),
+      s"expected <=30 month partitions read after pruning, got $read")
+  }
+
   test("no query degenerates to a cartesian product (except q_join_cross)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "q_join_cross") // the explicit small×small cross join
