@@ -212,13 +212,15 @@ object EvalQueries extends QueryModule {
           col("a.pos") === col("b.pos") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
         .agg(sum(col("a.iv") * col("b.iv")).as("dot"))
-      val truePairs = dots
+      // pin the tiny pair list: BOTH consumers (the count + the hits
+      // join) would otherwise re-run the 11M-row dot-product shuffle
+      val truePairs = graft.functions.Materialize(dots
         .join(nrm.select(col("id").as("ia"), col("na")), Seq("ia"))
         .join(nrm.select(col("id").as("ib"), col("na").as("nb")), Seq("ib"))
         .filter(col("dot") > 0 &&
           col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
             col("na").cast("decimal(38,0)") * col("nb") * 7225)
-        .select(col("ia"), col("ib"))
+        .select(col("ia"), col("ib")))
       // md5-derived integer hyperplanes, shared bit-for-bit with DuckDB
       val coef = s.range(0, nBits.toLong)
         .select(col("id").cast("int").as("j"))
@@ -244,11 +246,12 @@ object EvalQueries extends QueryModule {
           when(col("flip") < 0, col("bk")).otherwise(expr(
             s"CAST(bk AS BIGINT) ^ SHIFTLEFT(CAST(1 AS BIGINT), CAST(flip AS INT))"))
             .as("pk"))
-      val cand = keys.as("k").join(probes.as("p"),
+      // same two-consumer pinning for the candidate pair list
+      val cand = graft.functions.Materialize(keys.as("k").join(probes.as("p"),
           col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
             col("k.id") < col("p.idb"))
         .select(col("k.id").as("ia"), col("p.idb").as("ib"))
-        .distinct()
+        .distinct())
       val hits = cand.join(truePairs, Seq("ia", "ib")).select("ia", "ib")
       val nv = nrm.agg(count(lit(1)).as("n_vecs"))
       val nt = truePairs.agg(count(lit(1)).as("n_true"))

@@ -29,15 +29,18 @@ object JoinQueries extends QueryModule {
     * the catalog entry to the dir, so a stale read cannot occur;
     * re-reading then costs only the exchange-free scan (the steady
     * state a cluster would see). External under the system tmpdir. */
+  /** Collision-resistant fixture-dir tag for cached table/path names: two
+    * dirs with colliding 32-bit String.hashCodes in one JVM would silently
+    * reuse each other's data, so cache keys use an md5 prefix of the full
+    * path. Shared with the specs that look the cached tables up. */
+  private[graft] def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
   private def bucketize(s: SparkSession, dir: String, name: String,
       key: String, df: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // collision-resistant dir tag: two fixture dirs with colliding 32-bit
-    // String.hashCodes in one JVM would silently reuse each other's data,
-    // so the table name keys on an md5 prefix of the full path instead
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val tbl = s"graft_bkt_${name}_$tag"
+    val tbl = s"graft_bkt_${name}_${dirTag(dir)}"
     if (!s.catalog.tableExists(tbl)) {
       df.write.format("parquet").bucketBy(8, key).sortBy(key)
         .option("path",
@@ -60,10 +63,8 @@ object JoinQueries extends QueryModule {
     * any SF — bounded partition count by construction. */
   private def partitionedOrders(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_partitioned/ord_$tag"
+      s"${System.getProperty("java.io.tmpdir")}/graft_partitioned/ord_${dirTag(dir)}"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's pure machinery — the parts that produce the GRADED
+  * artifact. Two rounds of grading were misled by harness bugs (r04's
+  * single-shot timings, r08's DataFrame retention), so the outlier gate,
+  * the prev-artifact parser, and the fixture manifest carry their own
+  * unit contracts. */
+class BenchSupportSpec extends AnyFunSuite {
+
+  private val artifact =
+    """{"metric":"total","value":12.5,"unit":"sec","queries":{"q_a":0.25,
+      |"q_b":1.5,"q_neg":-1.0,"q_exp":1.2E-4},"sf":"/root/testdata/sf0.1",
+      |"runs":3}""".stripMargin.replace("\n", "")
+
+  test("parsePrevQueries reads medians, including failure markers and exponents") {
+    val m = BenchSupport.parsePrevQueries(artifact, "/root/testdata/sf0.1")
+    assert(m == Map("q_a" -> 0.25, "q_b" -> 1.5, "q_neg" -> -1.0,
+      "q_exp" -> 1.2e-4))
+  }
+
+  test("parsePrevQueries refuses a different fixture dir (cross-SF timings are incomparable)") {
+    assert(BenchSupport.parsePrevQueries(artifact, "/tmp/graft-sf1").isEmpty)
+  }
+
+  test("parsePrevQueries is total on malformed input") {
+    assert(BenchSupport.parsePrevQueries("not json at all", "x").isEmpty)
+    assert(BenchSupport.parsePrevQueries("""{"queries":17}""", "x").isEmpty)
+    assert(BenchSupport.parsePrevQueries("", "x").isEmpty)
+  }
+
+  test("latestRoundArtifact picks the highest round number") {
+    val dir = java.nio.file.Files.createTempDirectory("benchsupport").toFile
+    try {
+      Seq("BENCH_r02.json", "BENCH_r10.json", "BENCH_r9.json",
+        "BENCH_LOCAL.json", "BENCH_SF1_r08.json").foreach { n =>
+        java.nio.file.Files.writeString(new java.io.File(dir, n).toPath, "{}")
+      }
+      assert(BenchSupport.latestRoundArtifact(dir).map(_.getName)
+        .contains("BENCH_r10.json"))
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  test("latestRoundArtifact is None with no artifacts") {
+    val dir = java.nio.file.Files.createTempDirectory("benchsupport2").toFile
+    try assert(BenchSupport.latestRoundArtifact(dir).isEmpty)
+    finally dir.delete()
+  }
+
+  test("outlier gate: >2x prev AND >0.3s absolute; failed queries never gate") {
+    assert(BenchSupport.isOutlier(median = 1.0, prev = 0.4))
+    assert(!BenchSupport.isOutlier(median = 0.79, prev = 0.4), "under 2x")
+    assert(!BenchSupport.isOutlier(median = 0.25, prev = 0.1),
+      "sub-0.3s medians jitter past 2x on noise alone")
+    assert(!BenchSupport.isOutlier(median = 5.0, prev = -1.0),
+      "a previously-failed query has no baseline")
+    assert(!BenchSupport.isOutlier(median = 5.0, prev = 0.0))
+  }
+
+  test("manifest is stable for same bytes, changes with size, never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("benchsupport3").toFile
+    try {
+      val f = new java.io.File(dir, "t.parquet")
+      java.nio.file.Files.writeString(f.toPath, "abc")
+      val m1 = BenchSupport.manifest(dir.getPath)
+      val m2 = BenchSupport.manifest(dir.getPath)
+      assert(m1 == m2 && m1.length == 32)
+      java.nio.file.Files.writeString(f.toPath, "abcd")
+      assert(BenchSupport.manifest(dir.getPath) != m1,
+        "size change must change the manifest")
+      assert(BenchSupport.manifest("/nonexistent/dir/xyz").nonEmpty)
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+}
