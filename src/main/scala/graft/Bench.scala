@@ -214,7 +214,12 @@ object Bench {
     // on VM noise alone) re-runs fresh after the sweep, when the sweep's
     // own memory/load pressure has drained. Both medians are reported;
     // the headline takes the min.
-    val prev = BenchSupport.latestRoundArtifact(new java.io.File("."))
+    // SPARK_GRAFT_BENCH_PREV names an explicit baseline artifact (e.g. a
+    // prior sf1 sweep) — special sweeps otherwise have no BENCH_r* baseline
+    // and lose the outlier re-measure safety net entirely
+    val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(p => new java.io.File(p)).filter(_.isFile)
+      .orElse(BenchSupport.latestRoundArtifact(new java.io.File(".")))
       .map(f => BenchSupport.parsePrevQueries(Files.readString(f.toPath), sfDir))
       .getOrElse(Map.empty[String, Double])
     val remeasured =

@@ -242,11 +242,23 @@ object AnalyticsQueries extends QueryModule {
     // sequence), then the word-count plan; post-shuffle state is bounded
     // by the trigram alphabet.
     "q_char_trigrams" -> ((s, dir) => {
+      // Codegen-friendly formulation: explode the POSITION sequence
+      // (integers — GenerateExec supports codegen for this) and take the
+      // trigram with a plain substring projection in the same fused
+      // stage. The transform-lambda flavor ran the whole corpus through
+      // an interpreted HOF (13M lambda substrings at sf1 ≈ 16 s); this
+      // shape is a single WholeStageCodegen span into the partial
+      // aggregate (measured ~8x faster), and the exploded rows stream —
+      // the (text × positions) grain is never materialized.
       t(s, dir, "documents")
+        // single-row-group fixture parquet = one scan task; spread the
+        // cheap raw text BEFORE the 263x explode fan-out so the trigram
+        // build parallelizes (the q_ngram_jaccard discipline)
+        .repartition(col("doc_id"))
         .filter(length(col("text")) >= 3)
-        .select(explode(expr(
-          """transform(sequence(1, length(text) - 2),
-            |  i -> substring(text, i, 3))""".stripMargin)).as("g"))
+        .select(col("text"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+        .select(expr("substring(text, i, 3)").as("g"))
         .groupBy("g").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("g"))
         .limit(20)

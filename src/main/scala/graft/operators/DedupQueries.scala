@@ -212,7 +212,10 @@ object DedupQueries extends QueryModule {
         .repartition(col("doc_id")) // spread before the HOF span build
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), explode(expr(
+        // explode_OUTER: see simhashSigs — the size guard makes empty
+        // span arrays impossible and the outer flavor gets no inferred
+        // filter re-running the md5 span build below the projection
+        .select(col("doc_id"), explode_outer(expr(
           """transform(sequence(1, size(toks) - 7),
             |  i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"""
             .stripMargin)).as("span_h")))
@@ -243,7 +246,9 @@ object DedupQueries extends QueryModule {
         .repartition(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
+        // explode_OUTER: see simhashSigs — no inferred-filter re-run of
+        // the md5 shingle build; size guard ⇒ arrays non-empty
+        .select(col("doc_id"), explode_outer(expr(
           """transform(sequence(1, size(toks) - 2),
             |  i -> substring(md5(array_join(slice(toks, i, 3), ' ')), 1, 16))"""
             .stripMargin)).as("shh"))
@@ -324,8 +329,16 @@ object DedupQueries extends QueryModule {
         """transform(sequence(1, size(t) - 1),
           |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
         .as("grams"))
+    // explode_OUTER, deliberately: plain explode triggers
+    // InferFiltersFromGenerate, which pushes `size(grams) > 0 AND
+    // isnotnull(grams)` below the projection — inlining the ENTIRE gram
+    // build (with split(text) re-evaluated per lambda element,
+    // interpreted) into a scan-side filter, twice. Measured at sf1:
+    // 12 s/query of pure re-evaluation. The outer flavor gets no
+    // inferred filter, and the size(t) >= 3 guard above already makes
+    // empty gram arrays impossible, so the row sets are identical.
     val hashed = docGrams
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), explode_outer(col("grams")).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
           .cast("bigint").as("h"))

@@ -126,7 +126,10 @@ object EvalQueries extends QueryModule {
           .repartition(col("doc_id"))
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), explode(expr(
+          // explode_OUTER: avoids the inferred-filter re-evaluation of
+          // the shingle transform (DedupQueries.simhashSigs); the size
+          // guard makes empty shingle arrays impossible
+          .select(col("doc_id"), explode_outer(expr(
             "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
             .as("sh"))
           .distinct())

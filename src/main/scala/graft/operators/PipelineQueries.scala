@@ -204,7 +204,10 @@ object PipelineQueries extends QueryModule {
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      // explode_OUTER: see DedupQueries.simhashSigs — the inferred
+      // filter would re-run the distinct-5-gram build below this
+      // projection; size(t) >= 5 ⇒ at least one gram
+      .select(col("doc_id"), explode_outer(array_distinct(expr(
         """transform(sequence(1, size(t) - 4),
           |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
         .as("g"))

@@ -71,7 +71,12 @@ object TextStatsQueries extends QueryModule {
         .repartition(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
+        // explode_OUTER: plain explode's inferred size/notnull filter
+        // inlines the whole gram transform (re-splitting text per
+        // element, interpreted) below this projection — see
+        // DedupQueries.simhashSigs. size(t) >= 2 makes empty gram
+        // arrays impossible, so the row sets are identical.
+        .select(col("doc_id"), explode_outer(expr(
           """transform(sequence(1, size(t) - 1),
             |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin)).as("g"))
       grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -143,7 +148,9 @@ object TextStatsQueries extends QueryModule {
       t(s, dir, "documents")
         .select(split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
+        // explode_OUTER: see q_repetition above — identical rows, no
+        // inferred-filter re-evaluation of the gram transform
+        .select(explode_outer(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
             .stripMargin)).as("bigram"))
