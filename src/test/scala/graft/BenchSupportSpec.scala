@@ -24,6 +24,24 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(BenchSupport.parsePrevQueries(artifact, "/tmp/graft-sf1").isEmpty)
   }
 
+  test("parsePrevQueries reads the driver wrapper's escaped tail") {
+    // the committed BENCH_r*.json is the driver's capture wrapper: my
+    // JSON line sits escaped inside its "tail" string (and may be
+    // clipped — a partial medians map is still a usable baseline)
+    val wrapper =
+      """{"n": 8, "rc": 0, "sf": 0.1,
+        | "tail": "{\"metric\":\"total\",\"queries\":{\"q_a\":0.5,\"q_b\":2.0},\"sf\":\"/root/testdata/sf0.1\"}",
+        | "parsed": null}""".stripMargin
+    val m = BenchSupport.parsePrevQueries(wrapper, "/root/testdata/sf0.1")
+    assert(m == Map("q_a" -> 0.5, "q_b" -> 2.0))
+  }
+
+  test("parsePrevQueries returns empty on a clipped tail missing the queries key") {
+    val clipped =
+      """{"n": 8, "tail": "6733,\"q_zzz\":0.13}", "parsed": null}"""
+    assert(BenchSupport.parsePrevQueries(clipped, "x").isEmpty)
+  }
+
   test("parsePrevQueries is total on malformed input") {
     assert(BenchSupport.parsePrevQueries("not json at all", "x").isEmpty)
     assert(BenchSupport.parsePrevQueries("""{"queries":17}""", "x").isEmpty)
