@@ -43,7 +43,12 @@ object BpeTrainer {
     docs
       .select(split(col(textCol), " ").as("t"))
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
+      // explode_OUTER: plain explode's inferred size/notnull filter would
+      // inline the pair transform (re-splitting the text per element,
+      // interpreted) below this projection — paid once PER MERGE ROUND.
+      // The size guard makes empty pair arrays impossible, so row sets
+      // are identical. See DedupQueries.simhashSigs.
+      .select(explode_outer(expr(
         """transform(sequence(1, size(t) - 1),
           |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
           .stripMargin)).as("p"))
@@ -73,7 +78,10 @@ object BpeTrainer {
       : (DataFrame, Seq[MergeStep]) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    var cur = docs
+    // spread a single-task input once up front: every round's pair count
+    // and merge rewrite inherit the parallelism (a 1-row-group parquet
+    // corpus otherwise trains on ONE thread for all rounds)
+    var cur = Materialize.spread(docs)
     val steps = Seq.newBuilder[MergeStep]
     var r = 1
     var exhausted = false
@@ -123,7 +131,7 @@ object BpeTrainer {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val steps = Seq.newBuilder[MergeStep]
-    var cur = docs
+    var cur = Materialize.spread(docs) // see train()
     if (rounds > 0) {
       // round 1 pays the one full corpus count; every later round pays
       // only its affected slice + a vocabulary-sized re-aggregation

@@ -138,6 +138,11 @@ object TextPipelineQueries extends QueryModule {
 
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
+        // single-row-group fixture parquet = one scan task, and detect's
+        // four interpreted marker-filter lambdas run in the PARTIAL
+        // aggregate (before the groupBy shuffle) — spread the cheap raw
+        // text first so the detection parallelizes
+        .repartition(col("doc_id"))
         .groupBy(col("lang"), LangId.detect(col("text")).as("detected"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "detected")),

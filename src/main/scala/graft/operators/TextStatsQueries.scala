@@ -125,7 +125,12 @@ object TextStatsQueries extends QueryModule {
       val w = toks.select(explode(col("t")).as("w"))
       val cw = w.groupBy("w").agg(count(lit(1)).as("c"))
       val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
-      val pairs = toks.select(explode(expr(
+      // explode_OUTER + size guard: plain explode's inferred filter would
+      // inline this O(tokens²) nested lambda below the projection and
+      // evaluate it 2 extra times per doc (see DedupQueries.simhashSigs);
+      // docs with < 2 distinct tokens contribute no pairs either way, so
+      // the guard keeps the row sets identical
+      val pairs = toks.filter(size(col("t")) >= 2).select(explode_outer(expr(
         """flatten(transform(t, (x, i) ->
           |  filter(transform(t, (y, j) ->
           |    IF(j > i, struct(least(x, y) AS w1, greatest(x, y) AS w2),
