@@ -266,8 +266,11 @@ object EvalQueries extends QueryModule {
             col("n_hit").cast("double") / col("n_cand"))).as("precision"),
           pround4(when(col("n_true") > 0,
             col("n_hit").cast("double") / col("n_true"))).as("recall"),
-          pround4(col("n_cand").cast("double") * 2
-            / (col("n_vecs") * (col("n_vecs") - 1))).as("selectivity"))
+          // guarded like precision/recall: on an empty/1-vector corpus
+          // Spark's x/0 is NULL but DuckDB's DOUBLE/0 is inf — make both
+          // engines agree on NULL
+          pround4(when(col("n_vecs") > 1, col("n_cand").cast("double") * 2
+            / (col("n_vecs") * (col("n_vecs") - 1)))).as("selectivity"))
     }),
 
     // Calibration/reliability curve: scores bucketed into rank deciles
@@ -513,7 +516,8 @@ object EvalQueries extends QueryModule {
              "CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true END")}
          |    AS recall,
          |  ${sqlRound4(
-             "CAST(n_cand AS DOUBLE) * 2 / (n_vecs * (n_vecs - 1))")}
+             "CASE WHEN n_vecs > 1 THEN " +
+             "CAST(n_cand AS DOUBLE) * 2 / (n_vecs * (n_vecs - 1)) END")}
          |    AS selectivity
          |FROM ns""".stripMargin
     },
