@@ -285,14 +285,26 @@ object AnalyticsQueries extends QueryModule {
           substring(col("text"), 1, 24).as("blk"), col("text"),
           length(col("text")).as("len"))
       val (a, b) = graft.functions.GridSalt.sides(d, col("doc_id"))
-      a.join(b,
+      // cheap predicates ONLY in the join; texts ride to the verify stage
+      val cand = a.join(b,
           col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
             && graft.functions.GridSalt.cellMatch
             && col("a.doc_id") < col("b.doc_id")
             && abs(col("a.len") - col("b.len")) <= 20)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.text"), col("b.text"), 20).cast("long")
-            .as("dist"))
+          col("a.text").as("ta"), col("b.text").as("tb"))
+      // The banded-DP verify runs behind a per-pair AGGREGATE, not a
+      // post-join filter: `.filter(dist >= 0)` over a projection is pushed
+      // by Catalyst INTO the join condition and PREPENDED to it, so the
+      // O(len·20) DP ran before the cheap doc_id</length conjuncts — on
+      // every hash-colliding row pair including self-pairs and both
+      // orders (measured: 23 s for 2.6k true candidates at sf1, ~20x the
+      // verify's real cost). Pairs are unique, so min(dist) IS dist, and
+      // filters never push through an aggregate — one DP per candidate,
+      // by construction. The pair shuffle is candidate-bounded and narrow.
+      cand.groupBy("doc_a", "doc_b")
+        .agg(min(levenshtein(col("ta"), col("tb"), 20)).cast("long")
+          .as("dist"))
         .filter(col("dist") >= 0)
         .orderBy("doc_a", "doc_b")
     }),
@@ -314,12 +326,17 @@ object AnalyticsQueries extends QueryModule {
       val names = t(s, dir, "part").select("p_name").distinct()
         .withColumn("noun", element_at(split(col("p_name"), " "), -1))
       val (a, b) = graft.functions.GridSalt.sides(names, col("p_name"))
+      // verify behind a per-pair aggregate — same pushdown hazard as
+      // q_editdist_pairs: a post-join filter on the scored projection is
+      // pushed into the join condition AHEAD of the cheap name<
+      // conjunct, running the O(len²) Jaro DP on both orders + self-pairs
       a.join(b,
           col("a.noun") === col("b.noun") &&
             graft.functions.GridSalt.cellMatch &&
             col("a.p_name") < col("b.p_name"))
-        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-          pround4(expr("jaro_winkler(a.p_name, b.p_name)")).as("jw"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(pround4(min(expr("jaro_winkler(name_a, name_b)"))).as("jw"))
         .filter(col("jw") >= 0.7)
         .orderBy("name_a", "name_b")
     }),

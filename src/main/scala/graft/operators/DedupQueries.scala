@@ -59,6 +59,19 @@ object DedupQueries extends QueryModule {
       // fixtures are single-row-group parquet → the scan is one task; the
       // gram-building HOFs are the expensive part, so redistribute rows
       // BEFORE them (cheap shuffle of raw text, full-width lambda work).
+      //
+      // GRAM-GRAIN plan, not a doc×doc verify join: the (lang, first
+      // token) blocking key is Zipfian, so block pairs grow ~quadratically
+      // (107k at sf0.1 → 10.6M at sf1) and running a per-pair set
+      // intersection over full gram ARRAYS moved ~10 GB of array bytes
+      // through the joiner (measured 39 s at sf1). Instead the exploded
+      // (block, gram) relation self-joins on GRAM equality — a key-equality
+      // join of narrow rows — and |A∩B| falls out of a count aggregate per
+      // pair; |A∪B| = na + nb − |A∩B| from the carried distinct-gram
+      // counts. Work is Σ_gram df²-within-block (the true intersection
+      // volume, 25.5M narrow rows at sf1) instead of Σ_block c² full-array
+      // verifies, and every pair with jac > 0.1 shares ≥ 1 gram, so the
+      // result set is IDENTICAL to the blocked all-pairs join + filter.
       val g = t(s, dir, "documents")
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
@@ -69,31 +82,43 @@ object DedupQueries extends QueryModule {
             """transform(sequence(1, size(toks) - 1),
               |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
               .stripMargin)).as("grams"))
-        // both self-join sides consume the gram relation; materialize it
-        // once instead of running the shingle HOFs twice over the corpus
-        // (the production analog at 100 TB: write the derived relation to
-        // storage — either way the expensive projection runs once).
+        .select(col("doc_id"), size(col("grams")).as("n"),
+          // explode_OUTER: see simhashSigs — no inferred-filter re-run of
+          // the gram build; size(toks) >= 2 ⇒ at least one gram
+          explode_outer(col("grams")).as("g"), col("lang"), col("ft"))
+        // (lang, ft, gram) collapses to ONE 60-bit md5-prefix BIGINT key:
+        // a single-long sort/merge measures ~2x faster than the 3-column
+        // string key at sf1. The space delimiter is unambiguous (lang and
+        // ft are space-split tokens, so the first two fields parse back
+        // uniquely); 15 hex chars < 2^60 fits BIGINT in both engines, and
+        // the oracle hashes IDENTICALLY, so a collision (~1e-6 at 25M
+        // keys) would be the SAME collision there — the q_span_dedup
+        // discipline.
+        .select(col("doc_id"), col("n"),
+          conv(substring(md5(concat_ws(" ", col("lang"), col("ft"),
+            col("g")).cast("binary")), 1, 15), 16, 10).cast("bigint")
+            .as("k"))
+        // both self-join sides consume the exploded gram relation; cut the
+        // shingle HOFs off the plan once (at 100 TB: write the derived
+        // relation to storage — either way the projection runs once).
         .transform(graft.functions.Materialize(_))
-      // Grid-salted self-join (1-bucket theta-join partitioning): the
-      // blocking key (lang, first token) is Zipfian — at 100× one hot
-      // bucket lands on one reducer and goes quadratic. GridSalt spreads
-      // a hot bucket's |B|² work over S² shuffle cells with an identical
-      // result set (the meets-in-exactly-one-cell invariant lives there).
-      val (a, b) = graft.functions.GridSalt.sides(g, col("doc_id"))
-      // native codegen set-jaccard: one hash-set pass per candidate pair
-      // instead of two interpreted array_intersects. Inputs are distinct
-      // arrays, so the value is the same |A∩B|/(|A|+|B|-|A∩B|) integer
-      // ratio the oracle computes.
-      graft.functions.NativeJaccard.register(s)
-      val jac = call_function(graft.functions.NativeJaccard.name,
-        col("a.grams"), col("b.grams"))
-      a.join(b, col("a.lang") === col("b.lang") && col("a.ft") === col("b.ft")
-          && graft.functions.GridSalt.cellMatch
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          jac.as("jac_raw"))
-        .filter(col("jac_raw") > 0.1)
-        .select(col("a_id"), col("b_id"), pround4(col("jac_raw")).as("jac"))
+      // posting-list self-join: pairs meet once per SHARED gram; the
+      // count per (a, b) is |A∩B| exactly (grams are per-doc distinct).
+      // Jaccard > 0.1 ⟺ 10·I > (na + nb − I) ⟺ 11·I > na + nb — an
+      // integer comparison, so the threshold can't sit on a float
+      // boundary; the reported jac is the same double ratio the oracle
+      // rounds. Skew: a within-block hot GRAM is bounded by the block's
+      // own size (df ≤ |block|), and the pair aggregate's keys are
+      // hash-spread doc pairs — no grid salt needed at this grain.
+      val shared = g.as("a").join(g.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      shared.filter(col("inter") * 11 > col("na") + col("nb"))
+        .select(col("a_id"), col("b_id"),
+          pround4(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter"))).as("jac"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -694,6 +719,10 @@ object DedupQueries extends QueryModule {
              "CAST(n_hit AS DOUBLE) * 2 / (n_cand + n_true) END")} AS f1
          |FROM ns""".stripMargin,
 
+    // gram-grain posting-list formulation, mirrored with the Spark body
+    // (same md5-prefix key, so a hash collision would be the same
+    // collision here): inter = shared distinct grams per blocked pair,
+    // jac > 0.1 as the integer comparison 11·inter > na + nb.
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
@@ -702,14 +731,24 @@ object DedupQueries extends QueryModule {
         |  SELECT doc_id, lang, toks[1] AS ft,
         |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks)),
         |           i -> toks[i] || ' ' || toks[i + 1])) AS grams
-        |  FROM d)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  FLOOR((CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
-        |    / (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams)))) * 10000 + 0.5) / 10000 AS jac
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.ft = b.ft AND a.doc_id < b.doc_id
-        |WHERE CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
-        |    / (LEN(a.grams) + LEN(b.grams) - LEN(LIST_INTERSECT(a.grams, b.grams))) > 0.1
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, lang, ft, LEN(grams) AS n, UNNEST(grams) AS gram
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id, n,
+        |         CAST('0x' || SUBSTRING(MD5(lang || ' ' || ft || ' ' || gram),
+        |           1, 15) AS BIGINT) AS k
+        |  FROM e),
+        |s AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+        |         COUNT(*) AS inter
+        |  FROM h a JOIN h b ON a.k = b.k AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |  FLOOR(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5)
+        |    / 10000 AS jac
+        |FROM s WHERE inter * 11 > na + nb
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_latest" ->

@@ -58,7 +58,10 @@ class LlmOpsSpec extends SparkSpec {
     short.foreach(id => assert(!rows.contains(id), s"short doc $id present"))
   }
 
-  test("q_ngram_jaccard: grid-salted join equals unsalted blocked join") {
+  // result-preservation proof for the gram-grain posting-list rewrite:
+  // the blocked all-pairs NativeJaccard verify join is the brute-force
+  // ground truth the production plan must reproduce pair-for-pair
+  test("q_ngram_jaccard: gram-grain posting join equals blocked all-pairs verify") {
     val docs = table("documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)

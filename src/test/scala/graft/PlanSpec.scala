@@ -129,10 +129,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.maxBroadcastKeys")
   }
 
-  test("q_ngram_jaccard: candidate join is grid-salted (bounded fan-out)") {
+  test("q_ngram_jaccard: gram-grain key-equality join, no array verify join") {
+    // the intersection count comes from a posting-list self-join on the
+    // 60-bit (lang, ft, gram) md5 key — narrow rows, key-equality — not
+    // from a doc×doc join dragging full gram arrays through the joiner
+    // (the pre-round-9 shape: 10.6M array verifies at sf1)
     val plan = executed("q_ngram_jaccard")
-    assert(plan.contains("ga#") && plan.contains("gb#"),
-      s"grid-salt coordinates missing from the join keys:\n$plan")
+    assert(plan.contains("k#"), s"md5 gram key missing from the join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"gram join degenerated to a product:\n$plan")
+    assert(!plan.contains("grams#"),
+      s"gram arrays crossed the Materialize boundary into the join:\n$plan")
   }
 
   test("q_fuzzy_pairs: noun-block self-join is grid-salted (bounded fan-out)") {
