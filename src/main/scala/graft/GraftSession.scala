@@ -32,8 +32,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Idempotently attach every engine component to a live session:
-    * native functions (cosine/simhash/jaccard/fingerprint/jaro + the UDF
-    * registry), the as-of / range-lookup / top-k strategies and their SQL
+    * native functions (cosine/simhash/jaccard/fingerprint/jaro/dot + the
+    * UDF registry), the as-of / range-lookup / top-k strategies and their SQL
     * TVFs, and the optimizer rules (UDF promotion, rollup rewrite, join
     * elimination, window-top-k rewrite). */
   def attach(spark: SparkSession): SparkSession = {
@@ -43,6 +43,7 @@ object GraftSession {
     functions.NativeJaccard.register(spark)
     functions.NativeFingerprint.register(spark)
     functions.NativeJaro.register(spark)
+    functions.NativeDot.register(spark)
     functions.Registry.registerAll(spark)
     plans.AsofJoinOp.install(spark)
     plans.RangeJoinOp.install(spark)

@@ -166,6 +166,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NativeJaccard.descriptor)
     ext.injectFunction(NativeFingerprint.descriptor)
     ext.injectFunction(NativeJaro.descriptor)
+    ext.injectFunction(NativeDot.descriptor)
     ext.injectOptimizerRule(_ => PromoteCosineUdf)
     ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JoinElimination)

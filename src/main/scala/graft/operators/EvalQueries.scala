@@ -209,17 +209,43 @@ object EvalQueries extends QueryModule {
             lit(":"), col("pos").cast("string"))) % 2001 - 1000).as("iv"))
       val ex = graft.functions.Materialize(base.unionAll(planted))
       val nrm = ex.groupBy("id").agg(sum(col("iv") * col("iv")).as("na"))
+      // ARRAY-grain truth vectors: the pos-grain formulation shuffled
+      // 64 × n²/2 ≈ 38M (pos, iv) rows through a join + 600k-group
+      // aggregate — per-row exchange overhead dominated the whole query
+      // (7.5 s, the registry's heaviest at sf0.1). The same dot products
+      // as ~600k per-PAIR integer HOF folds over 64-long arrays cost a
+      // bounded nested-loop over the ≤1100-vector audit block instead;
+      // norms ride along, so the block relation is (id, ivs, na) — one
+      // narrow row per vector. repartition spreads the streamed side so
+      // the BNLJ parallelizes (the block relation is otherwise 1 task).
+      val vecs = graft.functions.Materialize(ex.repartition(col("id"))
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("iv"))))
+          .as("pv"))
+        .select(col("id"), expr("transform(pv, s -> s.iv)").as("ivs"),
+          expr("aggregate(pv, 0L, (acc, s) -> acc + s.iv * s.iv)")
+            .as("nn")))
       // exact ground truth, integer-exact threshold: cos ≥ 0.85 ⟺
-      // dot > 0 ∧ dot²·10⁴ ≥ 7225·na·nb (decimal(38) keeps ~1e24 exact)
-      val dots = ex.as("a").join(ex.as("b"),
-          col("a.pos") === col("b.pos") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
-        .agg(sum(col("a.iv") * col("b.iv")).as("dot"))
+      // dot > 0 ∧ dot²·10⁴ ≥ 7225·na·nb (decimal(38) keeps ~1e24 exact).
+      // The threshold sits behind the per-pair aggregate (pairs unique ⇒
+      // min is identity) so the filter can't push the HOF dot into the
+      // BNLJ condition, where it would run on all n² orderings instead
+      // of once per kept pair (the q_editdist_pairs pushdown hazard).
+      graft.functions.NativeDot.register(s)
+      val dots = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("ia"), col("b.id").as("ib"),
+          // native codegen Σ aᵢ·bᵢ (exact BIGINT): the HOF zip_with +
+          // aggregate twin runs two interpreted lambdas per element —
+          // measured 6 s over the 600k-pair block vs a primitive loop
+          call_function(graft.functions.NativeDot.name,
+            col("a.ivs"), col("b.ivs")).as("d"),
+          col("a.nn").as("nna"), col("b.nn").as("nnb"))
+        .groupBy("ia", "ib")
+        .agg(min(col("d")).as("dot"), min(col("nna")).as("na"),
+          min(col("nnb")).as("nb"))
       // pin the tiny pair list: BOTH consumers (the count + the hits
-      // join) would otherwise re-run the 11M-row dot-product shuffle
+      // join) would otherwise re-run the all-pairs dot-product pass
       val truePairs = graft.functions.Materialize(dots
-        .join(nrm.select(col("id").as("ia"), col("na")), Seq("ia"))
-        .join(nrm.select(col("id").as("ib"), col("na").as("nb")), Seq("ib"))
         .filter(col("dot") > 0 &&
           col("dot").cast("decimal(38,0)") * col("dot") * 10000 >=
             col("na").cast("decimal(38,0)") * col("nb") * 7225)

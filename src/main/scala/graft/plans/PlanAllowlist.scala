@@ -40,7 +40,8 @@ object PlanAllowlist {
     "q_welch_ttest" -> "pairwise test grid: cross of the per-language statistic relation with itself — alphabet-bounded (|langs|² pairs), never the corpus",
     "q_corr_matrix" -> "dense (day × type) grid: calendar-bounded distinct days × alphabet-bounded types — absent cells must zero-fill (q_chisq precedent)",
     "q_ndcg" -> "10-row probe set broadcast against the streamed corpus (the q_knn_join shape) — linear in the corpus, KB-bounded after the top-10 window",
-    "q_simhash_eval" -> "bounded audit block (doc_id < 1000) all-pairs hamming ground truth over the 16-byte sig relation — the eval's own contract; the block banding it grades is the scale path")
+    "q_simhash_eval" -> "bounded audit block (doc_id < 1000) all-pairs hamming ground truth over the 16-byte sig relation — the eval's own contract; the block banding it grades is the scale path",
+    "q_lsh_eval" -> "bounded audit block (vec_id < 1000 + planted twins) all-pairs exact-cosine ground truth over the (id, ivs, norm) vector relation — the eval's own contract; the hyperplane banding it grades is the scale path")
 
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
   val sortLimitOk: Map[String, String] = Map.empty

@@ -125,6 +125,46 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getLong(1) != r.getLong(3) && r.getLong(2) != r.getLong(3))
   }
 
+  test("native dot_long equals the HOF fold, exact-integer, on scaled vectors") {
+    graft.functions.NativeDot.register(spark)
+    val e = table("embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
+          .as("iv"))
+    val pairs = e.select(col("vec_id"), col("iv").as("a"))
+      .crossJoin(broadcast(e.filter(col("vec_id") < 3).select(col("iv").as("b"))))
+    val rows = pairs.select(
+      call_function(graft.functions.NativeDot.name, col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+  }
+
+  test("dot_long null/edge semantics; interpreted path agrees with codegen") {
+    graft.functions.NativeDot.register(spark)
+    val n = graft.functions.NativeDot.name
+    val r = spark.sql(s"""SELECT
+      $n(array(1L), array(1L, 2L)) AS len_mismatch,
+      $n(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) AS empty,
+      $n(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS null_in,
+      $n(array(2L, -3L, 5L), array(7L, 11L, -13L)) AS v""").head()
+    assert(r.isNullAt(0) && r.isNullAt(2), "mismatch/null must be NULL")
+    assert(r.getLong(1) == 0L, "empty arrays dot to 0")
+    assert(r.getLong(3) == 2L * 7 - 3 * 11 - 5 * 13)
+    // interpreted eval (nullSafeEval) — exercised via the expression
+    // directly, no codegen context
+    val ex = graft.functions.DotLong(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, -3L, 5L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(7L, 11L, -13L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(ex.eval(null) == (2L * 7 - 3 * 11 - 5 * 13))
+  }
+
   test("GraftExtensions injects the function into a new session") {
     // Re-applying the extension to the current session's registry must be
     // idempotent; a cold cluster would pass the class via
