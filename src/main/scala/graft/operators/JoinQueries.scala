@@ -151,15 +151,39 @@ object JoinQueries extends QueryModule {
         .orderBy("a_key", "b_key")
     }),
 
+    // Follows-within-5-minutes self-join. The naive plan joins on user_id
+    // alone and evaluates the time band as a join-condition filter — per
+    // user that is |events|² compares (133M row pairs at sf1, and the
+    // per-user product grows quadratically with history length). BAND
+    // BUCKETING makes the equi-key carry the time dimension: left rows
+    // key on their 5-minute cell, right rows replicate to their own cell
+    // and the one below, and e2.ts ∈ (e1.ts, e1.ts + 5min] guarantees
+    // bucket(e2) ∈ {bucket(e1), bucket(e1)+1} — every qualifying pair
+    // meets in EXACTLY one cell (b2 is fixed per replica), so after the
+    // exact range re-check the result is identical to the naive join.
+    // Join volume drops from Σ_user n² to Σ_(user, cell) n·m over
+    // adjacent cells — linear in events for bounded event rates, the
+    // standard interval-join binning a streaming engine does internally.
     "q_join_interval" -> ((s, dir) => {
-      val e1 = t(s, dir, "events").alias("e1")
-      val e2 = t(s, dir, "events").alias("e2")
-      e1.filter(col("e1.event_type") === "click")
-        .join(e2,
-          col("e1.user_id") === col("e2.user_id")
-            && col("e2.ts") > col("e1.ts")
-            && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
-        .groupBy(col("e1.user_id").as("user_id"), col("e1.event_id").as("event_id"))
+      val ev = t(s, dir, "events")
+      // seconds-precision cell id; double cast keeps microseconds exact
+      // (2^53 > 1.7e15) and floor(/300) is monotone, so the two-cell
+      // cover claim holds for any real timestamps
+      def cell(ts: org.apache.spark.sql.Column) =
+        floor(ts.cast("double") / 300).cast("long")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cell(col("ts")).as("b"))
+      val follows = ev
+        .select(col("user_id").as("u2"), col("ts").as("ts2"),
+          cell(col("ts")).as("b2"))
+        .select(col("u2"), col("ts2"),
+          explode(array(col("b2"), col("b2") - 1)).as("b"))
+      clicks.join(follows,
+          col("user_id") === col("u2") && clicks("b") === follows("b")
+            && col("ts2") > col("ts")
+            && col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"), col("event_id"))
         .agg(count(lit(1)).as("n_follow"))
         .orderBy("user_id", "event_id")
     }),

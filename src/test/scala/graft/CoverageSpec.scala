@@ -134,6 +134,26 @@ class CoverageSpec extends SparkSpec {
     assert(merged.filter(col("d") === 2).agg(sum("score")).head().getLong(0) == 14)
   }
 
+  test("q_join_interval: band-bucketed join equals the naive range join (C)") {
+    // result-preservation proof for the 5-minute cell bucketing: every
+    // qualifying pair meets in exactly one (user, cell) — the naive
+    // user-keyed join with the band as a condition filter is ground truth
+    val e1 = table("events").alias("e1")
+    val e2 = table("events").alias("e2")
+    val naive = e1.filter(col("e1.event_type") === "click")
+      .join(e2,
+        col("e1.user_id") === col("e2.user_id")
+          && col("e2.ts") > col("e1.ts")
+          && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("e1.user_id").as("user_id"), col("e1.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_follow"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val banded = q("q_join_interval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(banded == naive && banded.nonEmpty)
+  }
+
   test("join strategy hints: merge forces SMJ, shuffle_hash forces SHJ (C)") {
     // The escape hatch when the optimizer's choice is wrong for a known
     // data shape — hints pin the physical strategy without touching the
