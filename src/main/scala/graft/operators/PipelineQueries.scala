@@ -202,6 +202,10 @@ object PipelineQueries extends QueryModule {
   private def trainEvalGrams(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     t(s, dir, "documents")
+      // single-row-group fixture parquet = one scan task; spread the raw
+      // text BEFORE the 5-gram HOF build so it parallelizes (the
+      // q_ngram_jaccard discipline) — measured 2x on the decon leg at sf1
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       // explode_OUTER: see DedupQueries.simhashSigs — the inferred
