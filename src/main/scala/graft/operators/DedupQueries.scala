@@ -510,13 +510,19 @@ object DedupQueries extends QueryModule {
       // its three shuffles. A pair exactly AT jac = 0.5 is excluded by
       // both (inter/union vs 0.5 compares exactly: the quotient is
       // > 1/(2·union) away from 0.5 whenever 2·inter ≠ union).
+      // The threshold filter sits behind a per-pair AGGREGATE (pairs are
+      // unique ⇒ min is identity): a bare filter over the scored
+      // projection is pushed into the join condition and the kernel runs
+      // there AND again in the projection — the q_editdist_pairs hazard,
+      // now a PlanDoctor rule (expensive-join-predicate).
       graft.functions.NativeJaccard.register(s)
       val jac = call_function(graft.functions.NativeJaccard.name,
         col("x.grams"), col("y.grams"))
       broadcast(cand)
         .join(docGrams.as("x"), col("x.doc_id") === col("id_a"))
         .join(docGrams.as("y"), col("y.doc_id") === col("id_b"))
-        .select(col("id_a"), col("id_b"), jac.as("jac_raw"))
+        .select(col("id_a"), col("id_b"), jac.as("j"))
+        .groupBy("id_a", "id_b").agg(min(col("j")).as("jac_raw"))
         .filter(col("jac_raw") > 0.5)
         .select(col("id_a"), col("id_b"), pround4(col("jac_raw")).as("jac"))
         .orderBy("id_a", "id_b")

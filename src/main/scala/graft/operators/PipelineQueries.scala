@@ -201,10 +201,14 @@ object PipelineQueries extends QueryModule {
     * decontamination paths consume. */
   private def trainEvalGrams(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    t(s, dir, "documents")
-      // single-row-group fixture parquet = one scan task; spread the raw
-      // text BEFORE the 5-gram HOF build so it parallelizes (the
-      // q_ngram_jaccard discipline) — measured 2x on the decon leg at sf1
+    // Materialize: TWO consumers (the broadcast eval side and the train
+    // side of the hash join) would otherwise each run the scan + 5-gram
+    // build; the checkpoint also keeps the decon tail's visible
+    // exchanges sketch-sized (ScaleSpec budget) — the repartition below
+    // is a one-pass raw-text spread BEFORE the HOF build (the
+    // q_ngram_jaccard discipline; the fixture parquet is one row group =
+    // one scan task), measured 2x on the decon leg at sf1.
+    graft.functions.Materialize(t(s, dir, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
@@ -214,7 +218,7 @@ object PipelineQueries extends QueryModule {
       .select(col("doc_id"), explode_outer(array_distinct(expr(
         """transform(sequence(1, size(t) - 4),
           |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
-        .as("g"))
+        .as("g")))
 
   override def oracleSql: Map[String, String] = Map(
     "q_quality_filter" ->

@@ -43,6 +43,18 @@ object PlanAllowlist {
     "q_simhash_eval" -> "bounded audit block (doc_id < 1000) all-pairs hamming ground truth over the 16-byte sig relation — the eval's own contract; the block banding it grades is the scale path",
     "q_lsh_eval" -> "bounded audit block (vec_id < 1000 + planted twins) all-pairs exact-cosine ground truth over the (id, ivs, norm) vector relation — the eval's own contract; the hyperplane banding it grades is the scale path")
 
+  /** Queries allowed an expensive expression IN a join condition (the
+    * round-9 expensive-join-predicate rule). Legitimate only when the
+    * expensive expression IS the join predicate semantically — i.e. it
+    * must run once per candidate pair no matter where it sits, as in a
+    * similarity-threshold band over a bounded broadcast. A VERIFY stage
+    * whose candidates are already keyed does NOT belong here — put it
+    * behind a per-pair aggregate (q_editdist_pairs / minhashPairs). */
+  val expensiveJoinPredOk: Map[String, String] = Map(
+    "q_embed_neardup" -> ("the cosine threshold IS the join predicate: " +
+      "every (corpus row, bounded probe) pair must be scored exactly once " +
+      "wherever the expression sits; the probe side is a broadcast dim"))
+
   /** Queries allowed a global Sort NOT fused into TakeOrderedAndProject. */
   val sortLimitOk: Map[String, String] = Map.empty
 
@@ -86,7 +98,9 @@ object PlanAllowlist {
       (f.rule == "unfused-sort-limit" &&
         (sortLimitOk.contains(name) ||
           flatten(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]))) ||
-      (f.rule == "global-window" && globalWindowOk.contains(name))
+      (f.rule == "global-window" && globalWindowOk.contains(name)) ||
+      (f.rule == "expensive-join-predicate" &&
+        expensiveJoinPredOk.contains(name))
     }
 
   /** Novel (non-allowlisted) risk findings for `name`'s plan. */

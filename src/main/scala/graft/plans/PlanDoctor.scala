@@ -31,6 +31,13 @@ import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
   *   - filter-not-pushed (warn): a Filter sits over a parquet scan that
   *     pushed NO predicates — pushdown-ineligible expressions (UDFs,
   *     regex on the hot path) often hide here.
+  *   - expensive-join-predicate (risk): a join CONDITION contains an
+  *     expensive expression (edit-distance DP, a lambda HOF, a UDF, a
+  *     graft native kernel). Catalyst pushes post-join filters into the
+  *     join condition and PREPENDS them, so the expensive verify runs on
+  *     every key-colliding row pair BEFORE the cheap conjuncts — measured
+  *     20x on q_editdist_pairs before round 9 moved its verify behind a
+  *     per-pair aggregate (filters never push through aggregates).
   *   - interpreted-stage (warn): a Project/Filter executing OUTSIDE
   *     whole-stage codegen — a CodegenFallback expression broke the
   *     fused pipeline.
@@ -74,6 +81,22 @@ object PlanDoctor {
     action(df)
     diagnosePlan(df.queryExecution.executedPlan)
   }
+
+  /** Expressions whose per-evaluation cost makes them join-condition
+    * hazards: O(n·m) string DPs, interpreted lambda HOFs, UDFs, and the
+    * engine's own native kernels (cheap per call, but a kernel in a join
+    * condition means a verify ran before the cheap conjuncts — and gets
+    * re-evaluated in the projection above). Simple comparisons, hashes,
+    * and bit ops (xor + bit_count verifies) stay out — those are the
+    * predicates that BELONG in conditions. */
+  private def expensiveExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case _: org.apache.spark.sql.catalyst.expressions.Levenshtein => true
+      case _: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction => true
+      case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+      case other => other.getClass.getName.startsWith("graft.")
+    }
 
   def diagnosePlan(plan: SparkPlan): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
@@ -193,6 +216,23 @@ object PlanDoctor {
                     s"filter over ${scan.nodeName} pushed no predicates " +
                       "into the scan — check for pushdown-ineligible " +
                       "expressions")
+              }
+            case _ => ()
+          }
+          p match {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+              j.condition.toSeq
+                .flatMap(c => c.collect {
+                  case e if expensiveExpr(e) => e.getClass.getSimpleName
+                }).distinct match {
+                case Nil => ()
+                case names =>
+                  out += Finding("expensive-join-predicate", "risk",
+                    j.nodeName,
+                    s"join condition evaluates ${names.mkString(", ")} per " +
+                      "key-colliding row pair (pushed filters run BEFORE " +
+                      "cheap conjuncts) — verify behind a per-pair " +
+                      "aggregate or Materialize barrier instead")
               }
             case _ => ()
           }

@@ -94,6 +94,24 @@ class PlanDoctorSpec extends SparkSpec {
     } finally { spark.conf.set(bt, old); spark.conf.unset(abt) }
   }
 
+  test("expensive-join-predicate fires on a pushed verify, silent behind " +
+      "the per-pair aggregate barrier") {
+    val d = table("documents").select(col("doc_id"), col("lang"),
+      col("text"), length(col("text")).as("len"))
+    // the hazard shape: filter over the scored projection is pushed into
+    // the join condition, so the DP runs before the cheap conjuncts
+    val pushed = d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        levenshtein(col("a.text"), col("b.text"), 20).as("dist"))
+      .filter(col("dist") >= 0)
+    assert(rules(pushed).contains("expensive-join-predicate"))
+    // the fix shape: same result, verify behind the aggregate —
+    // q_editdist_pairs' registered plan must stay clean
+    assert(!rules(q("q_editdist_pairs")).contains("expensive-join-predicate"))
+    assert(!rules(q("q_minhash_lsh")).contains("expensive-join-predicate"))
+  }
+
   test("a healthy aggregate query yields zero risk findings") {
     val q = table("lineitem").groupBy("l_returnflag")
       .agg(sum(col("l_quantity")).as("s")).orderBy("l_returnflag")
