@@ -222,13 +222,15 @@ object DedupQueries extends QueryModule {
     // per document, the fraction of its 8-token sliding spans that occur
     // in at least one OTHER document, with an integer-exact keep rule
     // (duplicated fraction strictly under 20%). Scale shape: spans
-    // shuffle as 16-hex-char md5 prefixes (16 bytes/span, NOT the ~50-byte
-    // span text — an 8× corpus shuffle otherwise); md5 exists bit-identical
-    // in both engines, so a collision (2^-64/pair) would be the SAME
-    // collision in the oracle. The span-count aggregate carries
-    // (hash, distinct-doc count) — bounded by vocabulary², map-side
-    // combined. Docs shorter than 8 tokens have no spans and drop out
-    // (inner join with the span relation), mirrored in the oracle.
+    // shuffle as 60-bit md5-prefix BIGINTs (8 bytes/span, NOT the
+    // ~50-byte span text — an 8× corpus shuffle otherwise; the
+    // q_ngram_jaccard single-long key discipline); md5 exists
+    // bit-identical in both engines, so a collision (~2^-60/pair) would
+    // be the SAME collision in the oracle. The span-count aggregate
+    // carries (hash, distinct-doc count) — bounded by vocabulary²,
+    // map-side combined. Docs shorter than 8 tokens have no spans and
+    // drop out (inner join with the span relation), mirrored in the
+    // oracle.
     "q_span_dedup" -> ((s, dir) => {
       // two consumers (the span-count aggregate + the join back): cut the
       // tokenize+md5 span build off the plan once — without the barrier
@@ -242,7 +244,7 @@ object DedupQueries extends QueryModule {
         // filter re-running the md5 span build below the projection
         .select(col("doc_id"), explode_outer(expr(
           """transform(sequence(1, size(toks) - 7),
-            |  i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"""
+            |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 15), 16, 10) AS BIGINT))"""
             .stripMargin)).as("span_h")))
       val sd = spans.groupBy("span_h")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -262,8 +264,8 @@ object DedupQueries extends QueryModule {
     // are broadcast, the corpus shingle relation streams once — linear in
     // the corpus; the all-pairs version at scale rides MinHashDedup's
     // banded candidates with this containment as the verify stage.
-    // Shingles shuffle as 16-hex md5 prefixes (16 B/shingle, not span
-    // text); a collision would be the same collision in the oracle.
+    // Shingles shuffle as 60-bit md5-prefix BIGINTs (8 B/shingle, not
+    // span text); a collision would be the same collision in the oracle.
     "q_containment" -> ((s, dir) => {
       // two consumers (probe side + corpus side of the hash equi-join):
       // build the distinct (doc, shingle-hash) relation once
@@ -275,7 +277,7 @@ object DedupQueries extends QueryModule {
         // the md5 shingle build; size guard ⇒ arrays non-empty
         .select(col("doc_id"), explode_outer(expr(
           """transform(sequence(1, size(toks) - 2),
-            |  i -> substring(md5(array_join(slice(toks, i, 3), ' ')), 1, 16))"""
+            |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT))"""
             .stripMargin)).as("shh"))
         .distinct())
       val probes = sh.filter(col("doc_id") < 20)
@@ -626,7 +628,8 @@ object DedupQueries extends QueryModule {
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |spans AS (
         |  SELECT doc_id,
-        |         SUBSTRING(MD5(ARRAY_TO_STRING(t[i:i+7], ' ')), 1, 16) AS span_h
+        |         CAST('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(t[i:i+7], ' ')),
+        |           1, 15) AS BIGINT) AS span_h
         |  FROM toks, UNNEST(RANGE(1, LEN(t) - 6)) AS u(i)
         |  WHERE LEN(t) >= 8),
         |sd AS (SELECT span_h, COUNT(DISTINCT doc_id) AS nd
@@ -643,7 +646,8 @@ object DedupQueries extends QueryModule {
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id,
-        |         SUBSTRING(MD5(ARRAY_TO_STRING(t[i:i+2], ' ')), 1, 16) AS shh
+        |         CAST('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(t[i:i+2], ' ')),
+        |           1, 15) AS BIGINT) AS shh
         |  FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
         |  WHERE LEN(t) >= 3),
         |pn AS (SELECT doc_id AS probe_id, COUNT(*) AS n_p FROM sh

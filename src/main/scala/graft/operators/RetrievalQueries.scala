@@ -79,19 +79,24 @@ object RetrievalQueries extends QueryModule {
         .orderBy(col("df").desc, col("token"))
     }),
 
-    // Per-source mean first-occurrence shingle novelty.
+    // Per-source mean first-occurrence shingle novelty. n_new per doc
+    // falls straight out of the first-occurrence relation (group ITS
+    // first_doc — each shingle credits exactly its minimum doc), so the
+    // two relations meet at DOC grain; the pre-round-9 shape joined the
+    // full shingle relation back to `first` at SHINGLE grain (2.3M-row
+    // join at sf1) to compute the same two counts.
     "q_novelty" -> ((s, dir) => {
       val sh = graft.functions.Materialize(
         docShingles(t(s, dir, "documents")))
-      val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-      val perDoc = sh.join(first, Seq("sh"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_sh"),
-          count_if(col("first_doc") === col("doc_id")).as("n_new"))
-      perDoc.groupBy("source")
+      val nSh = sh.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"))
+      val nNew = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy("first_doc").agg(count(lit(1)).as("n_new"))
+      nSh.join(nNew, col("doc_id") === col("first_doc"), "left")
+        .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          pround4(sum(col("n_new")).cast("double") / sum(col("n_sh")))
-            .as("novelty"))
+          pround4(sum(coalesce(col("n_new"), lit(0L))).cast("double")
+            / sum(col("n_sh"))).as("novelty"))
         .orderBy("source")
     }),
 
