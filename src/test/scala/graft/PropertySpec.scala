@@ -434,4 +434,37 @@ class PropertySpec extends SparkSpec {
       assert(whole.n == ticks.length.toLong)
     }
   }
+
+  test("simjoin: prefix-filtered join equals brute force on random corpora") {
+    // 12 seeded corpora spanning the shapes that stress the filter: tiny
+    // vocab (dense overlap — every pair a candidate), huge vocab (sparse —
+    // prefixes prune nearly everything), mixed set sizes incl. singletons
+    // and exact twins; thresholds walk the (0, 1] range incl. rational
+    // boundaries (1/3, 1/2, 2/3) where a float alpha could lose a prefix
+    // slot. Equality with the brute-force twin is exactly the prefix
+    // lemma's claim, exercised end-to-end.
+    val thresholds = Seq(0.2, 1.0 / 3, 0.5, 2.0 / 3, 0.75, 1.0)
+    for (c <- 0 until 12) {
+      val vocabSize = Seq(6, 40, 400)(c % 3)
+      val v = (1 to vocabSize).map(i => s"t$i")
+      val n = 30 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        val sz = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(sz)(v(rnd.nextInt(v.size))))
+      } ++ Seq((900L, Seq("t1", "t2", "t3")), (901L, Seq("t1", "t2", "t3")))
+      val df = rows.toDF("id", "toks")
+      val t = thresholds(c % thresholds.size)
+      val fast = graft.functions.SimilarityJoin
+        .jaccardSelfJoin(df, "id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val brute = graft.functions.SimilarityJoin
+        .bruteForceSelfJoin(df, "id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(fast == brute, s"corpus $c (vocab $vocabSize, t=$t) diverged")
+      assert(fast.exists(p => p._1 == 900L && p._2 == 901L),
+        s"planted exact twins missing at t=$t")
+    }
+  }
 }
