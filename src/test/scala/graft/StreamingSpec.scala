@@ -922,6 +922,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_decontaminate: stateless arrival gate equals batch q_decontaminate") {
+    // stream = the fixture's train docs (doc_id >= 10), eval set = the
+    // batch query's own (doc_id < 10) — final per-doc hit counts must
+    // equal q_decontaminate row-for-row. Append mode: the gate holds NO
+    // streaming state (the broadcast eval-gram set decides per row), so
+    // the parity needs no upsert folding — every emitted row is final.
+    val docsDf = table("documents")
+    val train = docsDf.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = train.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(Long, String)]
+    val out = runToTable(
+      StreamingDecontaminate.contaminationCounts(spark,
+        in.toDS.map(t => StreamingDecontaminate.Doc(t._1, t._2)),
+        docsDf.filter(col("doc_id") < 10)).toDF,
+      "append",
+      () => in.addData(b1.map(_._1)), () => in.addData(b2.map(_._1)))
+    val fin = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = q("q_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty && fin == batch,
+      s"stream ${fin.size} rows vs batch ${batch.size}")
+  }
+
   test("s_sample: streaming bottom-k membership equals the batch eval sample") {
     val docs = table("documents").select(col("lang"), col("doc_id"))
       .as[(String, Long)].collect().toSeq
