@@ -122,21 +122,22 @@ object TextStatsQueries extends QueryModule {
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("t"))
-      val w = toks.select(explode(col("t")).as("w"))
+      // the exploded (doc, token) relation feeds the unigram counts AND
+      // both sides of the pair self-join — one tokenize, checkpointed
+      val w = graft.functions.Materialize(
+        toks.select(col("doc_id"), explode(col("t")).as("w")))
       val cw = w.groupBy("w").agg(count(lit(1)).as("c"))
       val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
-      // explode_OUTER + size guard: plain explode's inferred filter would
-      // inline this O(tokens²) nested lambda below the projection and
-      // evaluate it 2 extra times per doc (see DedupQueries.simhashSigs);
-      // docs with < 2 distinct tokens contribute no pairs either way, so
-      // the guard keeps the row sets identical
-      val pairs = toks.filter(size(col("t")) >= 2).select(explode_outer(expr(
-        """flatten(transform(t, (x, i) ->
-          |  filter(transform(t, (y, j) ->
-          |    IF(j > i, struct(least(x, y) AS w1, greatest(x, y) AS w2),
-          |       CAST(NULL AS STRUCT<w1: STRING, w2: STRING>))),
-          |    p -> p IS NOT NULL)))""".stripMargin)).as("p"))
-      pairs.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // in-doc pairs as a doc-keyed SELF-JOIN, not a nested O(tokens²)
+      // lambda: tokens are per-doc distinct, so the a.w < b.w join emits
+      // every unordered pair exactly once (≡ the old least/greatest
+      // normalization) — in codegen'd join machinery instead of ~15M
+      // interpreted struct allocations at sf1 (measured 1.6x), and the
+      // pair aggregate's groups stay vocabulary²-bounded with map-side
+      // combine, so the exchange is tiny either way.
+      w.as("a").join(w.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
         .agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
         .join(broadcast(cw.select(col("w").as("w1"), col("c").as("ca"))), "w1")
