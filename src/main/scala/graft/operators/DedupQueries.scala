@@ -294,6 +294,38 @@ object DedupQueries extends QueryModule {
         .orderBy("probe_id", "cand_id")
     }),
 
+    // The prefix-filtered EXACT similarity join (functions/SimilarityJoin,
+    // AllPairs/PPJoin) under the oracle gate, on a BOUNDED doc block
+    // (doc_id < 1500 — the q_simhash_eval bounded-audit discipline):
+    // every pair with TRIGRAM-set Jaccard ≥ 0.5 (trigrams: the corpus's
+    // bigram vocabulary is dense enough that prefixes barely prune — the
+    // documented corpus-shape sensitivity — while the trigram universe is
+    // ~16k-strong in-block and Zipf-tailed, the shape the filter is FOR), recall 1 by construction,
+    // no banding, no probabilistic S-curve. DuckDB computes the same
+    // pairs with a filterless posting join — the prefix filter must be
+    // invisible in the result. Thresholding: the kernel's double I/U
+    // compares against the exactly-representable 0.5; rationals with the
+    // block's denominators sit ≥ 1/(2U) from ½, far outside double
+    // rounding, so the comparison equals the oracle's integer
+    // 2·I ≥ U form. At corpus scale the exact join stays block-bounded
+    // by contract (the fixtures' dense vocabulary makes any exact join
+    // quadratic — see SimilarityJoin's scaladoc); banded MinHash is the
+    // corpus-wide path.
+    "q_simjoin_block" -> ((s, dir) => {
+      val grams = t(s, dir, "documents").filter(col("doc_id") < 1500)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, size(t) - 2),
+            |  i -> array_join(slice(t, i, 3), ' '))"""
+            .stripMargin).as("grams"))
+      graft.functions.SimilarityJoin
+        .jaccardSelfJoin(grams, "doc_id", "grams", 0.5)
+        .select(col("a_id"), col("b_id"), pround4(col("jac")).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash-banding self-audit (the q_minhash_eval discipline, round-8
     // verdict task #4): on a BOUNDED doc block (doc_id < 1000), compare
     // the 4×8-bit block-collision candidate set against the EXACT
@@ -728,6 +760,31 @@ object DedupQueries extends QueryModule {
              "CASE WHEN n_cand + n_true > 0 THEN " +
              "CAST(n_hit AS DOUBLE) * 2 / (n_cand + n_true) END")} AS f1
          |FROM ns""".stripMargin,
+
+    // the exact-join contract, computed WITHOUT any prefix filter: a
+    // filterless posting join over the bounded block — the Spark side's
+    // AllPairs pruning must be invisible in the result
+    "q_simjoin_block" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE doc_id < 1500 AND LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS gram FROM g),
+        |s AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+        |         COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |  FLOOR(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000 + 0.5)
+        |    / 10000 AS jac
+        |FROM s WHERE 2 * inter >= na + nb - inter
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // gram-grain posting-list formulation, mirrored with the Spark body
     // (same md5-prefix key, so a hash collision would be the same
