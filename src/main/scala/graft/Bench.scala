@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     audit pinned all eagerly-checkpointed relations in the block manager
   *     for the whole 220-query sweep; storage pressure grew monotonically
   *     and the late-alphabet lineitem scans paid for it.
-  *   - OUTLIER RE-MEASURE: any query whose median exceeds 2x its value in
+  *   - OUTLIER RE-MEASURE: any query whose median exceeds 1.5x its value in
   *     the latest committed BENCH_r*.json is re-run (same runs count) after
   *     the sweep; both medians ship in "remeasured" and the headline takes
   *     the MIN of the two (load spikes only ever inflate a timing — the
@@ -47,7 +47,7 @@ object BenchSupport {
   /** Parse the per-query medians out of a prior bench artifact, but ONLY
     * when it was measured on the same fixture dir — cross-SF timings are
     * incomparable, and a 10x-fixture sweep comparing against sf0.1
-    * numbers would trip the 2x outlier gate on EVERY query and silently
+    * numbers would trip the outlier gate on EVERY query and silently
     * double its own cost on re-measures. Returns empty on any mismatch
     * or parse failure (the re-measure pass then simply doesn't run). */
   def parsePrevQueries(txt: String, sfDir: String): Map[String, Double] = {
@@ -85,11 +85,15 @@ object BenchSupport {
       }).sortBy(-_._1).headOption.map(_._2)
   }
 
-  /** The outlier gate: re-measure when this run's median exceeds 2x the
-    * previous round's, above an absolute floor (sub-0.3s medians jitter
-    * past 2x on VM noise alone). */
+  /** The outlier gate: re-measure when this run's median exceeds 1.5x the
+    * previous round's, above an absolute floor (sub-half-second medians
+    * jitter past the ratio on VM noise alone). The gate started at 2x;
+    * a 1.9x VM-load reading on q_dedup_cluster (in-sweep 5.6 s vs 2.8 s
+    * isolated) shipped under it, so it tightened — the cost is only a
+    * few extra 3-run re-measures per sweep, each of which ships BOTH
+    * numbers. */
   def isOutlier(median: Double, prev: Double): Boolean =
-    prev > 0 && median > 0.3 && median > 2 * prev
+    prev > 0 && median > 0.5 && median > 1.5 * prev
 
   /** md5 over the sorted (relative-name, byte-size) listing of a fixture
     * dir — proves two sweeps claiming the same fixture saw the same data. */
@@ -218,8 +222,8 @@ object Bench {
       }
 
     // Outlier re-measure pass: compare against the latest committed
-    // BENCH_r*.json (shipped in-repo). A query >2x its previous-round
-    // value AND above an absolute floor (sub-0.3s medians jitter past 2x
+    // BENCH_r*.json (shipped in-repo). A query >1.5x its previous-round
+    // value AND above an absolute floor (sub-half-second medians jitter past it
     // on VM noise alone) re-runs fresh after the sweep, when the sweep's
     // own memory/load pressure has drained. Both medians are reported;
     // the headline takes the min.

@@ -69,11 +69,13 @@ class BenchSupportSpec extends AnyFunSuite {
     finally dir.delete()
   }
 
-  test("outlier gate: >2x prev AND >0.3s absolute; failed queries never gate") {
+  test("outlier gate: >1.5x prev AND >0.5s absolute; failed queries never gate") {
     assert(BenchSupport.isOutlier(median = 1.0, prev = 0.4))
-    assert(!BenchSupport.isOutlier(median = 0.79, prev = 0.4), "under 2x")
-    assert(!BenchSupport.isOutlier(median = 0.25, prev = 0.1),
-      "sub-0.3s medians jitter past 2x on noise alone")
+    assert(BenchSupport.isOutlier(median = 5.6, prev = 2.8),
+      "the round-9 q_dedup_cluster VM-noise reading must gate now")
+    assert(!BenchSupport.isOutlier(median = 0.55, prev = 0.4), "under 1.5x")
+    assert(!BenchSupport.isOutlier(median = 0.45, prev = 0.1),
+      "sub-half-second medians jitter past the ratio on noise alone")
     assert(!BenchSupport.isOutlier(median = 5.0, prev = -1.0),
       "a previously-failed query has no baseline")
     assert(!BenchSupport.isOutlier(median = 5.0, prev = 0.0))
