@@ -82,6 +82,14 @@ object SimilarityJoin {
       .distinct()
   }
 
+  /** The normalized (id, toks) set relation every path starts from: one
+    * place owns the set semantics (per-row array_distinct, empty sets
+    * dropped) so the fast join, the brute twin, and the candidate metric
+    * cannot drift apart. */
+  private def sets(df: DataFrame, idCol: String, setCol: String): DataFrame =
+    df.select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+
   /** All unordered pairs (a_id, b_id, jac) with set-Jaccard ≥ t.
     *
     * @param df     input relation
@@ -95,10 +103,8 @@ object SimilarityJoin {
     require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
     val tNum = math.floor(t * TDen).toLong
     NativeJaccard.register(df.sparkSession)
-    val sets = Materialize(df
-      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
-      .filter(size(col("toks")) > 0))
-    val cand = candidates(sets, tNum)
+    val rel = Materialize(sets(df, idCol, setCol))
+    val cand = candidates(rel, tNum)
     // exact verify, once per candidate, behind the per-pair aggregate
     // barrier (pairs unique ⇒ min is identity; a bare filter would push
     // the kernel into the join condition). The threshold compares the
@@ -106,8 +112,8 @@ object SimilarityJoin {
     // so the two paths agree row-for-row by construction.
     val jac = call_function(NativeJaccard.name, col("x.toks"), col("y.toks"))
     broadcast(cand)
-      .join(sets.as("x"), col("x.id") === col("a_id"))
-      .join(sets.as("y"), col("y.id") === col("b_id"))
+      .join(rel.as("x"), col("x.id") === col("a_id"))
+      .join(rel.as("y"), col("y.id") === col("b_id"))
       .select(col("a_id"), col("b_id"), jac.as("j"))
       .groupBy("a_id", "b_id").agg(min(col("j")).as("jac"))
       .filter(col("jac") >= t)
@@ -118,11 +124,9 @@ object SimilarityJoin {
   def bruteForceSelfJoin(df: DataFrame, idCol: String, setCol: String,
                          t: Double): DataFrame = {
     NativeJaccard.register(df.sparkSession)
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(col(setCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val rel = sets(df, idCol, setCol)
     val jac = call_function(NativeJaccard.name, col("x.toks"), col("y.toks"))
-    sets.as("x").join(sets.as("y"), col("x.id") < col("y.id"))
+    rel.as("x").join(rel.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"), jac.as("j"))
       .groupBy("a_id", "b_id").agg(min(col("j")).as("jac"))
       .filter(col("jac") >= t)
@@ -133,9 +137,6 @@ object SimilarityJoin {
   private[graft] def candidateCount(df: DataFrame, idCol: String,
                                     setCol: String, t: Double): Long = {
     val tNum = math.floor(t * TDen).toLong
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(col(setCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-    candidates(sets, tNum).count()
+    candidates(sets(df, idCol, setCol), tNum).count()
   }
 }

@@ -88,16 +88,20 @@ object DedupQueries extends QueryModule {
           explode_outer(col("grams")).as("g"), col("lang"), col("ft"))
         // (lang, ft, gram) collapses to ONE 60-bit md5-prefix BIGINT key:
         // a single-long sort/merge measures ~2x faster than the 3-column
-        // string key at sf1. The space delimiter is unambiguous (lang and
-        // ft are space-split tokens, so the first two fields parse back
-        // uniquely); 15 hex chars < 2^60 fits BIGINT in both engines, and
-        // the oracle hashes IDENTICALLY, so a collision (~1e-6 at 25M
-        // keys) would be the SAME collision there — the q_span_dedup
-        // discipline.
+        // string key at sf1. NULL-PROPAGATING concat, deliberately: a
+        // NULL lang must yield a NULL key so the equi-join drops the row
+        // — exactly the old a.lang === b.lang blocking semantics AND the
+        // oracle's `||` (concat_ws would silently skip the NULL field and
+        // let two null-lang docs pair on Spark only). The space delimiter
+        // is unambiguous (lang and ft are space-split tokens, so the
+        // first two fields parse back uniquely); 15 hex chars < 2^60 fits
+        // BIGINT in both engines, and the oracle hashes IDENTICALLY, so a
+        // collision (~1e-6 at 25M keys) would be the SAME collision there
+        // — the q_span_dedup discipline.
         .select(col("doc_id"), col("n"),
-          conv(substring(md5(concat_ws(" ", col("lang"), col("ft"),
-            col("g")).cast("binary")), 1, 15), 16, 10).cast("bigint")
-            .as("k"))
+          conv(substring(md5(concat(col("lang"), lit(" "), col("ft"),
+            lit(" "), col("g")).cast("binary")), 1, 15), 16, 10)
+            .cast("bigint").as("k"))
         // both self-join sides consume the exploded gram relation; cut the
         // shingle HOFs off the plan once (at 100 TB: write the derived
         // relation to storage — either way the projection runs once).

@@ -208,7 +208,6 @@ object EvalQueries extends QueryModule {
           (col("iv") + hv48(concat(lit("n"), col("id").cast("string"),
             lit(":"), col("pos").cast("string"))) % 2001 - 1000).as("iv"))
       val ex = graft.functions.Materialize(base.unionAll(planted))
-      val nrm = ex.groupBy("id").agg(sum(col("iv") * col("iv")).as("na"))
       // ARRAY-grain truth vectors: the pos-grain formulation shuffled
       // 64 × n²/2 ≈ 38M (pos, iv) rows through a join + 600k-group
       // aggregate — per-row exchange overhead dominated the whole query
@@ -282,7 +281,9 @@ object EvalQueries extends QueryModule {
         .select(col("k.id").as("ia"), col("p.idb").as("ib"))
         .distinct())
       val hits = cand.join(truePairs, Seq("ia", "ib")).select("ia", "ib")
-      val nv = nrm.agg(count(lit(1)).as("n_vecs"))
+      // vector count off the materialized one-row-per-vector relation —
+      // the pre-rewrite norm aggregate existed only to be counted here
+      val nv = vecs.agg(count(lit(1)).as("n_vecs"))
       val nt = truePairs.agg(count(lit(1)).as("n_true"))
       val nc = cand.agg(count(lit(1)).as("n_cand"))
       val nh = hits.agg(count(lit(1)).as("n_hit"))

@@ -199,26 +199,36 @@ object PipelineQueries extends QueryModule {
 
   /** The raw per-doc-distinct (doc_id, g) 5-gram relation both
     * decontamination paths consume. */
+  /** THE 5-gram rule — per-doc DISTINCT 5-token shingles of a
+    * (doc_id, text) relation as exploded (doc_id, g) rows; docs under 5
+    * tokens have no grams. One DataFrame-side implementation: the batch
+    * decontamination paths AND the streaming arrival gate
+    * (streaming/StreamingDecontaminate) build their grams here, so the
+    * batch/stream parity contract can't drift on the gram rule.
+    * explode_OUTER: see DedupQueries.simhashSigs — the inferred filter
+    * would re-run the distinct-5-gram build below this projection;
+    * size(t) >= 5 ⇒ at least one gram. */
+  private[graft] def fiveGrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode_outer(array_distinct(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
+        .as("g"))
+
   private def trainEvalGrams(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     // Materialize: TWO consumers (the broadcast eval side and the train
     // side of the hash join) would otherwise each run the scan + 5-gram
     // build; the checkpoint also keeps the decon tail's visible
-    // exchanges sketch-sized (ScaleSpec budget) — the repartition below
-    // is a one-pass raw-text spread BEFORE the HOF build (the
-    // q_ngram_jaccard discipline; the fixture parquet is one row group =
-    // one scan task), measured 2x on the decon leg at sf1.
-    graft.functions.Materialize(t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      // explode_OUTER: see DedupQueries.simhashSigs — the inferred
-      // filter would re-run the distinct-5-gram build below this
-      // projection; size(t) >= 5 ⇒ at least one gram
-      .select(col("doc_id"), explode_outer(array_distinct(expr(
-        """transform(sequence(1, size(t) - 4),
-          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
-        .as("g")))
+    // exchanges sketch-sized (ScaleSpec budget) — the repartition is a
+    // one-pass raw-text spread BEFORE the HOF build (the q_ngram_jaccard
+    // discipline; the fixture parquet is one row group = one scan task),
+    // measured 2x on the decon leg at sf1.
+    graft.functions.Materialize(fiveGrams(
+      t(s, dir, "documents").repartition(col("doc_id"))))
 
   override def oracleSql: Map[String, String] = Map(
     "q_quality_filter" ->

@@ -37,16 +37,10 @@ object StreamingDecontaminate {
   case class Doc(doc_id: Long, text: String)
   case class Contamination(doc_id: Long, n_hit_grams: Long)
 
-  /** Per-doc distinct 5-gram relation (doc_id, g) — the batch query's
-    * gram rule verbatim (docs under 5 tokens have no grams). */
+  /** Per-doc distinct 5-gram relation (doc_id, g) — THE batch gram rule,
+    * shared with q_decontaminate (one DataFrame-side implementation). */
   private[streaming] def grams(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode_outer(array_distinct(expr(
-        """transform(sequence(1, size(t) - 4),
-          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
-        .as("g"))
+    graft.operators.PipelineQueries.fiveGrams(docs)
 
   /** The doc's distinct 5-grams, driver-side twin of [[grams]] — used by
     * the per-row counter so stream and batch share one gram rule. */

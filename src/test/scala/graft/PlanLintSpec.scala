@@ -52,19 +52,24 @@ class PlanLintSpec extends SparkSpec {
 
   test("allowlist entries still exhibit their documented shape (no stale rows)") {
     (PlanAllowlist.cartesianOk.keySet ++ PlanAllowlist.bnljOk.keySet ++
-      PlanAllowlist.sortLimitOk.keySet).toSeq.sorted
+      PlanAllowlist.sortLimitOk.keySet ++
+      PlanAllowlist.expensiveJoinPredOk.keySet).toSeq.sorted
       .foreach { name =>
         assert(SparkEntry.queries.contains(name),
           s"allowlisted query $name no longer in the registry")
-        val nodes = flatten(SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan)
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        val nodes = flatten(plan)
         val hasShape =
           (PlanAllowlist.cartesianOk.contains(name) &&
             nodes.exists(_.isInstanceOf[CartesianProductExec])) ||
           (PlanAllowlist.bnljOk.contains(name) &&
             nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])) ||
           (PlanAllowlist.sortLimitOk.contains(name) &&
-            nodes.exists(limitOverSort))
+            nodes.exists(limitOverSort)) ||
+          (PlanAllowlist.expensiveJoinPredOk.contains(name) &&
+            graft.plans.PlanDoctor.diagnosePlan(plan)
+              .exists(_.rule == "expensive-join-predicate"))
         assert(hasShape,
           s"$name is allowlisted but its plan no longer shows the documented shape — remove the entry")
       }
