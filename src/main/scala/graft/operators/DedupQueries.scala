@@ -486,15 +486,23 @@ object DedupQueries extends QueryModule {
 
   /** Verified MinHash-LSH near-dup pairs (id_a, id_b, jac) — the body
     * of q_minhash_lsh, reused by q_dedup_cluster as its edge list. */
+  /** @param toks optional pre-tokenized (doc_id, t) relation — a composed
+    *   pipeline (q_curation_pipeline) tokenizes the corpus ONCE and feeds
+    *   every stage; standalone callers leave it None and the method
+    *   builds its own spread tokenization. Same result either way. */
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      toks: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
       // per-doc DISTINCT gram ARRAYS (not an exploded relation): the
       // LSH stage explodes them transiently for hashing, and the verify
       // stage consumes the arrays whole via the native set-jaccard
       // kernel — no gram-level join, no sizes relation.
-      val docGrams = t(s, dir, "documents")
+      val tokRel = toks.getOrElse(t(s, dir, "documents")
         .repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), split(col("text"), " ").as("t")))
+      val docGrams = tokRel
+        .select(col("doc_id"), col("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), array_distinct(expr(
           """transform(sequence(1, size(t) - 1),

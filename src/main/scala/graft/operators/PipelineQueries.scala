@@ -88,18 +88,32 @@ object PipelineQueries extends QueryModule {
     // anti-joins are broadcasts of tiny drop lists; nothing in the
     // composition adds a corpus-wide shuffle beyond the stages' own.
     "q_curation_pipeline" -> ((s, dir) => {
+      // the composition's own lever: tokenize the corpus ONCE (cheap
+      // checkpoint of the token arrays) and feed the LSH gram build, the
+      // decontamination 5-grams, and the quality rules from it — the
+      // standalone stages each pay their own tokenize, the pipeline
+      // doesn't have to (measured ~2 s of the ~12 s at sf1)
+      val toksRel = graft.functions.Materialize(t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("t")))
       val labels = graft.functions.DedupClusters
-        .connectedComponents(DedupQueries.minhashPairs(s, dir),
+        .connectedComponents(
+          DedupQueries.minhashPairs(s, dir, Some(toksRel)),
           "id_a", "id_b")
       val dupDrop = labels.filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
-      val contam = contaminated(s, dir).select("doc_id").distinct()
-      val tk = split(col("text"), " ")
+      // same relation shape as contaminated(): per-doc distinct 5-gram
+      // hits against the broadcast eval grams, grams built off toksRel
+      val grams5 = graft.functions.Materialize(fiveGramsFromToks(toksRel))
+      val ev = grams5.filter(col("doc_id") < 10).select("g").distinct()
+      val contam = grams5.filter(col("doc_id") >= 10)
+        .join(broadcast(ev), "g").select("doc_id").distinct()
       val stopArr = array(stopwords.map(lit): _*)
-      val keepq = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), size(tk).as("n"),
-          size(array_distinct(tk)).as("nu"),
-          size(filter(tk, x => array_contains(stopArr, x))).as("ns"))
+      val keepq = toksRel
+        .select(col("doc_id"), col("source"), size(col("t")).as("n"),
+          size(array_distinct(col("t"))).as("nu"),
+          size(filter(col("t"), x => array_contains(stopArr, x))).as("ns"))
         .filter(col("n") >= 15 && col("nu") * 10 >= col("n") * 3 &&
           col("ns") * 8 <= col("n"))
       val curated = keepq
@@ -210,8 +224,15 @@ object PipelineQueries extends QueryModule {
     * size(t) >= 5 ⇒ at least one gram. */
   private[graft] def fiveGrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    fiveGramsFromToks(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t")))
+
+  /** [[fiveGrams]] over an already-tokenized (doc_id, t) relation — the
+    * composed pipeline tokenizes once and feeds every stage. */
+  private[graft] def fiveGramsFromToks(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks
+      .select(col("doc_id"), col("t"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), explode_outer(array_distinct(expr(
         """transform(sequence(1, size(t) - 4),
