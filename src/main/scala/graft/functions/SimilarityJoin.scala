@@ -57,8 +57,9 @@ object SimilarityJoin {
   private def alpha(tNum: Long, n: org.apache.spark.sql.Column) =
     floor((n * tNum + lit(TDen - 1)) / lit(TDen)).cast("long")
 
-  /** Prefix postings (w, id, n): each set's first n − α(n) + 1 tokens in
-    * global (df asc, token asc) order. */
+  /** Prefix postings (w, id, n, rk): each set's first n − α(n) + 1 tokens
+    * in global (df asc, token asc) order, carrying the token's 1-based
+    * rank rk within its set — the operand of the positional filter. */
   private def prefixPostings(sets: DataFrame, tNum: Long): DataFrame = {
     val dfreq = sets.select(col("id"), explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("dfc"))
@@ -69,15 +70,36 @@ object SimilarityJoin {
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("dfc").asc, col("w").asc)))
       .filter(col("rk") <= col("n") - alpha(tNum, col("n")) + 1)
-      .select(col("w"), col("id"), col("n"))
+      .select(col("w"), col("id"), col("n"), col("rk").cast("long").as("rk"))
   }
 
+  /** Candidate pairs after BOTH filters:
+    *   - length filter: α(|A|) ≤ |B| ∧ α(|B|) ≤ |A| (AllPairs);
+    *   - POSITIONAL filter (PPJoin, Xiao et al., WWW 2008 — public
+    *     algorithm): a shared token at ranks (ra, rb) bounds the overlap
+    *     from above — every common token sorts ≥ the shared one in the
+    *     global order, so at most min(na − ra, nb − rb) + 1 common tokens
+    *     exist — and a qualifying pair needs overlap ≥ α_ab =
+    *     ⌈t·(na+nb)/(1+t)⌉ (from J ≥ t ⟺ (1+t)·I ≥ t·(na+nb)). For the
+    *     pair's SMALLEST common token the bound is tight in exactly the
+    *     prefix-principle sense, so a qualifying pair always survives on
+    *     that posting row — recall stays 1 by theorem, while posting rows
+    *     whose remaining suffixes can't reach α_ab stop generating
+    *     candidates before the distinct.
+    * α_ab in exact integer arithmetic with t read as tNum/TDen rounded
+    * DOWN (only loosens the filter): ⌈tNum·(na+nb)/(TDen+tNum)⌉ as
+    * floor((tNum·(na+nb) + TDen+tNum − 1)/(TDen+tNum)) — the dividend
+    * stays < 2^53 (exact double division) for na+nb up to ~4.5e9 tokens. */
   private def candidates(sets: DataFrame, tNum: Long): DataFrame = {
     val ranked = prefixPostings(sets, tNum)
+    val na = col("a.n"); val nb = col("b.n")
+    val alphaAb = floor(((na + nb) * tNum + lit(TDen + tNum - 1))
+      / lit(TDen + tNum)).cast("long")
+    val overlapUbound = lit(1L) + least(na - col("a.rk"), nb - col("b.rk"))
     ranked.as("a").join(ranked.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
-          alpha(tNum, col("a.n")) <= col("b.n") &&
-          alpha(tNum, col("b.n")) <= col("a.n"))
+          alpha(tNum, na) <= nb && alpha(tNum, nb) <= na &&
+          overlapUbound >= alphaAb)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
   }
@@ -111,7 +133,13 @@ object SimilarityJoin {
     // kernel's double — the SAME comparison bruteForceSelfJoin applies,
     // so the two paths agree row-for-row by construction.
     val jac = call_function(NativeJaccard.name, col("x.toks"), col("y.toks"))
-    broadcast(cand)
+    // NO broadcast hint on the candidate relation: on a dense shared
+    // vocabulary (the documented worst case, where prefixes barely prune)
+    // candidates approach O(n²) and a forced broadcast would OOM the
+    // driver — AQE broadcasts small candidate sets on its own and keeps
+    // large ones in a shuffled join, so the bounded-block contract is
+    // enforced by the planner rather than advisory.
+    cand
       .join(rel.as("x"), col("x.id") === col("a_id"))
       .join(rel.as("y"), col("y.id") === col("b_id"))
       .select(col("a_id"), col("b_id"), jac.as("j"))

@@ -96,8 +96,11 @@ object DedupQueries extends QueryModule {
         // is unambiguous (lang and ft are space-split tokens, so the
         // first two fields parse back uniquely); 15 hex chars < 2^60 fits
         // BIGINT in both engines, and the oracle hashes IDENTICALLY, so a
-        // collision (~1e-6 at 25M keys) would be the SAME collision there
-        // — the q_span_dedup discipline.
+        // collision (birthday bound ≈ n²/2^61 ≈ 3e-4 at the sf1 sweep's
+        // ~25M keys — small but not negligible; it would be the SAME
+        // collision there, shifting both engines' jac identically — the
+        // q_span_dedup discipline; widen to a 64-bit signed reinterpret
+        // if the margin ever matters).
         .select(col("doc_id"), col("n"),
           conv(substring(md5(concat(col("lang"), lit(" "), col("ft"),
             lit(" "), col("g")).cast("binary")), 1, 15), 16, 10)

@@ -217,11 +217,22 @@ object EvalQueries extends QueryModule {
       // norms ride along, so the block relation is (id, ivs, na) — one
       // narrow row per vector. repartition spreads the streamed side so
       // the BNLJ parallelizes (the block relation is otherwise 1 task).
+      // PRECONDITION (fixture-pinned in EvalSpec): every vector has the
+      // SAME dense position set 0..d-1 — posexplode emits all positions,
+      // so equal-length ivs arrays are position-aligned and the array
+      // dot equals the old pos-equijoin dot over shared positions. A
+      // ragged corpus would make NativeDot return NULL on a length
+      // mismatch (pair silently dropped by the threshold) or misalign
+      // equal-length vectors with different pos sets — re-densify (or
+      // revert to the pos-grain join) before reusing this rewrite there.
       val vecs = graft.functions.Materialize(ex.repartition(col("id"))
         .groupBy("id")
         .agg(array_sort(collect_list(struct(col("pos"), col("iv"))))
           .as("pv"))
-        .select(col("id"), expr("transform(pv, s -> s.iv)").as("ivs"),
+        // ifnull makes the lambda non-nullable → ArrayType(..., containsNull
+        // = false), so NativeDot emits its unguarded hot loop (iv is never
+        // null here — the coalesce is type-level only)
+        .select(col("id"), expr("transform(pv, s -> ifnull(s.iv, 0L))").as("ivs"),
           expr("aggregate(pv, 0L, (acc, s) -> acc + s.iv * s.iv)")
             .as("nn")))
       // exact ground truth, integer-exact threshold: cos ≥ 0.85 ⟺

@@ -139,6 +139,21 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_cand") >= 1L)
   }
 
+  test("q_lsh_eval precondition: the fixture's embeddings are fixed-width") {
+    // the array-grain truth rewrite in q_lsh_eval assumes every vector
+    // has the identical dense position set 0..d-1 (see the comment at
+    // the vecs block): posexplode emits all positions, so the invariant
+    // reduces to ONE distinct embedding length across the fixture. A
+    // ragged fixture would silently drop pairs (NativeDot NULL on length
+    // mismatch) or misalign dots — pin it here, where a fixture change
+    // fails loudly instead.
+    import org.apache.spark.sql.functions._
+    val widths = table("embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect()
+    assert(widths.length == 1,
+      s"embeddings fixture is ragged: ${widths.mkString(",")}")
+  }
+
   test("centroid confusion: separable clusters give a perfect diagonal") {
     val d = emb(Files.createTempDirectory("graft-conf").toString,
       (0L to 4L).map(i => (i, vec(0, (i + 1).toFloat), 0)) ++

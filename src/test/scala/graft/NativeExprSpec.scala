@@ -165,6 +165,30 @@ class NativeExprSpec extends SparkSpec {
     assert(ex.eval(null) == (2L * 7 - 3 * 11 - 5 * 13))
   }
 
+  test("dot_long NULL ELEMENT yields NULL on both eval paths") {
+    // the two engine paths used to disagree: interpreted NPE'd unboxing a
+    // GenericArrayData null while codegen read 0 from an UnsafeArrayData
+    // null slot — both must return NULL for a null element on either side
+    graft.functions.NativeDot.register(spark)
+    val n = graft.functions.NativeDot.name
+    // codegen path (SQL over a projected array with a null element)
+    val r = spark.sql(
+      s"""SELECT $n(array(1L, CAST(NULL AS BIGINT), 3L), array(1L, 2L, 3L)) AS a,
+         |       $n(array(1L, 2L, 3L), array(1L, CAST(NULL AS BIGINT), 3L)) AS b
+         |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "codegen path must return NULL on a null element")
+    // interpreted path (direct eval over GenericArrayData)
+    val at = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = true)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq[java.lang.Long](1L, null, 3L), at)
+    val full = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq[java.lang.Long](1L, 2L, 3L), at)
+    assert(graft.functions.DotLong(lit, full).eval(null) == null)
+    assert(graft.functions.DotLong(full, lit).eval(null) == null)
+  }
+
   test("GraftExtensions injects the function into a new session") {
     // Re-applying the extension to the current session's registry must be
     // idempotent; a cold cluster would pass the class via

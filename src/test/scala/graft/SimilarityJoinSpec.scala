@@ -69,8 +69,12 @@ class SimilarityJoinSpec extends SparkSpec {
     val all = tok.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .select(col("a.id"), col("b.id")).distinct().count()
-    assert(cand * 4 <= all,
-      s"prefix filter admitted $cand of $all sharing pairs — not pruning")
+    info(s"candidates $cand of $all sharing pairs (ratio ${cand.toDouble / all})")
+    // AllPairs prefix filtering alone held ≤ 1/4 on this corpus; the
+    // PPJoin positional filter (overlap upper bound from the shared
+    // token's ranks) measures 940/30621 ≈ 1/32 — pin ≤ 1/24 with margin
+    assert(cand * 24 <= all,
+      s"prefix+positional filter admitted $cand of $all sharing pairs — not pruning")
     val truePairs = SimilarityJoin
       .bruteForceSelfJoin(zipf, "id", "toks", 0.7).count()
     assert(cand >= truePairs, "candidates must cover every true pair")
