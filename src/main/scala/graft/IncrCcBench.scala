@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: stage breakdown of the incremental cluster refresh
+  * (q_dedup_persist) — pair detection (delta hash + stored-key probe +
+  * verify) vs the contracted-CC fold (DedupClusters.refreshClusters).
+  * Usage: runMain graft.IncrCcBench [sfDir] [reps]
+  */
+object IncrCcBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    def timed(label: String)(f: => Long): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = ts.map(_._1).sorted.apply(reps / 2)
+      println(f"[incrcc] $label%-22s median $med%.3f s (${ts.head._2} rows)")
+    }
+    timed("pairs-only") {
+      operators.DedupQueries.incDeltaPairs(spark, sfDir)._2.count()
+    }
+    timed("refresh-full") {
+      val (bc, np) = operators.DedupQueries.incDeltaPairs(spark, sfDir)
+      functions.DedupClusters.refreshClusters(bc, np, "id_a", "id_b").count()
+    }
+    spark.stop()
+  }
+}

@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries extends QueryModule {
 
-  private val stopwords = Seq("data", "processing", "the", "and", "of")
+  /** Shared with the streaming curation gate (StreamingCuration) — ONE
+    * stopword list so the batch and stream quality rules cannot drift. */
+  private[graft] val stopwords = Seq("data", "processing", "the", "and", "of")
 
   override def queries: Map[String, Q] = Map(
     "q_quality_filter" -> ((s, dir) => {
@@ -89,19 +91,23 @@ object PipelineQueries extends QueryModule {
     // composition adds a corpus-wide shuffle beyond the stages' own.
     "q_curation_pipeline" -> ((s, dir) => {
       // the composition's own lever: tokenize the corpus ONCE (cheap
-      // checkpoint of the token arrays) and feed the LSH gram build, the
-      // decontamination 5-grams, and the quality rules from it — the
-      // standalone stages each pay their own tokenize, the pipeline
-      // doesn't have to (measured ~2 s of the ~12 s at sf1)
+      // checkpoint of the token arrays) and feed the decontamination
+      // 5-grams and the quality rules from it — the standalone stages
+      // each pay their own tokenize, the pipeline doesn't have to
+      // (the dedup stage no longer tokenizes at all: it reads the
+      // persisted cluster artifact below)
       val toksRel = graft.functions.Materialize(t(s, dir, "documents")
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("source"),
           split(col("text"), " ").as("t")))
-      val labels = graft.functions.DedupClusters
-        .connectedComponents(
-          DedupQueries.minhashPairs(s, dir, Some(toksRel)),
-          "id_a", "id_b")
-      val dupDrop = labels.filter(col("id") =!= col("cluster"))
+      // near-dup survivor filter from the PERSISTED cluster artifact
+      // (DedupQueries.persistedClusters): the pipeline consumes the
+      // stored (id, cluster) relation instead of re-running shingle →
+      // MinHash → band join → CC from raw text — the artifact is built
+      // once per corpus and shared with q_dedup_cluster/q_split_leakage,
+      // exactly what a deployment does (round-9 verdict task #1)
+      val dupDrop = DedupQueries.persistedClusters(s, dir)
+        .filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
       // same relation shape as contaminated(): per-doc distinct 5-gram
       // hits against the broadcast eval grams, grams built off toksRel
@@ -139,9 +145,10 @@ object PipelineQueries extends QueryModule {
     // scan-side codegen'd expression — no extra shuffle beyond the
     // cluster computation's own.
     "q_split_leakage" -> ((s, dir) => {
-      val labels = graft.functions.DedupClusters
-        .connectedComponents(DedupQueries.minhashPairs(s, dir),
-          "id_a", "id_b")
+      // cluster labels from the persisted artifact (see
+      // q_curation_pipeline's dupDrop comment) — the split rule is a
+      // pure scan-side expression over the stored relation
+      val labels = DedupQueries.persistedClusters(s, dir)
         .withColumnRenamed("id", "doc_id")
       val h = substring(
         md5(concat(lit("split"), col("cluster").cast("string"))

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.DedupClusters
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental cluster-maintenance contract (RollupSpec discipline):
+  * refreshClusters(clusters(base), delta) must be RELATION-IDENTICAL to
+  * connectedComponents(base ∪ delta) — so N daily increments cost N
+  * contracted-CC fixpoints over the delta, never N corpus rebuilds — and
+  * the persisted flavor (writePersisted → refreshAppended) must keep the
+  * stored tables in that same state. q_dedup_persist carries the same
+  * proof under the DuckDB oracle gate on the fixture corpus; these specs
+  * pin the graph shapes the fixture can't plant. */
+class DedupPersistSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private def pairs(ps: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(
+      ps.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b_id",
+          org.apache.spark.sql.types.LongType))))
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def assertRefreshEqualsRebuild(base: Seq[(Long, Long)],
+                                         delta: Seq[(Long, Long)]): Unit = {
+    val old = DedupClusters.connectedComponents(pairs(base))
+    val got = labels(DedupClusters.refreshClusters(old, pairs(delta)))
+    val want = labels(DedupClusters.connectedComponents(pairs(base ++ delta)))
+    assert(got == want, s"refresh=$got rebuild=$want")
+  }
+
+  test("refresh ≡ rebuild: delta merges two standing components") {
+    assertRefreshEqualsRebuild(
+      base = Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      delta = Seq((3L, 10L)))
+  }
+
+  test("refresh ≡ rebuild: delta chains MANY components through one batch") {
+    // k old components merged by a delta chain — the contracted graph
+    // must converge across labels, not just pairwise (star CC inside)
+    val base = (0 until 6).map(i => (i * 10L, i * 10L + 1))
+    val delta = (0 until 5).map(i => (i * 10L + 1, (i + 1) * 10L))
+    assertRefreshEqualsRebuild(base, delta)
+  }
+
+  test("refresh ≡ rebuild: new nodes, old-new edges, intra-component edge") {
+    assertRefreshEqualsRebuild(
+      base = Seq((1L, 2L), (5L, 6L)),
+      delta = Seq(
+        (100L, 101L), // brand-new component
+        (6L, 102L),   // old node gains a new neighbor
+        (1L, 2L)))    // re-delivered edge inside an old component (no-op)
+  }
+
+  test("refresh ≡ rebuild: untouched components pass through unchanged") {
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L))
+    val delta = Seq((2L, 10L))
+    assertRefreshEqualsRebuild(base, delta)
+    // and explicitly: the untouched labels are byte-identical
+    val old = DedupClusters.connectedComponents(pairs(base))
+    val ref = labels(DedupClusters.refreshClusters(old, pairs(delta)))
+    assert(ref(20L) == 20L && ref(21L) == 20L && ref(30L) == 30L)
+  }
+
+  test("refresh with a min-id NEW node relabels the merged component") {
+    // the new node is SMALLER than every old label — the merged
+    // component's minimum moves to the new node
+    assertRefreshEqualsRebuild(
+      base = Seq((10L, 11L)),
+      delta = Seq((1L, 10L)))
+  }
+
+  test("distributed fallback (cap = 0) equals the local union-find path") {
+    // refreshClusters runs a bounded driver-side union-find below the
+    // contracted-edge cap and distributed star CC above it — force both
+    // paths over the same inputs and pin equality
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val delta = Seq((3L, 10L), (100L, 101L), (101L, 20L))
+    val old = DedupClusters.connectedComponents(pairs(base))
+    val local = labels(DedupClusters.refreshClusters(old, pairs(delta)))
+    val prev = DedupClusters.localRefreshMaxEdges
+    val dist =
+      try {
+        DedupClusters.localRefreshMaxEdges = 0L
+        labels(DedupClusters.refreshClusters(old, pairs(delta)))
+      } finally DedupClusters.localRefreshMaxEdges = prev
+    assert(local == dist)
+    assert(local ==
+      labels(DedupClusters.connectedComponents(pairs(base ++ delta))))
+  }
+
+  test("persisted roundtrip: writePersisted + refreshAppended ≡ rebuild") {
+    val dir = Files.createTempDirectory("graft-dedup-persist").toString
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val delta = Seq((3L, 10L), (100L, 101L))
+    val written = DedupClusters.writePersisted(
+      pairs(base).withColumn("jac", lit(0.9)), dir)
+    assert(labels(written) ==
+      labels(DedupClusters.connectedComponents(pairs(base))))
+    val refreshed = DedupClusters.refreshAppended(
+      dir, pairs(delta).withColumn("jac", lit(0.8)))
+    val want = labels(DedupClusters.connectedComponents(pairs(base ++ delta)))
+    assert(labels(refreshed) == want)
+    // the STORED tables are in the refreshed state: clusters match, and
+    // the pair audit trail carries base + delta
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == want)
+    assert(DedupClusters.readPersistedPairs(spark, dir).count() ==
+      (base.size + delta.size).toLong)
+  }
+
+  test("q_dedup_persist matches the from-scratch cluster relation") {
+    // the incremental path (persisted base + delta arrival) must equal
+    // connectedComponents over the full corpus's pair relation — the
+    // in-JVM twin of the DuckDB oracle gate
+    val got = q("q_dedup_persist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = DedupClusters
+      .connectedComponents(
+        operators.DedupQueries.minhashPairs(spark, sf), "id_a", "id_b")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
