@@ -242,9 +242,21 @@ object Bench {
       .getOrElse(Map.empty[String, Double])
     val remeasured =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    // QUIESCE before each re-measure (round-9 verdict: the re-measure ran
+    // in the sweep's still-loaded JVM and shipped ~1.7x-inflated numbers
+    // for many-job fixpoint queries — 11.3 s vs a 6.5 s isolated median
+    // on q_split_leakage): drop cached relations, gc, and let the async
+    // ContextCleaner drain, the same settle the post-sweep storage audit
+    // uses. Each re-measure records isolated=true for provenance.
+    def quiesce(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+      Thread.sleep(2000)
+    }
     val finalResults = results.map { case (name, med) =>
       prev.get(name) match {
         case Some(p) if BenchSupport.isOutlier(med, p) =>
+          quiesce()
           val (second, _) = timeQuery(name, SparkEntry.queries(name))
           if (second >= 0) {
             remeasured(name) = (med, second, p)
@@ -267,7 +279,7 @@ object Bench {
     val partialJson = partial.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val remJson = remeasured.map { case (k, (a, b, p)) =>
-      s"${jstr(k)}:{\"first\":$a,\"second\":$b,\"prev\":$p}"
+      s"${jstr(k)}:{\"first\":$a,\"second\":$b,\"prev\":$p,\"isolated\":true}"
     }.mkString("{", ",", "}")
     val calPost = calibrate()
 
