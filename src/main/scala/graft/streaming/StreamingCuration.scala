@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.functions.MinHashDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The streaming curation CAPSTONE — the continuous twin of the batch
+  * q_curation_pipeline: arriving documents pass three gates before they
+  * may enter a training corpus:
+  *
+  *   1. QUALITY — the C4-style keep rules (min length, type-token ratio,
+  *      stopword ratio), shared verbatim with q_quality_filter via
+  *      [[qualityKeep]]: pure per-row codegen, no state;
+  *   2. NEAR-DUP vs the STANDING corpus — the arriving doc's banded
+  *      MinHash keys probe the persisted [[MinHashDedup.Index]]
+  *      (stream-static key-equality join), candidates verify with exact
+  *      Jaccard ([[StreamingLsh.againstIndex]]); any hit drops the doc;
+  *   3. DECONTAMINATION — the doc shares no distinct 5-gram with the
+  *      broadcast eval-gram set (the q_decontaminate /
+  *      StreamingDecontaminate rule, one gram implementation).
+  *
+  * Composition shape: gates 1 and 3 are stateless filters, but gate 2's
+  * verdict is "NO verified index match for this doc" — an any-match
+  * aggregation over the doc's band rows, which Structured Streaming
+  * cannot express as a stream-derived anti-join (stream-stream left-anti
+  * is unsupported) and a streaming aggregate would hold per-doc state
+  * forever in append mode. The idiomatic Spark answer is foreachBatch:
+  * each micro-batch runs the ONE shared batch composition
+  * ([[curateBatch]] — also the API batch pipelines call directly), whose
+  * anti-joins are ordinary bounded batch joins. NO streaming state at
+  * all (the StreamingDecontaminate discipline): restart = offset replay,
+  * exactly-once end-to-end when the sink is idempotent per batchId (the
+  * standard foreachBatch contract).
+  *
+  * 100 TB lens: per-batch work is scan-shaped (tokenize + gram probes)
+  * plus one key-equality join against the stored, bucket-partitioned
+  * index tables; drop-id sets are batch-bounded → broadcast anti-joins.
+  * The standing index is maintained by MinHashDedup.appendIndex /
+  * DedupClusters.refreshAppended as accepted batches land — nothing here
+  * re-derives corpus state.
+  */
+object StreamingCuration {
+
+  /** The shared quality predicate — q_quality_filter's keep rule over a
+    * `text` column (integer×integer comparisons, engine-portable). */
+  private[graft] def qualityKeep: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(
+      graft.operators.PipelineQueries.stopwords.map(lit): _*)
+    val n = size(toks)
+    val nu = size(array_distinct(toks))
+    val ns = size(filter(toks, x => array_contains(stopArr, x)))
+    n >= 15 && nu * 10 >= n * 3 && ns * 8 <= n
+  }
+
+  /** The distinct eval-gram relation (g) a curation job derives ONCE from
+    * its eval documents (doc_id, text) and feeds to every batch. */
+  def evalGrams(evalDocs: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.fiveGrams(evalDocs)
+      .select("g").distinct()
+
+  /** One micro-batch (or any batch relation) through all three gates.
+    * `docs` needs (doc_id: Long, text: String) plus any carry-along
+    * columns; returns the surviving rows unchanged. */
+  def curateBatch(docs: DataFrame, index: MinHashDedup.Index,
+                  evGrams: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val q = docs.filter(qualityKeep)
+    // gate 2: verified near-dups of the standing corpus (batch-bounded)
+    val dupIds = StreamingLsh.againstIndex(spark, q, index, threshold)
+      .select(col("doc_id")).distinct()
+    // gate 3: docs sharing any distinct 5-gram with the eval set
+    val contamIds = graft.operators.PipelineQueries.fiveGrams(q)
+      .join(broadcast(evGrams), "g").select("doc_id").distinct()
+    q.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(contamIds), Seq("doc_id"), "left_anti")
+  }
+
+  /** Continuous curation of a streaming `docs` relation: every
+    * micro-batch runs [[curateBatch]] and hands the curated rows to
+    * `sink(curated, batchId)` — write parquet-append, upsert a table
+    * keyed by batchId for idempotence, or append to the corpus AND
+    * update the index (MinHashDedup.appendIndex) in the same callback. */
+  def curateStream(docs: DataFrame, index: MinHashDedup.Index,
+                   evGrams: DataFrame, checkpointDir: String,
+                   threshold: Double = 0.5)
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(curateBatch(batch, index, evGrams, threshold), batchId)
+      }
+      .start()
+}

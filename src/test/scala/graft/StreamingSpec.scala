@@ -947,6 +947,53 @@ class StreamingSpec extends SparkSpec {
       s"stream ${fin.size} rows vs batch ${batch.size}")
   }
 
+  test("s_curation: foreachBatch gates equal the batch composition, zero state") {
+    // planted corpus/arrivals so every gate fires deterministically:
+    // an exact copy of a corpus doc is a GUARANTEED LSH candidate (all
+    // 16 minhash slots equal → every band matches) — no probabilistic
+    // recall in the assertion.
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"tok${seed}x$i").mkString(" ")
+    val textA = words(1, 16)
+    val corpus = Seq((1L, textA), (2L, words(2, 16)), (3L, words(3, 16)))
+      .toDF("doc_id", "text")
+    val index = graft.functions.MinHashDedup
+      .buildIndex(corpus, "doc_id", "text")
+    val evalDocs = Seq((9000L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ev = StreamingCuration.evalGrams(evalDocs)
+    val arrivals = Seq(
+      101L -> textA,                                             // near-dup of corpus → drop
+      102L -> words(12, 16),                                     // clean → keep
+      103L -> ("alpha beta gamma delta epsilon " + words(13, 11)), // eval 5-gram → drop
+      104L -> "too short to pass",                               // quality → drop
+      105L -> words(15, 16))                                     // clean → keep
+    val (b1, b2) = arrivals.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[Long]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = StreamingCuration.curateStream(
+      in.toDF.toDF("doc_id", "text"), index, ev, cp) { (curated, _) =>
+      got.synchronized {
+        got ++= curated.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      in.addData(b1.map(_._1)); q.processAllAvailable()
+      in.addData(b2.map(_._1)); q.processAllAvailable()
+      // the composition holds NO streaming state (foreachBatch over
+      // stateless per-batch joins) — the StreamingDecontaminate contract
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "curation must not register a stateful operator")
+    } finally q.stop()
+    assert(got.toSet == Set(102L, 105L), s"curated = $got")
+    // parity: the single shared batch composition over the same rows
+    val batchIds = StreamingCuration.curateBatch(
+      arrivals.toDF("doc_id", "text"), index, ev)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds == got.toSet)
+  }
+
   test("s_sample: streaming bottom-k membership equals the batch eval sample") {
     val docs = table("documents").select(col("lang"), col("doc_id"))
       .as[(String, Long)].collect().toSeq
