@@ -74,6 +74,69 @@ object JoinQueries extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** AUTO-SIZED interval-join cell width (round-9 verdict task #6, the
+    * SimHash.blocksForCorpus discipline: derive the constant from the
+    * data). Cost model for a banded interval join with window W and cell
+    * w on a stream of per-key event rate d: candidate pairs admitted by
+    * the cell-equality join span offsets ≈ (−w, W + w) vs the qualifying
+    * (0, W] — excess ∝ d²·(W + 2w) — while the right side replicates to
+    * ⌈W/w⌉ + 1 cells — overhead ∝ d·(W/w). Balancing the two gives
+    * w* = √(W / 2d), clamped to [W/16, W]: sparse streams (the fixtures:
+    * d ≈ 5e-5 events/s/user ⇒ w* ≫ W) keep the minimal 2-replica cover
+    * at w = W, and only a stream dense enough that per-cell pair volume
+    * dominates (d ≳ 2/W, several events per key per window) shrinks the
+    * cell — CoverageSpec plants exactly that and pins result equality.
+    * Stats come from ONE bounded aggregate (count, approx-distinct keys,
+    * ts span — no extra shuffle beyond the 1-row agg); at warehouse
+    * scale read them from table statistics instead of a scan. */
+  private[graft] def intervalCellWidth(
+      ev: org.apache.spark.sql.DataFrame, windowSec: Long): Long = {
+    val st = ev.agg(count(lit(1)), approx_count_distinct(col("user_id")),
+      min(col("ts").cast("double")), max(col("ts").cast("double"))).head()
+    if (st.isNullAt(2)) return windowSec // empty relation: any cover works
+    val d = st.getLong(0).toDouble / math.max(st.getLong(1), 1L) /
+      math.max(st.getDouble(3) - st.getDouble(2), 1.0)
+    val w = math.sqrt(windowSec / (2.0 * math.max(d, 1e-12))).toLong
+    math.max(math.max(windowSec / 16, 1L), math.min(windowSec, w))
+  }
+
+  /** The q_join_interval body over any events-shaped relation (user_id,
+    * event_id, ts, event_type) — factored so CoverageSpec can drive it
+    * with a PLANTED dense stream where the auto-sized cell actually
+    * shrinks. Cell width from [[intervalCellWidth]]; replica count for
+    * the k-cell cover: ts ∈ [ts2 − W, ts2) ⟹ cell(ts) ∈
+    * {cell(ts2) − ⌈W/w⌉ .. cell(ts2)} (floor is monotone and
+    * floor((x−W)/w) ≥ floor(x/w) − ⌈W/w⌉), so the right side replicates
+    * to exactly ⌈W/w⌉ + 1 cells and every qualifying pair meets in
+    * EXACTLY one (b2 is fixed per replica); at w = W this is the
+    * original two-cell cover. The exact range re-check keeps the result
+    * identical to the naive join for ANY w. */
+  private[graft] def intervalFollowJoin(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = 300L // the query's 5-minute window, in seconds
+    val wSec = intervalCellWidth(ev, W)
+    val reps = (W + wSec - 1) / wSec + 1
+    // seconds-precision cell id; double cast keeps microseconds exact
+    // (2^53 > 1.7e15) and floor(/w) is monotone
+    def cell(ts: org.apache.spark.sql.Column) =
+      floor(ts.cast("double") / wSec).cast("long")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cell(col("ts")).as("b"))
+    val follows = ev
+      .select(col("user_id").as("u2"), col("ts").as("ts2"),
+        cell(col("ts")).as("b2"))
+      .select(col("u2"), col("ts2"),
+        explode(sequence(col("b2") - lit(reps - 1), col("b2"))).as("b"))
+    clicks.join(follows,
+        col("user_id") === col("u2") && clicks("b") === follows("b")
+          && col("ts2") > col("ts")
+          && col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy("user_id", "event_id")
+  }
+
   override def queries: Map[String, Q] = Map(
     "q_join_inner" -> ((s, dir) =>
       t(s, dir, "orders").join(t(s, dir, "customer"),
@@ -156,37 +219,18 @@ object JoinQueries extends QueryModule {
     // user that is |events|² compares (133M row pairs at sf1, and the
     // per-user product grows quadratically with history length). BAND
     // BUCKETING makes the equi-key carry the time dimension: left rows
-    // key on their 5-minute cell, right rows replicate to their own cell
-    // and the one below, and e2.ts ∈ (e1.ts, e1.ts + 5min] guarantees
-    // bucket(e2) ∈ {bucket(e1), bucket(e1)+1} — every qualifying pair
+    // key on their time cell, right rows replicate to the ⌈W/w⌉ + 1
+    // cells that can hold a qualifying partner — every qualifying pair
     // meets in EXACTLY one cell (b2 is fixed per replica), so after the
     // exact range re-check the result is identical to the naive join.
     // Join volume drops from Σ_user n² to Σ_(user, cell) n·m over
     // adjacent cells — linear in events for bounded event rates, the
     // standard interval-join binning a streaming engine does internally.
-    "q_join_interval" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      // seconds-precision cell id; double cast keeps microseconds exact
-      // (2^53 > 1.7e15) and floor(/300) is monotone, so the two-cell
-      // cover claim holds for any real timestamps
-      def cell(ts: org.apache.spark.sql.Column) =
-        floor(ts.cast("double") / 300).cast("long")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          cell(col("ts")).as("b"))
-      val follows = ev
-        .select(col("user_id").as("u2"), col("ts").as("ts2"),
-          cell(col("ts")).as("b2"))
-        .select(col("u2"), col("ts2"),
-          explode(array(col("b2"), col("b2") - 1)).as("b"))
-      clicks.join(follows,
-          col("user_id") === col("u2") && clicks("b") === follows("b")
-            && col("ts2") > col("ts")
-            && col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES"))
-        .groupBy(col("user_id"), col("event_id"))
-        .agg(count(lit(1)).as("n_follow"))
-        .orderBy("user_id", "event_id")
-    }),
+    // The cell width is MEASURED from the data (intervalCellWidth), not
+    // hard-coded: sparse streams keep the minimal 2-replica w = W cover,
+    // dense streams shrink the cell to cut per-cell pair volume.
+    "q_join_interval" -> ((s, dir) =>
+      intervalFollowJoin(t(s, dir, "events"))),
 
     // Keyless interval-stab join on the THIRD custom operator
     // (plans/RangeJoin.scala): which supplier credit bands contain each

@@ -152,6 +152,39 @@ class CoverageSpec extends SparkSpec {
     val banded = q("q_join_interval").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(banded == naive && banded.nonEmpty)
+    // the auto-sized cell picks the MINIMAL 2-replica cover (w = window)
+    // at the fixture's sparse density — the ≤2-cell replication invariant
+    assert(operators.JoinQueries.intervalCellWidth(table("events"), 300L)
+      == 300L, "fixture density must keep the 2-cell cover")
+  }
+
+  test("q_join_interval auto cell: dense stream shrinks w, result unchanged (C)") {
+    // planted DENSE stream (several events per user per window: d ≈ 0.05
+    // events/s/user ≫ the 2/W shrink threshold) — the measured cell must
+    // drop below the window, the replica count grows to ⌈W/w⌉ + 1, and
+    // the exact range re-check keeps the result identical to the naive
+    // range join at ANY cell width.
+    import spark.implicits._
+    val rows = for (u <- 0L until 4L; i <- 0L until 300L) yield (
+      u, u * 1000 + i,
+      new java.sql.Timestamp(1700000000000L + u * 7L + i * 19000L),
+      if (i % 3 == 0) "click" else "view")
+    val ev = rows.toDF("user_id", "event_id", "ts", "event_type")
+    val w = operators.JoinQueries.intervalCellWidth(ev, 300L)
+    assert(w < 300L && w >= 300L / 16,
+      s"dense stream must shrink the cell within the clamp, got $w")
+    val naive = ev.as("e1").filter(col("e1.event_type") === "click")
+      .join(ev.as("e2"),
+        col("e1.user_id") === col("e2.user_id")
+          && col("e2.ts") > col("e1.ts")
+          && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("e1.user_id").as("user_id"), col("e1.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_follow"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val banded = operators.JoinQueries.intervalFollowJoin(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(banded == naive && banded.nonEmpty)
   }
 
   test("join strategy hints: merge forces SMJ, shuffle_hash forces SHJ (C)") {
