@@ -89,16 +89,29 @@ object JoinQueries extends QueryModule {
     * Stats come from ONE bounded aggregate (count, approx-distinct keys,
     * ts span — no extra shuffle beyond the 1-row agg); at warehouse
     * scale read them from table statistics instead of a scan. */
+  /** Width memo keyed by (canonicalized source plan, window): the stats
+    * are per-relation constants, so the measuring scan runs once per JVM
+    * per source — the table-statistics behavior a warehouse gets for
+    * free. A (vanishingly unlikely) 32-bit semanticHash collision can
+    * only mis-SIZE the cell, never change results — the exact range
+    * re-check makes every width result-identical. */
+  private val cellWidthMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Long]()
+
   private[graft] def intervalCellWidth(
-      ev: org.apache.spark.sql.DataFrame, windowSec: Long): Long = {
-    val st = ev.agg(count(lit(1)), approx_count_distinct(col("user_id")),
-      min(col("ts").cast("double")), max(col("ts").cast("double"))).head()
-    if (st.isNullAt(2)) return windowSec // empty relation: any cover works
-    val d = st.getLong(0).toDouble / math.max(st.getLong(1), 1L) /
-      math.max(st.getDouble(3) - st.getDouble(2), 1.0)
-    val w = math.sqrt(windowSec / (2.0 * math.max(d, 1e-12))).toLong
-    math.max(math.max(windowSec / 16, 1L), math.min(windowSec, w))
-  }
+      ev: org.apache.spark.sql.DataFrame, windowSec: Long): Long =
+    cellWidthMemo.computeIfAbsent(
+      (ev.queryExecution.analyzed.semanticHash(), windowSec), _ => {
+        val st = ev.agg(count(lit(1)), approx_count_distinct(col("user_id")),
+          min(col("ts").cast("double")), max(col("ts").cast("double"))).head()
+        if (st.isNullAt(2)) windowSec // empty relation: any cover works
+        else {
+          val d = st.getLong(0).toDouble / math.max(st.getLong(1), 1L) /
+            math.max(st.getDouble(3) - st.getDouble(2), 1.0)
+          val w = math.sqrt(windowSec / (2.0 * math.max(d, 1e-12))).toLong
+          math.max(math.max(windowSec / 16, 1L), math.min(windowSec, w))
+        }
+      })
 
   /** The q_join_interval body over any events-shaped relation (user_id,
     * event_id, ts, event_type) — factored so CoverageSpec can drive it
