@@ -678,11 +678,19 @@ object DedupQueries extends QueryModule {
       dir: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_dedup/base_${JoinQueries.dirTag(dir)}"
-    if (!new java.io.File(s"$path/clusters/_SUCCESS").exists()) {
+    // bandcounts is newest — its presence implies a complete artifact,
+    // and checking it self-heals artifacts written by older builds
+    if (!new java.io.File(s"$path/clusters/_SUCCESS").exists() ||
+        !new java.io.File(s"$path/bandcounts/_SUCCESS").exists()) {
       val grams = minhashGrams(minhashTokRel(s, dir, !incIsDelta))
       val bands = minhashBands(grams)
       grams.write.mode("overwrite").parquet(s"$path/grams")
       bands.write.mode("overwrite").parquet(s"$path/bands")
+      // per-bucket member counts: the increment's hot-cap check needs
+      // COUNTS, not keys — a bucket-sized table (≤ corpus/4 rows, narrow)
+      // read instead of re-counting the full key table every arrival
+      bands.groupBy("band", "bk").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$path/bandcounts")
       graft.functions.DedupClusters.writePersisted(
         minhashVerify(s, minhashCands(bands), grams), path, "id_a", "id_b")
     }
@@ -699,34 +707,46 @@ object DedupQueries extends QueryModule {
     val path = ensureIncBase(s, dir)
     val baseGrams = s.read.parquet(s"$path/grams")
     val baseBands = s.read.parquet(s"$path/bands")
+    val baseCounts = s.read.parquet(s"$path/bandcounts")
     val baseClusters =
       graft.functions.DedupClusters.readPersistedClusters(s, path)
     val deltaGrams = minhashGrams(minhashTokRel(s, dir, incIsDelta))
     val deltaBands = minhashBands(deltaGrams)
-    // hot cap over the POST-increment key counts (base ∪ delta) — a
-    // key-table scan, no text is re-hashed. NOT re-materialized: the two
-    // consumers (count + probe side) each re-scan cheap inputs — the base
-    // keys are a stored parquet table and the delta keys are already
-    // checkpointed — so a union checkpoint would only re-write the whole
-    // corpus's key volume per increment.
-    val allBands = baseBands.unionByName(deltaBands)
-    val hot = allBands.groupBy("band", "bk").agg(count(lit(1)).as("n"))
+    // hot cap over the POST-increment bucket counts: the stored per-bucket
+    // COUNT table (bucket-sized, narrow) merges with the delta's counts —
+    // partial counts add — so no full key-table scan happens just to
+    // count; the base KEY table is scanned exactly once (the probe side).
+    val deltaCounts = deltaBands.groupBy("band", "bk")
+      .agg(count(lit(1)).as("n"))
+    val hot = baseCounts.unionByName(deltaCounts)
+      .groupBy("band", "bk").agg(sum(col("n")).as("n"))
       .filter(col("n") > minhashMaxBucket).select("band", "bk")
     val keptDelta = deltaBands.join(broadcast(hot), Seq("band", "bk"),
       "left_anti")
-    val keptAll = allBands.join(broadcast(hot), Seq("band", "bk"),
-      "left_anti")
+    val keptAll = baseBands.unionByName(deltaBands)
+      .join(broadcast(hot), Seq("band", "bk"), "left_anti")
     // every candidate has ≥ 1 delta endpoint: delta keys probe the full
     // kept key set (cross-corpus AND intra-delta in one key-equality
     // join); least/greatest + distinct dedups the intra-delta pairs
-    // that meet from both directions
-    val cand = keptDelta.as("a").join(keptAll.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-      .distinct()
-    (baseClusters, minhashVerify(s, cand, baseGrams.unionByName(deltaGrams)))
+    // that meet from both directions. Materialized: two consumers (the
+    // id restriction below + the verify join).
+    val cand = graft.functions.Materialize(
+      keptDelta.as("a").join(keptAll.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+        .distinct())
+    // the verify only reads CANDIDATE docs' gram arrays — restrict the
+    // wide gram table to those ids once (broadcast semi-join, candidate
+    // set is bucket-cap-bounded) instead of streaming the full corpus's
+    // arrays through BOTH sides of the verify join
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
+    val lookup = graft.functions.Materialize(
+      baseGrams.unionByName(deltaGrams)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    (baseClusters, minhashVerify(s, cand, lookup))
   }
 
   /** Hot-band-bucket cap shared by the Spark body and the oracle CTE —
