@@ -117,6 +117,40 @@ class DedupPersistSpec extends SparkSpec {
       (base.size + delta.size).toLong)
   }
 
+  test("two successive increments compose: refresh∘refresh ≡ rebuild") {
+    // the contract a LIVING corpus actually exercises: N daily batches
+    // folded one at a time must land exactly where one rebuild over the
+    // full pair set lands — associativity of the contracted merge
+    val dir = Files.createTempDirectory("graft-dedup-twice").toString
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val d1 = Seq((2L, 10L), (30L, 31L))  // merge + new component
+    val d2 = Seq((31L, 20L), (11L, 1L))  // chain across BOTH prior states
+    DedupClusters.writePersisted(pairs(base).withColumn("jac", lit(1.0)), dir)
+    DedupClusters.refreshAppended(dir, pairs(d1).withColumn("jac", lit(1.0)))
+    val after2 = labels(DedupClusters.refreshAppended(
+      dir, pairs(d2).withColumn("jac", lit(1.0))))
+    val want = labels(
+      DedupClusters.connectedComponents(pairs(base ++ d1 ++ d2)))
+    assert(after2 == want)
+    // the audit trail holds every pair ever folded in
+    assert(DedupClusters.readPersistedPairs(spark, dir).count() == 7L)
+  }
+
+  test("q_dedup_cluster steady state is an exchange-free artifact scan") {
+    // the point of persisting: every consumer reads the stored relation
+    // instead of re-deriving it — the executed plan must contain no
+    // shuffle except the final orderBy's range partitioning and no
+    // text-processing joins at all
+    val df = q("q_dedup_cluster")
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"artifact read path must not join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, // the sort's range exchange (+ AQE read)
+      s"artifact read path shuffles more than the output sort:\n$plan")
+  }
+
   test("q_dedup_persist matches the from-scratch cluster relation") {
     // the incremental path (persisted base + delta arrival) must equal
     // connectedComponents over the full corpus's pair relation — the

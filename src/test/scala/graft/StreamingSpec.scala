@@ -994,6 +994,52 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds == got.toSet)
   }
 
+  test("s_curation living corpus: accepted arrivals gate LATER duplicates") {
+    // the full loop a deployment runs in its foreachBatch: read the
+    // on-disk index fresh per batch, curate, sink the survivors AND
+    // append them to the index (MinHashDedup.appendIndex) — so a later
+    // arrival that near-duplicates a PREVIOUSLY-ACCEPTED doc (not just
+    // the original corpus) is dropped too.
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"lc${seed}w$i").mkString(" ")
+    val corpus = Seq((1L, words(1, 16))).toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("graft-lc-idx").toString
+    graft.functions.MinHashDedup.writeIndex(
+      graft.functions.MinHashDedup.buildIndex(corpus, "doc_id", "text"),
+      idxDir)
+    val ev = StreamingCuration.evalGrams(
+      Seq((9000L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"))
+    val textB = words(22, 16)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .outputMode("append").option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = graft.functions.MinHashDedup.readIndex(spark, idxDir)
+        val curated = StreamingCuration.curateBatch(batch, idx, ev)
+          .select("doc_id", "text")
+        val rows = curated.collect()
+        got.synchronized { got ++= rows.map(_.getLong(0)) }
+        // accept survivors into the standing index — one text scan of
+        // the batch, the corpus is never re-read
+        if (rows.nonEmpty)
+          graft.functions.MinHashDedup.appendIndex(idxDir,
+            spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), curated.schema),
+            "doc_id", "text")
+      }
+      .start()
+    try {
+      in.addData(Seq(201L -> textB)); q.processAllAvailable() // kept
+      in.addData(Seq(202L -> textB, 203L -> words(33, 16)))
+      q.processAllAvailable() // 202 dups the ACCEPTED 201 → dropped
+    } finally q.stop()
+    assert(got.toSet == Set(201L, 203L),
+      s"accepted-arrival gating failed: $got")
+  }
+
   test("s_sample: streaming bottom-k membership equals the batch eval sample") {
     val docs = table("documents").select(col("lang"), col("doc_id"))
       .as[(String, Long)].collect().toSeq
