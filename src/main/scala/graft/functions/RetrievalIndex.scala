@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained SPARSE RETRIEVAL index — the
+  * RollupRewrite/MinHashDedup.appendIndex discipline applied to the
+  * BM25/inverted-index family (q_inverted_index / q_bm25 build these
+  * relations from raw text on every call; a living corpus stores them
+  * once and appends):
+  *
+  *   - `postings/`  (w, doc_id, tf): term-frequency posting rows — at
+  *     warehouse scale stored bucketed by `w` so term lookups and df
+  *     counts never reshuffle;
+  *   - `doclens/`   (doc_id, dl): per-document token counts.
+  *
+  * Everything BM25 needs derives from the two stored relations with
+  * mergeable aggregates: df(w) = COUNT per w over postings (posting rows
+  * are per-(w, doc)), N = COUNT(doclens), avgdl = SUM(dl)/N. Because
+  * every row is PER-DOC, appending a batch of NEW doc ids is exact:
+  * appendDocs(write(build(C)), B) ≡ build(C ∪ B) relation-for-relation
+  * (RetrievalIndexSpec pins it), so N daily increments cost N batch
+  * tokenizations — the standing corpus is never re-read. Re-ingesting an
+  * UPDATED document needs a rebuild (or a delete+append compaction), the
+  * same append-only contract as RollupRewrite.refreshAppended.
+  */
+object RetrievalIndex {
+
+  /** The two stored relations. */
+  final case class Index(postings: DataFrame, doclens: DataFrame)
+
+  /** Build both relations in ONE tokenize pass over (idCol, textCol). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val tok = Materialize(docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= ""))
+    Index(
+      tok.groupBy("w", "doc_id").agg(count(lit(1)).as("tf")),
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** Persist an index under `path` (postings/ + doclens/). */
+  def write(index: Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.doclens.write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Re-open a persisted index. */
+  def read(spark: SparkSession, path: String): Index =
+    Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclens"))
+
+  /** Append a batch of NEW documents (ids disjoint from the stored
+    * corpus — the appender's contract): one tokenize pass over the
+    * batch, parquet-append of its per-doc rows. Returns the re-opened
+    * merged index. */
+  def appendDocs(path: String, docs: DataFrame, idCol: String,
+                 textCol: String): Index = {
+    val delta = build(docs, idCol, textCol)
+    delta.postings.write.mode("append").parquet(s"$path/postings")
+    delta.doclens.write.mode("append").parquet(s"$path/doclens")
+    read(docs.sparkSession, path)
+  }
+
+  /** The in-memory merge of a stored index and an arriving batch — what
+    * [[appendDocs]] persists, as a relation (per-doc rows with disjoint
+    * ids make the union exact). For scoring an increment WITHOUT
+    * mutating the stored artifact. */
+  def merged(base: Index, batch: DataFrame, idCol: String,
+             textCol: String): Index = {
+    val delta = build(batch, idCol, textCol)
+    Index(base.postings.unionByName(delta.postings),
+      base.doclens.unionByName(delta.doclens))
+  }
+
+  /** BM25 top-`topK` documents for the index's own `nTerms` highest-df
+    * terms — Robertson & Zaragoza 2009 with Lucene's idf, k1 = 1.2,
+    * b = 0.75; per-term contributions integer-scaled (×1e10) before the
+    * per-doc sum so the ranking never depends on float summation order.
+    * IDENTICAL math to q_bm25, so an incremental-index query can ride
+    * the same from-scratch DuckDB oracle. The stored relations are
+    * touched once each: postings for df + tf, doclens for dl + the
+    * 1-row stats aggregate. */
+  def bm25TopDf(index: Index, nTerms: Int = 3, topK: Int = 10): DataFrame = {
+    val stats = index.doclens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = index.postings.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(nTerms)
+    val scored = index.postings.join(broadcast(qterms), Seq("w"))
+      .join(index.doclens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor((log((col("n_docs") - col("df") + 0.5)
+            / (col("df") + 0.5) + lit(1.0))
+          * (col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl")
+                / (col("sum_dl").cast("double") / col("n_docs"))))))
+          * lit(1e10) + lit(0.5)).cast("bigint").as("ti"))
+      .groupBy("doc_id").agg(sum(col("ti")).as("si"))
+    scored.orderBy(col("si").desc, col("doc_id")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("si").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"),
+        (floor(col("si").cast("double") / lit(1e10) * 10000 + lit(0.5))
+          / 10000).as("score"))
+      .orderBy("rnk")
+  }
+}
