@@ -182,6 +182,24 @@ object IvfIndex {
     saveModel(corpus.sparkSession, m, path)
   }
 
+  /** APPEND a batch of new vectors to an on-disk index WITHOUT touching
+    * the standing cells: the batch assigns against the STORED centroids
+    * (the model stays fixed — IVF appends never re-train; re-train and
+    * rebuild when assignment drift accumulates, the standard IVF
+    * maintenance contract) and parquet-appends into the partitioned
+    * layout, so the increment costs one batch scan + the appended files.
+    * appendVectors(writeIndex(C, m), B) ≡ writeIndex(C ∪ B, m): the
+    * assignment depends only on (vector, centroids), so probes see
+    * identical results either way (IvfSpec pins it). */
+  def appendVectors(path: String, batch: DataFrame, idCol: String,
+                    vecCol: String): Unit = {
+    val m = loadModel(batch.sparkSession, path)
+    Materialize.spread(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+      .withColumn("cell", assign(col("cv"), m))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Search an on-disk index written by [[writeIndex]]: the equi-join on
     * the PARTITION column `cell` lets the planner prune every non-probed
     * cell's files (dynamic partition pruning from the small probe side),

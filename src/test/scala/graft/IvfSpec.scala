@@ -111,6 +111,32 @@ class IvfSpec extends SparkSpec {
       s"no partition pruning on the cell key:\n$plan")
   }
 
+  test("appendVectors ≡ rebuild: appended index answers like a full write") {
+    NativeCosine.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    val e = table("embeddings").select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val batch = e.filter(col("vec_id") % 5 === 4)
+      // planted twin: an exact copy of probe 0's vector under a new id —
+      // the appended index MUST surface it as the probe's top neighbor
+      .unionByName(e.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    IvfIndex.writeIndex(base, "vec_id", "embedding", model, dir)
+    IvfIndex.appendVectors(dir, batch, "vec_id", "embedding")
+    IvfIndex.writeIndex(base.unionByName(batch), "vec_id", "embedding",
+      model, dir2)
+    val probes = e.filter(col("vec_id") < 5)
+    def run(d: String) = IvfIndex.topKIndexed(spark, d, probes,
+      "vec_id", "embedding", model, k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val appended = run(dir)
+    assert(appended == run(dir2), "appended index diverges from rebuild")
+    // the planted copy lands in probe 0's own cell → always probed first
+    assert(appended.exists(r => r.head == 0L && r(2) == 1000000L),
+      s"planted appended twin not retrieved: $appended")
+  }
+
   test("search touches only probed cells (candidate count bounded)") {
     NativeCosine.register(spark)
     val e = table("embeddings").select("vec_id", "embedding")
