@@ -555,10 +555,14 @@ object DedupQueries extends QueryModule {
   }
 
   /** The (doc_id, t) token relation the MinHash family starts from.
-    * `pred` filters BEFORE the repartition — Catalyst does not push
-    * predicates below RepartitionByExpression, so a post-hoc filter
-    * would still shuffle the whole corpus's raw text (the increment
-    * paths select ~20% of docs and must only ever move that 20%). */
+    * `pred` expresses source-side selection (the increment paths take
+    * ~20% of docs). NOTE (verified in the optimized plan, round 10):
+    * writing the filter before or after the repartition is EQUIVALENT —
+    * Catalyst's PushDownPredicates pushes deterministic filters below
+    * RepartitionByExpression, so only the selected rows shuffle either
+    * way; the parameter is for readability, not a plan fix (an earlier
+    * comment here claimed otherwise — that was wrong, and the timing
+    * delta attributed to it was VM noise). */
   private[graft] def minhashTokRel(s: org.apache.spark.sql.SparkSession,
       dir: String,
       pred: org.apache.spark.sql.Column = lit(true))
