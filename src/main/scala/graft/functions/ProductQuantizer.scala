@@ -323,6 +323,28 @@ object ProductQuantizer {
     IvfIndex.saveModel(corpus.sparkSession, ivf, path)
   }
 
+  /** APPEND a batch of new vectors to an on-disk IVF-PQ index WITHOUT
+    * touching the standing codes: the batch encodes against the STORED
+    * codebooks and assigns against the STORED centroids (both models
+    * stay fixed — PQ/IVF appends never re-train; re-train and rebuild
+    * when quantization drift accumulates) and parquet-appends into the
+    * cell-partitioned layout. Encoding depends only on (vector, models),
+    * so the appended index answers probes exactly like a full rewrite
+    * with the same models (PqSpec pins it) — the IvfIndex.appendVectors
+    * discipline with the codes column riding along. */
+  def appendVectors(path: String, batch: DataFrame, idCol: String,
+                    vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val model = loadModel(spark, path)
+    val ivf = IvfIndex.loadModel(spark, path)
+    Materialize.spread(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
+      .withColumn("cell", IvfIndex.assign(col("cv"), ivf))
+      .withColumn("codes", codes(col("cv"), model))
+      .select("vec_id", "cell", "codes")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Search an on-disk index written by [[writeIndex]]: probed cells'
     * code files are the ONLY bytes scanned (dynamic partition pruning
     * from the small probe side + 16× fewer bytes per row); raw vectors

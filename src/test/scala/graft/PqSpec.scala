@@ -157,6 +157,35 @@ class PqSpec extends SparkSpec {
       s"no partition pruning on the cell key:\n$plan")
   }
 
+  test("appendVectors ≡ rebuild: appended IVF-PQ index answers identically") {
+    val ivf = IvfIndex.train(emb, "embedding", k = 8)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft-pq-full").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    ProductQuantizer.writeIndex(base, "vec_id", "embedding", model, ivf, dirA)
+    ProductQuantizer.appendVectors(dirA, batch, "vec_id", "embedding")
+    ProductQuantizer.writeIndex(emb, "vec_id", "embedding", model, ivf, dirF)
+    val probes = emb.limit(25)
+    def run(d: String) = ProductQuantizer
+      .topKIndexed(spark, d, emb, probes, "vec_id", "embedding",
+        model, ivf, k = 5, nProbe = 4, rerank = 30)
+      .select("probe_id", "rn", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val appended = run(dirA)
+    assert(appended == run(dirF), "appended index diverges from rebuild")
+    // the appended codes rows are identical to the rebuild's for batch ids
+    val a = spark.read.parquet(s"$dirA/codes")
+      .filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val f = spark.read.parquet(s"$dirF/codes")
+      .filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(a == f)
+  }
+
   test("trainDistributed: arithmetic parity with the driver trainer") {
     // a corpus the driver sample covers FULLY, whose values are dyadic
     // (sums exact in double in ANY order) and unit-norm (so PqEncode's
