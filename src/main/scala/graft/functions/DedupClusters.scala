@@ -203,21 +203,27 @@ object DedupClusters {
     * relation — O(delta + |clusters|), never O(pairs). Output contract
     * matches [[connectedComponents]]: one row per node that appears in
     * `oldClusters` or in a new pair; cluster = component-min id. */
-  /** Driver-side union-find cap for the CONTRACTED refresh graph: at or
-    * below this many contracted edges (≈16 MB of long pairs) the merge
-    * fixpoint runs in-memory on the driver — a BOUNDED collect (the cap
-    * is explicit, the relation was just counted) with a distributed
-    * star-CC fallback above it and for non-long id types. The contracted
-    * graph is ∝ the increment's new pairs, so a daily batch sits far
-    * under the cap and the refresh costs one collect + one broadcast
-    * remap join instead of an iterative multi-job fixpoint; a backfill
-    * that merges tens of millions of pairs falls back to the
-    * O(log n)-round distributed path. Package-visible so the spec can
-    * force the fallback on the same inputs and pin equality. */
-  private[graft] var localRefreshMaxEdges: Long = 1L << 20
+  /** Default driver-side union-find cap for the CONTRACTED refresh
+    * graph: at or below this many contracted edges (≈16 MB of long
+    * pairs) the merge fixpoint runs in-memory on the driver — a BOUNDED
+    * collect (the cap is explicit, the relation was just counted) with a
+    * distributed star-CC fallback above it and for non-long id types.
+    * The contracted graph is ∝ the increment's new pairs, so a daily
+    * batch sits far under the cap and the refresh costs one collect +
+    * one broadcast remap join instead of an iterative multi-job
+    * fixpoint; a backfill that merges tens of millions of pairs falls
+    * back to the O(log n)-round distributed path. The cap is an explicit
+    * PER-CALL parameter of [[refreshClusters]] (it was a mutable shared
+    * var toggled by the spec — a concurrent refresh could observe the
+    * temporarily-zeroed cap and silently take the slow path). */
+  val DefaultLocalRefreshMaxEdges: Long = 1L << 20
 
+  /** @param localRefreshMaxEdges per-call driver union-find cap (see
+    *   [[DefaultLocalRefreshMaxEdges]]); pass 0 to force the distributed
+    *   star-CC path — same labels either way, DedupPersistSpec pins it. */
   def refreshClusters(oldClusters: DataFrame, newPairs: DataFrame,
-                      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+                      aCol: String = "a_id", bCol: String = "b_id",
+                      localRefreshMaxEdges: Long = DefaultLocalRefreshMaxEdges): DataFrame = {
     // old is scanned several times below (two label joins, the remap
     // pass, the new-node anti-join) but NOT checkpointed here: the
     // standing cluster relation is a stored table in every real caller,
@@ -328,19 +334,71 @@ object DedupClusters {
     * contract (new pairs only — retracting a pair needs a
     * [[writePersisted]] rebuild): refresh the stored clusters through the
     * contracted-CC increment, parquet-APPEND the new pairs to the audit
-    * trail, and overwrite `clusters/` with the refreshed relation —
-    * materialized BEFORE the overwrite so the lazy read cannot race its
-    * own target (the RollupRewrite.refreshAppended discipline). Costs
-    * O(delta + clusters), never a pair-graph or text re-scan. */
+    * trail, and swap `clusters/` to the refreshed relation — materialized
+    * BEFORE any write so the lazy read cannot race its own target (the
+    * RollupRewrite.refreshAppended discipline). Costs O(delta + clusters),
+    * never a pair-graph or text re-scan.
+    *
+    * CRASH SAFETY (staged, never in-place): the refreshed clusters are
+    * fully written to `clusters_next/` FIRST, then the new pairs append
+    * to `pairs/`, then `clusters/` is swapped to the staged copy via two
+    * directory renames. A failure before the pairs append leaves the old
+    * state fully intact; a failure after it leaves `pairs/` AHEAD of
+    * `clusters/` with the completed `clusters_next/` still on disk — the
+    * marker that [[recoverAppended]] finishes the swap from (no rebuild
+    * needed; `pairs/` is always a valid from-scratch rebuild source
+    * besides, since the append-only trail is a superset of what the
+    * stored clusters reflect). CONCURRENCY: the rename window means
+    * readers must not race a refresh — serialize refreshes and reads of
+    * the same artifact (single-writer, the standard table-maintenance
+    * contract); a reader that opens `clusters/` mid-swap fails loudly
+    * (missing path) rather than seeing partial data. */
   def refreshAppended(path: String, newPairs: DataFrame,
                       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val spark = newPairs.sparkSession
     val old = readPersistedClusters(spark, path)
     val refreshed = Materialize(refreshClusters(old, newPairs, aCol, bCol))
     val pairCols = spark.read.parquet(s"$path/pairs").columns
+    // stage the complete refreshed relation BEFORE touching live state
+    refreshed.write.mode("overwrite").parquet(s"$path/clusters_next")
     newPairs.select(pairCols.map(col): _*)
       .write.mode("append").parquet(s"$path/pairs")
-    refreshed.write.mode("overwrite").parquet(s"$path/clusters")
+    swapInStagedClusters(path)
     readPersistedClusters(spark, path)
+  }
+
+  /** Promote a completed `clusters_next/` staging dir to `clusters/`
+    * (two local renames; the old dir is deleted only after the staged
+    * one is verified complete by its _SUCCESS marker). */
+  private def swapInStagedClusters(path: String): Unit = {
+    val next = new java.io.File(s"$path/clusters_next")
+    require(new java.io.File(next, "_SUCCESS").exists(),
+      s"staged clusters at $next are incomplete — refusing to swap")
+    val live = new java.io.File(s"$path/clusters")
+    val retired = new java.io.File(s"$path/clusters_old")
+    deleteRecursively(retired)
+    if (live.exists() && !live.renameTo(retired))
+      throw new java.io.IOException(s"could not retire $live")
+    if (!next.renameTo(live))
+      throw new java.io.IOException(s"could not promote $next to $live")
+    deleteRecursively(retired)
+  }
+
+  /** Finish an interrupted [[refreshAppended]]: if a completed staging
+    * dir is still present (the crash-between-append-and-swap window),
+    * promote it; otherwise no-op. Call on open before trusting
+    * `clusters/` when a prior refresh may have died. Returns true when
+    * a recovery swap ran. */
+  def recoverAppended(path: String): Boolean = {
+    val next = new java.io.File(s"$path/clusters_next")
+    if (next.exists() && new java.io.File(next, "_SUCCESS").exists()) {
+      swapInStagedClusters(path); true
+    } else false
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-once persisted TOKENIZE→SHINGLE relations of a fixture corpus —
+  * the round-10 verdict's "shared gram artifact" (task #2): q_novelty,
+  * q_mix_knapsack, q_containment and q_span_dedup each re-derived the
+  * same (doc, shingle) relation from raw text per query (~11.8 s combined
+  * at sf1) while the minhash family already persisted its own gram store
+  * (DedupQueries.ensureIncBase). This object promotes the two shingle
+  * grains those consumers share to first-class stored relations under the
+  * q_dedup_cluster read-path discipline: derive once per corpus, read
+  * many; the DuckDB oracles stay FROM-SCRATCH, so every consumer's hash
+  * match proves stored ≡ derived on every sweep.
+  *
+  *   - `sh3/`   (doc_id, source, sh, shh): DISTINCT 3-token shingles per
+  *     doc — `sh` the shingle string (q_novelty / q_mix_knapsack group on
+  *     it), `shh` its 60-bit md5-prefix BIGINT (q_containment joins on
+  *     it; stored so the md5 is paid once per corpus, not per query);
+  *   - `span8/` (doc_id, span_h): ALL 8-token sliding-window span hashes
+  *     (NOT distinct — q_span_dedup counts every span occurrence).
+  *
+  * Both relations are PER-DOC ROWS, so appending a batch of new doc ids
+  * is exact: appendDocs(write(build(C)), B) ≡ build(C ∪ B) row-for-row
+  * (GramStoreSpec pins it) — the RetrievalIndex.appendDocs contract; an
+  * updated document needs a rebuild or delete+append compaction.
+  *
+  * Scale posture (100 TB): the artifact is the corpus's tokenize output
+  * materialized once — every consumer's remaining work is shuffle-shaped
+  * over narrow rows (string shingle + 8-byte hash), never a text re-scan.
+  * At warehouse scale store sh3 bucketed by shh and span8 by span_h so
+  * the grain-level aggregates run exchange-free on the stored side; the
+  * fixture artifact keeps plain parquet (the consumers' one aggregate
+  * shuffle each is the same they always paid — the saving is the
+  * repeated tokenize+md5 CPU, the dominant term measured at sf1).
+  * Cache keying: the dir tag folds the fixture's content manifest
+  * (JoinQueries.dirTag), so regenerating a fixture in place invalidates
+  * the store automatically.
+  */
+object GramStore {
+
+  private[graft] def storePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_grams/" +
+      s"store_${graft.operators.JoinQueries.dirTag(dir)}"
+
+  /** The DISTINCT (doc_id, source, sh, shh) 3-token shingle relation —
+    * byte-identical rows to what q_novelty/q_mix_knapsack derived inline
+    * (they project sh, q_containment projects shh). explode_OUTER, same
+    * reason as DedupQueries.simhashSigs: plain explode lets
+    * InferFiltersFromGenerate re-run the whole gram build as a scan-side
+    * filter; the size guard already excludes empty arrays. */
+  private[graft] def buildSh3(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode_outer(expr(
+        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+        .as("sh"))
+      .distinct()
+      .select(col("doc_id"), col("source"), col("sh"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+          .cast("bigint").as("shh"))
+
+  /** ALL (doc_id, span_h) 8-token span hashes — q_span_dedup's span
+    * relation verbatim (60-bit md5-prefix keys; a collision would be the
+    * same collision in the oracle). */
+  private[graft] def buildSpan8(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode_outer(expr(
+        """transform(sequence(1, size(toks) - 7),
+          |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)).as("span_h"))
+
+  /** Build-on-first-touch for a fixture dir (the persistedClusters
+    * discipline: immutable fixture dirs, content-keyed tag). */
+  private def ensure(s: SparkSession, dir: String): String = {
+    val path = storePath(dir)
+    if (!new java.io.File(s"$path/sh3/_SUCCESS").exists() ||
+        !new java.io.File(s"$path/span8/_SUCCESS").exists()) {
+      val docs = graft.Tables.load(s, dir, "documents")
+      buildSh3(docs).write.mode("overwrite").parquet(s"$path/sh3")
+      buildSpan8(docs).write.mode("overwrite").parquet(s"$path/span8")
+    }
+    path
+  }
+
+  /** The stored sh3 relation of a fixture corpus (builds on first touch;
+    * steady state: an exchange-free parquet scan). */
+  def shingles3(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/sh3")
+
+  /** The stored span8 relation of a fixture corpus. */
+  def spans8(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/span8")
+
+  /** Append a batch of NEW documents (ids disjoint from the stored
+    * corpus) to an existing store at `path`: one tokenize pass over the
+    * batch, parquet-append of its per-doc rows. */
+  def appendDocs(path: String, docs: DataFrame): Unit = {
+    buildSh3(docs).write.mode("append").parquet(s"$path/sh3")
+    buildSpan8(docs).write.mode("append").parquet(s"$path/span8")
+  }
+}

@@ -76,16 +76,11 @@ object GovernanceQueries extends QueryModule {
 
     // Greedy novelty-density source mix under a 50% char budget.
     "q_mix_knapsack" -> ((s, dir) => {
-      val sh = graft.functions.Materialize(
-        t(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), col("source"),
-            split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), col("source"), explode(expr(
-            "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
-            .as("sh"))
-          .distinct())
+      // the write-once GramStore artifact replaces the per-query inline
+      // shingle derivation (round-11; this query's from-scratch oracle
+      // proves stored ≡ derived on every sweep)
+      val sh = graft.functions.GramStore.shingles3(s, dir)
+        .select("doc_id", "source", "sh")
       // each shingle's novelty credit goes to the source of its FIRST doc
       val nv = sh.groupBy("sh")
         .agg(min_by(col("source"), col("doc_id")).as("source"))

@@ -29,13 +29,23 @@ object JoinQueries extends QueryModule {
     * the catalog entry to the dir, so a stale read cannot occur;
     * re-reading then costs only the exchange-free scan (the steady
     * state a cluster would see). External under the system tmpdir. */
-  /** Collision-resistant fixture-dir tag for cached table/path names: two
-    * dirs with colliding 32-bit String.hashCodes in one JVM would silently
-    * reuse each other's data, so cache keys use an md5 prefix of the full
-    * path. Shared with the specs that look the cached tables up. */
+  /** Collision-resistant fixture tag for cached table/path names: md5
+    * prefix of the full dir path PLUS its file manifest (relative names +
+    * byte sizes — the same listing Bench stamps as `fixture.manifest`).
+    * The path part keeps two fixture dirs from reusing each other's
+    * artifacts; the CONTENT part keys every write-once artifact
+    * (bucketed tables, partitioned orders, graft_dedup/graft_retr/
+    * graft_grams) to the data it was derived from, so regenerating a
+    * fixture in place (gen_sf1.py rewriting /tmp/graft-sf1) changes the
+    * tag and invalidates stale artifacts automatically instead of
+    * silently serving clusters of the old corpus. Walks ~a dozen fixture
+    * files per call — microseconds, and deliberately NOT memoized so an
+    * in-place regeneration is caught even mid-JVM. Shared with the specs
+    * that look the cached tables up. */
   private[graft] def dirTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest((dir + "\n" + graft.BenchSupport.manifest(dir))
+        .getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   private def bucketize(s: SparkSession, dir: String, name: String,
       key: String, df: => org.apache.spark.sql.DataFrame)

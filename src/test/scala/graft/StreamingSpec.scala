@@ -962,13 +962,20 @@ class StreamingSpec extends SparkSpec {
     val evalDocs = Seq((9000L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
     val ev = StreamingCuration.evalGrams(evalDocs)
-    val arrivals = Seq(
+    val textD = words(16, 16)
+    val b1 = Seq(
       101L -> textA,                                             // near-dup of corpus → drop
-      102L -> words(12, 16),                                     // clean → keep
       103L -> ("alpha beta gamma delta epsilon " + words(13, 11)), // eval 5-gram → drop
-      104L -> "too short to pass",                               // quality → drop
       105L -> words(15, 16))                                     // clean → keep
-    val (b1, b2) = arrivals.zipWithIndex.partition(_._2 % 2 == 0)
+    val b2 = Seq(
+      102L -> words(12, 16),                                     // clean → keep
+      104L -> "too short to pass",                               // quality → drop
+      // SAME-BATCH near-dup pair (ADVICE r10 #1): both miss the standing
+      // index — the intra-batch LSH self-join must drop the higher id
+      // and keep the min-id survivor
+      106L -> textD,                                             // keep (survivor)
+      107L -> textD)                                             // intra-batch dup → drop
+    val arrivals = b1 ++ b2
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Set.empty[Long]
     val cp = Files.createTempDirectory("graft-cp").toString
@@ -979,14 +986,14 @@ class StreamingSpec extends SparkSpec {
       }
     }
     try {
-      in.addData(b1.map(_._1)); q.processAllAvailable()
-      in.addData(b2.map(_._1)); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
       // the composition holds NO streaming state (foreachBatch over
       // stateless per-batch joins) — the StreamingDecontaminate contract
       assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
         "curation must not register a stateful operator")
     } finally q.stop()
-    assert(got.toSet == Set(102L, 105L), s"curated = $got")
+    assert(got.toSet == Set(102L, 105L, 106L), s"curated = $got")
     // parity: the single shared batch composition over the same rows
     val batchIds = StreamingCuration.curateBatch(
       arrivals.toDF("doc_id", "text"), index, ev)
