@@ -236,21 +236,36 @@ object DedupClusters {
     val labV = old.select(col("id").as("v"), col("cluster").as("cv"))
     // endpoints → current labels; a node the standing relation has never
     // seen labels itself (it IS its own component so far)
-    val contractedEdges = Materialize(edges
+    val contractedEdges = edges
       .join(labU, Seq("u"), "left")
       .join(labV, Seq("v"), "left")
       .select(coalesce(col("cu"), col("u")).as("a_id"),
-        coalesce(col("cv"), col("v")).as("b_id")))
+        coalesce(col("cv"), col("v")).as("b_id"))
     val longIds = contractedEdges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val remap =
-      if (longIds && contractedEdges.count() <= localRefreshMaxEdges)
-        localUnionFindRemap(contractedEdges)
-      else
+    // BOUNDED one-action probe: collect at most cap+1 contracted edges —
+    // cap+1 rows prove overflow without counting the relation first, so
+    // the common (delta-sized) case pays ONE tiny job instead of a
+    // checkpoint + count + collect chain (the increment's refresh leg is
+    // overhead-bound: its data is ∝ the new pairs, not the corpus)
+    val localRows =
+      if (longIds && localRefreshMaxEdges > 0 &&
+          localRefreshMaxEdges < Int.MaxValue) {
+        val r = contractedEdges
+          .limit(localRefreshMaxEdges.toInt + 1).collect()
+        if (r.length <= localRefreshMaxEdges) Some(r) else None
+      } else None
+    val remap = localRows match {
+      case Some(rows) => localUnionFindRemap(rows, edges.sparkSession)
+      case None =>
         // star CC: contracted components can chain through many labels
-        // when one batch merges k old components — O(log) rounds
+        // when one batch merges k old components — O(log) rounds; the
+        // overflow probe above re-derives the contracted joins once
+        // (small equi-joins — cheaper than checkpointing them eagerly
+        // on every delta-sized refresh just in case)
         Materialize(connectedComponentsStar(contractedEdges)
           .select(col("id").as("lbl"), col("cluster").as("newc")))
+    }
     val oldRefreshed = old
       .join(remap, old("cluster") === remap("lbl"), "left")
       .select(old("id").as("id"),
@@ -268,12 +283,13 @@ object DedupClusters {
   }
 
   /** In-memory min-label union-find over a BOUNDED contracted edge list
-    * (caller enforces [[localRefreshMaxEdges]]): path-compressed find,
-    * then one pass assigning each root the minimum member id. Returns the
-    * (lbl, newc) remap as a local (hence broadcastable) relation with the
-    * same contract as the distributed branch. */
-  private def localUnionFindRemap(edges: DataFrame): DataFrame = {
-    val rows = edges.collect() // bounded: counted against the cap above
+    * (the caller's cap+1 limit-collect enforces the bound): path-
+    * compressed find, then one pass assigning each root the minimum
+    * member id. Returns the (lbl, newc) remap as a local (hence
+    * broadcastable) relation with the same contract as the distributed
+    * branch. */
+  private def localUnionFindRemap(rows: Array[org.apache.spark.sql.Row],
+                                  spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -298,7 +314,6 @@ object DedupClusters {
         if (seen.add(v)) out += ((v, find(v)))
       }
     }
-    val spark = edges.sparkSession
     import spark.implicits._
     out.toSeq.toDF("lbl", "newc")
   }

@@ -567,7 +567,7 @@ object DedupQueries extends QueryModule {
     * the verify stage consumes the arrays whole via the native
     * set-jaccard kernel — no gram-level join, no sizes relation.
     * Materialized: consumers are LSH hashing + both verify sides. */
-  private def minhashGrams(tokRel: org.apache.spark.sql.DataFrame)
+  private[graft] def minhashGrams(tokRel: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     tokRel
       .select(col("doc_id"), col("t"))
@@ -586,7 +586,7 @@ object DedupQueries extends QueryModule {
     * partial combine shrinks the one Exchange to 16 longs per doc.
     * Materialized: hot-bucket count + both self-join sides consume it;
     * 4 narrow rows per doc. */
-  private def minhashBands(docGrams: org.apache.spark.sql.DataFrame)
+  private[graft] def minhashBands(docGrams: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val hashed = docGrams
       .select(col("doc_id"), explode(col("grams")).as("g"))
@@ -625,10 +625,21 @@ object DedupQueries extends QueryModule {
     graft.functions.NativeJaccard.register(s)
     val jac = call_function(graft.functions.NativeJaccard.name,
       col("x.grams"), col("y.grams"))
+    // size prefilter (AllPairs/PPJoin length filter, here oracle-
+    // invisible by algebra): jac = I/U > 1/2 needs 2·min(|A|,|B|) >
+    // max(|A|,|B|) (I ≤ min, U ≥ max, so 2min ≥ 2I > U ≥ max) — a pair
+    // failing it can never pass the 0.5 threshold, and `when`
+    // short-circuits the hash-set kernel for exactly those rows. The
+    // emitted 0.0 stand-in is dropped by the same > 0.5 filter the
+    // true-jaccard path faces, so the result set is provably unchanged.
+    val nx = size(col("x.grams"))
+    val ny = size(col("y.grams"))
+    val jGuarded = when(least(nx, ny) * 2 > greatest(nx, ny), jac)
+      .otherwise(lit(0d))
     broadcast(cand)
       .join(docGrams.as("x"), col("x.doc_id") === col("id_a"))
       .join(docGrams.as("y"), col("y.doc_id") === col("id_b"))
-      .select(col("id_a"), col("id_b"), jac.as("j"))
+      .select(col("id_a"), col("id_b"), jGuarded.as("j"))
       .groupBy("id_a", "id_b").agg(min(col("j")).as("jac_raw"))
       .filter(col("jac_raw") > 0.5)
       .select(col("id_a"), col("id_b"), pround4(col("jac_raw")).as("jac"))
@@ -664,11 +675,20 @@ object DedupQueries extends QueryModule {
     * every re-run see the same split. */
   private def incIsDelta = col("doc_id") % 5 === 4
 
+  /** Catalog name of the BUCKETED stored band-key table of the
+    * increment base (content-keyed like every artifact tag). */
+  private[graft] def incBandsTbl(dir: String): String =
+    s"graft_dedup_bands_${JoinQueries.dirTag(dir)}"
+
   /** Write-once BASE-state artifact for q_dedup_persist: the standing
     * corpus's gram arrays, banded keys, and clusters — what a deployment
     * keeps on disk between increments (the MinHashDedup.Index discipline
-    * plus the cluster artifact). */
-  private def ensureIncBase(s: org.apache.spark.sql.SparkSession,
+    * plus the cluster artifact). The band keys are stored BUCKETED by
+    * (band, bk) (round-10 verdict task #3): the increment's candidate
+    * probe then sort-merge-joins the stored side with NO Exchange — the
+    * base key table never reshuffles per arrival, only the delta does
+    * (the q_join_bucketed machinery; DedupPersistSpec plan-asserts it). */
+  private[graft] def ensureIncBase(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_dedup/base_${JoinQueries.dirTag(dir)}"
@@ -679,7 +699,16 @@ object DedupQueries extends QueryModule {
       val grams = minhashGrams(minhashTokRel(s, dir, !incIsDelta))
       val bands = minhashBands(grams)
       grams.write.mode("overwrite").parquet(s"$path/grams")
-      bands.write.mode("overwrite").parquet(s"$path/bands")
+      // ONE file per bucket (repartition on the bucket key before the
+      // bucketed write): a multi-file bucket loses its sort order at
+      // scan time, a single-file bucket scans as SORTED — the increment
+      // probe's SMJ then reads the stored side with neither Exchange
+      // NOR Sort
+      bands.repartition(8, col("band"), col("bk"))
+        .write.format("parquet").bucketBy(8, "band", "bk")
+        .sortBy("band", "bk")
+        .option("path", s"$path/bands")
+        .mode("overwrite").saveAsTable(incBandsTbl(dir))
       // per-bucket member counts: the increment's hot-cap check needs
       // COUNTS, not keys — a bucket-sized table (≤ corpus/4 rows, narrow)
       // read instead of re-counting the full key table every arrival
@@ -691,6 +720,25 @@ object DedupQueries extends QueryModule {
     path
   }
 
+  /** The stored band-key table as a BUCKETED catalog relation. The
+    * catalog entry is per-JVM (in-memory catalog): a fresh session
+    * re-REGISTERS the existing bucketed files with CREATE TABLE ...
+    * CLUSTERED BY ... LOCATION — bucket ids live in the file names, so
+    * registration is metadata-only and the write-once economics hold
+    * across JVMs. */
+  private[graft] def incBandsTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = ensureIncBase(s, dir)
+    val tbl = incBandsTbl(dir)
+    if (!s.catalog.tableExists(tbl))
+      s.sql(
+        s"""CREATE TABLE $tbl (doc_id BIGINT, band INT, bk STRING)
+           |USING parquet
+           |CLUSTERED BY (band, bk) SORTED BY (band, bk) INTO 8 BUCKETS
+           |LOCATION '$path/bands'""".stripMargin)
+    s.table(tbl)
+  }
+
   /** The increment's pair-detection half (q_dedup_persist; also timed
     * standalone by dev benches): ensure the base artifact, hash ONLY the
     * delta docs, probe the stored band keys, verify. Returns
@@ -698,39 +746,10 @@ object DedupQueries extends QueryModule {
   private[graft] def incDeltaPairs(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val path = ensureIncBase(s, dir)
+    val (path, deltaGrams, cand) = incDeltaCand(s, dir)
     val baseGrams = s.read.parquet(s"$path/grams")
-    val baseBands = s.read.parquet(s"$path/bands")
-    val baseCounts = s.read.parquet(s"$path/bandcounts")
     val baseClusters =
       graft.functions.DedupClusters.readPersistedClusters(s, path)
-    val deltaGrams = minhashGrams(minhashTokRel(s, dir, incIsDelta))
-    val deltaBands = minhashBands(deltaGrams)
-    // hot cap over the POST-increment bucket counts: the stored per-bucket
-    // COUNT table (bucket-sized, narrow) merges with the delta's counts —
-    // partial counts add — so no full key-table scan happens just to
-    // count; the base KEY table is scanned exactly once (the probe side).
-    val deltaCounts = deltaBands.groupBy("band", "bk")
-      .agg(count(lit(1)).as("n"))
-    val hot = baseCounts.unionByName(deltaCounts)
-      .groupBy("band", "bk").agg(sum(col("n")).as("n"))
-      .filter(col("n") > minhashMaxBucket).select("band", "bk")
-    val keptDelta = deltaBands.join(broadcast(hot), Seq("band", "bk"),
-      "left_anti")
-    val keptAll = baseBands.unionByName(deltaBands)
-      .join(broadcast(hot), Seq("band", "bk"), "left_anti")
-    // every candidate has ≥ 1 delta endpoint: delta keys probe the full
-    // kept key set (cross-corpus AND intra-delta in one key-equality
-    // join); least/greatest + distinct dedups the intra-delta pairs
-    // that meet from both directions. Materialized: two consumers (the
-    // id restriction below + the verify join).
-    val cand = graft.functions.Materialize(
-      keptDelta.as("a").join(keptAll.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-        .distinct())
     // the verify only reads CANDIDATE docs' gram arrays — restrict the
     // wide gram table to those ids once (broadcast semi-join, candidate
     // set is bucket-cap-bounded) instead of streaming the full corpus's
@@ -741,6 +760,66 @@ object DedupQueries extends QueryModule {
       baseGrams.unionByName(deltaGrams)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     (baseClusters, minhashVerify(s, cand, lookup))
+  }
+
+  /** The increment's candidate-generation half: ensure the base, hash
+    * the delta, probe the bucketed stored keys. Returns (artifact path,
+    * materialized delta gram relation, materialized candidate pairs) —
+    * split from [[incDeltaPairs]] so IncrCcBench can time candidate
+    * generation apart from the verify. */
+  private[graft] def incDeltaCand(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val path = ensureIncBase(s, dir)
+    val baseBands = incBandsTable(s, dir) // bucketed by (band, bk)
+    val baseCounts = s.read.parquet(s"$path/bandcounts")
+    val deltaGrams = minhashGrams(minhashTokRel(s, dir, incIsDelta))
+    val deltaBands = minhashBands(deltaGrams)
+    // hot cap over the POST-increment bucket counts, restricted to the
+    // buckets THE DELTA TOUCHES: a bucket with no delta member produces
+    // no increment candidate whether it is hot or not (cross pairs need
+    // a delta row; intra pairs live entirely in the delta), so filtering
+    // it out of `hot` cannot change the candidate set — and the stored
+    // COUNT table then contributes one broadcast-filtered scan instead
+    // of streaming all ~|buckets| rows through the merge shuffle every
+    // arrival (measured sf1: the full-count merge was the largest
+    // non-hash term of the increment). Partial counts add, so the merge
+    // over the touched subset is exact.
+    val deltaCounts = graft.functions.Materialize(
+      deltaBands.groupBy("band", "bk").agg(count(lit(1)).as("n")))
+    val touchedBase = baseCounts.join(
+      broadcast(deltaCounts.select("band", "bk")), Seq("band", "bk"),
+      "left_semi")
+    val hot = touchedBase.unionByName(deltaCounts)
+      .groupBy("band", "bk").agg(sum(col("n")).as("n"))
+      .filter(col("n") > minhashMaxBucket).select("band", "bk")
+    val keptDelta = deltaBands.join(broadcast(hot), Seq("band", "bk"),
+      "left_anti")
+    // the stored side keeps its bucket partitioning through the broadcast
+    // anti-join, so the cross probe below sort-merge-joins with NO
+    // Exchange on the base key table — only the (small) delta reshuffles
+    // to the bucket layout; pre-round-11 this path unioned base ∪ delta
+    // and streamed the FULL stored key table through the candidate
+    // shuffle every increment (the round-10 verdict's task #3).
+    val keptBase = baseBands.join(broadcast(hot), Seq("band", "bk"),
+      "left_anti")
+    // every candidate has ≥ 1 delta endpoint, split by quadrant:
+    // cross = delta keys probing the stored keys (base/delta doc_id sets
+    // are disjoint by the incIsDelta predicate, so no self-pair guard is
+    // needed; least/greatest orders the pair), intra = the delta's own
+    // key-equality self-join (a < b orders it directly). distinct()
+    // collapses multi-band meetings. Materialized: two consumers (the
+    // id restriction below + the verify join).
+    val cross = keptDelta.as("a").join(keptBase.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val intra = keptDelta.as("a").join(keptDelta.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = graft.functions.Materialize(cross.unionAll(intra).distinct())
+    (path, deltaGrams, cand)
   }
 
   /** Hot-band-bucket cap shared by the Spark body and the oracle CTE —

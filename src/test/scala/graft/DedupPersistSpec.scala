@@ -173,6 +173,27 @@ class DedupPersistSpec extends SparkSpec {
       s"artifact read path shuffles more than the output sort:\n$plan")
   }
 
+  test("increment probe: stored band-key side joins without an Exchange") {
+    // the round-11 contract: the base band table is stored BUCKETED by
+    // (band, bk), so a delta probe sort-merge-joins it with no Exchange
+    // on the stored side — only the arriving keys shuffle
+    val base = operators.DedupQueries.incBandsTable(spark, sf)
+    import spark.implicits._
+    val delta = Seq((999999L, 0, "no|such|key|x")).toDF("doc_id", "band", "bk")
+    val j = delta.hint("merge").as("a").join(base.as("b"),
+      col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+    j.queryExecution.toRdd.count()
+    // the AQE string repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the FINAL plan section only
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"stored side must scan as a bucketed table:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"only the delta side may shuffle:\n$plan")
+  }
+
   test("q_dedup_persist matches the from-scratch cluster relation") {
     // the incremental path (persisted base + delta arrival) must equal
     // connectedComponents over the full corpus's pair relation — the
