@@ -256,6 +256,82 @@ object CosineLsh {
       .groupBy("a_id", "b_id").agg(max("cos").as("cos")) // dedup multi-probe hits
   }
 
+  /** The persisted sign-LSH index (round-10 verdict task #4 — the last
+    * sketch family without a stored/appendable artifact, with SimHash):
+    * `keys` = (ls_id, ls_v, bkt) — one plain bucket key per band per
+    * vector (the depth-0 corpus-side convention of [[topK]]: only PROBES
+    * fan out with multi-probe depth, so index size stays `bands` rows
+    * per vector). The hyperplanes are a pure function of
+    * (dim, nPlanes, seed, bands), recorded in meta/ at build time — the
+    * fixed-model contract: appending a disjoint-id batch re-derives its
+    * keys under the SAME planes, so append ≡ rebuild row-for-row
+    * (IndexPersistSpec pins it). Re-sizing nPlanes for a grown corpus is
+    * a rebuild decision ([[planesForCount]]), like an IVF re-train.
+    * At 100 TB the key table is stored bucketed by bkt. */
+  final case class StoredIndex(keys: DataFrame, dim: Int, nPlanes: Int,
+                               seed: Long, bands: Int)
+
+  /** Build the [[StoredIndex]] key relation of a corpus in one pass. */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int = 4, seed: Long = 42L, dim: Int = DefaultDim,
+                 bands: Int = 1): StoredIndex = {
+    val allPlanes = bandPlanes(dim, nPlanes, seed, bands)
+    StoredIndex(
+      df.select(col(idCol).as("ls_id"), col(vecCol).as("ls_v"),
+        explode(bandedKeys(col(vecCol), allPlanes, depth = 0)).as("bkt")),
+      dim, nPlanes, seed, bands)
+  }
+
+  /** Persist a [[StoredIndex]] under `path` (keys/ + 1-row meta/). */
+  def writeIndex(index: StoredIndex, path: String): Unit = {
+    index.keys.write.mode("overwrite").parquet(s"$path/keys")
+    val spark = index.keys.sparkSession
+    import spark.implicits._
+    Seq((index.dim, index.nPlanes, index.seed, index.bands))
+      .toDF("dim", "n_planes", "seed", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Re-open a persisted index (plane constants from meta/, so probes
+    * and appends cannot fork the hyperplanes the index was built with). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): StoredIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    StoredIndex(spark.read.parquet(s"$path/keys"),
+      m.getInt(0), m.getInt(1), m.getLong(2), m.getInt(3))
+  }
+
+  /** Append a batch of NEW vectors (disjoint ids) to a stored index:
+    * one bucketing pass over the batch under the stored planes,
+    * parquet-append. The standing corpus is never read. */
+  def appendIndex(path: String, batch: DataFrame, idCol: String,
+                  vecCol: String): Unit = {
+    val idx = readIndex(batch.sparkSession, path)
+    buildIndex(batch, idCol, vecCol, idx.nPlanes, idx.seed, idx.dim,
+      idx.bands).keys.write.mode("append").parquet(s"$path/keys")
+  }
+
+  /** Arriving vectors probed against a stored index — batch or
+    * STREAMING (stateless stream-static equi-join on bucket key):
+    * (probe_id, vec_id, cos) hits with cosine ≥ threshold. Probes
+    * multi-probe at `probeDepth` for recall; a pair colliding in
+    * several probe keys emits once per key (the againstIndex
+    * multiplicity convention — batch callers groupBy max). */
+  def probeIndex(index: StoredIndex, probes: DataFrame, idCol: String,
+                 vecCol: String, threshold: Double,
+                 probeDepth: Int = 1): DataFrame = {
+    val et = elemType(probes, vecCol)
+    val allPlanes = bandPlanes(index.dim, index.nPlanes, index.seed,
+      index.bands)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      explode(bandedKeys(col(vecCol), allPlanes, probeDepth)).as("bkt"))
+    p.join(index.keys, Seq("bkt"))
+      .filter(col("ls_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("ls_id").as("vec_id"),
+        cosine(probes.sparkSession, col("pv"), col("ls_v"), et).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Approximate top-k join: probes find neighbors only within their LSH
     * bucket (probes multi-probe adjacent buckets for recall; `bands`
     * plane sets are searched independently and merged — the corpus side

@@ -205,6 +205,81 @@ object SimHash {
     n
   }
 
+  /** The persisted SimHash near-dup index (round-10 verdict task #4 —
+    * the last sketch family without a stored/appendable artifact, with
+    * CosineLsh): `keys` = (sh_id, sh_sig, sh_k) — one row per block key,
+    * the signature denormalized in so an index probe verifies Hamming
+    * distance without a second join. `d` and `nBlocks` are FIXED at
+    * build time (the IVF/PQ fixed-model contract): signatures and block
+    * keys are pure per-row functions of the text under those constants,
+    * so appending a disjoint-id batch is EXACT — append ≡ rebuild
+    * row-for-row (IndexPersistSpec pins it). Growing the corpus past the
+    * occupancy its nBlocks was sized for is a REBUILD decision (size
+    * with [[blocksForCorpus]]), exactly like re-training an IVF
+    * codebook. At 100 TB the key table is stored bucketed by sh_k. */
+  final case class Index(keys: DataFrame, d: Int, nBlocks: Int)
+
+  /** Build the [[Index]] of a corpus in one pass over `tokensCol`. */
+  def buildIndex(df: DataFrame, idCol: String, tokensCol: String,
+                 d: Int, nBlocks: Int): Index =
+    Index(
+      df.select(col(idCol).as("sh_id"),
+          signature(col(tokensCol)).as("sh_sig"))
+        .select(col("sh_id"), col("sh_sig"),
+          explode(bucketKeysSized(col("sh_sig"), d, nBlocks)).as("sh_k")),
+      d, nBlocks)
+
+  /** Persist an [[Index]] under `path` (keys/ + a 1-row meta/ recording
+    * the fixed model constants). */
+  def writeIndex(index: Index, path: String): Unit = {
+    index.keys.write.mode("overwrite").parquet(s"$path/keys")
+    val spark = index.keys.sparkSession
+    import spark.implicits._
+    Seq((index.d, index.nBlocks)).toDF("d", "n_blocks")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Re-open a persisted index (model constants come from meta/ — a
+    * 1-row driver read, so the probe/append paths cannot fork the
+    * banding the index was built with). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): Index = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    Index(spark.read.parquet(s"$path/keys"), m.getInt(0), m.getInt(1))
+  }
+
+  /** Append a batch of NEW documents (disjoint ids — the appender's
+    * contract) to a stored index: one signature pass over the batch
+    * under the STORED model constants, parquet-append. The standing
+    * corpus is never read. */
+  def appendIndex(path: String, batch: DataFrame, idCol: String,
+                  tokensCol: String): Unit = {
+    val idx = readIndex(batch.sparkSession, path)
+    buildIndex(batch, idCol, tokensCol, idx.d, idx.nBlocks)
+      .keys.write.mode("append").parquet(s"$path/keys")
+  }
+
+  /** Arriving documents probed against a stored index — batch or
+    * STREAMING (pure per-row key derivation + a static-side equi-join,
+    * so Structured Streaming plans a stateless stream-static join):
+    * (doc id, idx_id, dist) hits within Hamming ≤ d. A pair colliding
+    * in several block keys emits once per key — the
+    * StreamingLsh.againstIndex multiplicity convention (downstream
+    * consumers treat hits as a set; batch callers `.distinct()`). */
+  def pairsAgainstIndex(index: Index, docs: DataFrame, idCol: String,
+                        tokensCol: String): DataFrame = {
+    val probed = docs
+      .select(col(idCol).as("p_id"), signature(col(tokensCol)).as("p_sig"))
+      .select(col("p_id"), col("p_sig"),
+        explode(bucketKeysSized(col("p_sig"), index.d, index.nBlocks))
+          .as("p_k"))
+    probed.join(index.keys,
+        col("p_k") === col("sh_k") && col("p_id") =!= col("sh_id"))
+      .select(col("p_id"), col("sh_id").as("idx_id"),
+        hammingDist(col("p_sig"), col("sh_sig")).cast("int").as("dist"))
+      .filter(col("dist") <= index.d)
+  }
+
   /** Production SimHash near-dup pairs: tokenize → signature →
     * measured-occupancy-sized block keys → key-equality self-join → exact
     * Hamming verify. Output (a_id, b_id, dist), a_id < b_id, dist ≤ d.

@@ -431,6 +431,71 @@ class StreamingSpec extends SparkSpec {
     assert(j12 == 1.0, s"exact dup jaccard $j12")
   }
 
+  test("s_simhash pairsAgainstIndex: arrivals probe the stored sig index") {
+    // the SimHash twin of s_lsh (round-11: the family's persisted index)
+    // — planted exact copies are Hamming-0 by construction, so recall is
+    // deterministic; the replayed corpus id must not self-match
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dir = Files.createTempDirectory("graft_ssim_").toString
+    graft.functions.SimHash.writeIndex(
+      graft.functions.SimHash.buildIndex(corpus, "doc_id", "toks",
+        d = 3, nBlocks = 4), dir)
+    val idx = graft.functions.SimHash.readIndex(spark, dir)
+    val in = MemoryStream[(Long, String)]
+    val out = runToTable(
+      graft.functions.SimHash.pairsAgainstIndex(idx,
+        in.toDF.toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        "doc_id", "toks"),
+      "append",
+      () => in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta"), // copy of 1
+        (11L, "totally different content words here now")), // novel
+      () => in.addData(
+        (12L, "one two three four five six"), // copy of 2, later batch
+        (1L, "alpha beta gamma delta epsilon zeta"))) // replayed id
+    val hits = out.select("p_id", "idx_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L), (12L, 2L)), s"hits $hits")
+    val d10 = out.filter(col("p_id") === 10L).select("dist")
+      .as[Int].head()
+    assert(d10 == 0, s"exact copy distance $d10")
+  }
+
+  test("s_cosine probeIndex: arrivals probe the stored sign-LSH index") {
+    // the CosineLsh twin (round-11): near-orthogonal planted geometry,
+    // an arrival near vec 1, an exact dup of vec 2 in a later batch, a
+    // novel orthogonal vector, and a replayed corpus id
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    val corpus = Seq((1L, axis(0)), (2L, axis(1)), (3L, axis(2)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_scos_").toString
+    graft.functions.CosineLsh.writeIndex(
+      graft.functions.CosineLsh.buildIndex(corpus, "vec_id", "embedding",
+        dim = 8), dir)
+    val idx = graft.functions.CosineLsh.readIndex(spark, dir)
+    val nearOne = Seq(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val novel = Seq.tabulate(8)(j => if (j == 7) 1f else 0f)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = runToTable(
+      graft.functions.CosineLsh.probeIndex(idx,
+        in.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, probeDepth = 2),
+      "append",
+      () => in.addData((10L, nearOne), (11L, novel)),
+      () => in.addData((12L, axis(1)), (1L, axis(0))))
+    val hits = out.select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L), (12L, 2L)), s"hits $hits")
+    val c12 = out.filter(col("probe_id") === 12L).select("cos")
+      .as[Double].collect().max
+    assert(c12 == 1.0, s"exact dup cosine $c12")
+  }
+
   test("s_ann pqAgainstIndex: arrivals probe the standing PQ codes index") {
     // planted geometry: near-orthogonal corpus vectors, an arrival near
     // vec 1, an exact dup of vec 2 in a LATER batch, a novel orthogonal
