@@ -303,10 +303,21 @@ object Bench {
       s""""overBudget":${storageBytes > storageBudgetBytes}}"""
 
     val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
+    // Load-normalized headline (round-10 verdict task #6): the sweep
+    // total expressed in multiples of the fixed calibration workload,
+    // total / mean(calPre, calPost) — this VM's hour-to-hour load swings
+    // 2-3x, and the raw seconds conflate plan cost with host contention;
+    // two sweeps' total_calibrated compare like-for-like because the
+    // calibration runs under the same contention as the queries it
+    // normalizes. Dimensionless by design (a ratio of same-hour
+    // wall-clock times).
+    val calMean = (calPre + calPost) / 2
+    val totalCal = if (calMean > 0) total / calMean else -1.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jstr(sfDir)},"runs":$runs,"stat":"median",""" +
       s""""calibration":{"pre":$calPre,"post":$calPost},""" +
+      s""""total_calibrated":$totalCal,""" +
       s""""planRisks":$planRisks,"planRisksNovel":$planRisksNovel,""" +
       s""""fixture":{"dir":${jstr(sfDir)},"manifest":${jstr(manifest(sfDir))}},""" +
       s""""storagePost":$storageJson,"remeasured":$remJson,""" +

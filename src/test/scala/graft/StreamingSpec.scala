@@ -431,6 +431,41 @@ class StreamingSpec extends SparkSpec {
     assert(j12 == 1.0, s"exact dup jaccard $j12")
   }
 
+  test("s_bm25: stream-maintained index ranks identically to q_bm25") {
+    // the retrieval-family increment twin (round-11): the standing 80%
+    // of the corpus is indexed once; the remaining 20% ARRIVES over two
+    // micro-batches through StreamingRetrieval.maintainIndex. BM25 over
+    // the maintained artifact must equal the from-scratch q_bm25 rows
+    // (same integer-scaled scorer — the oracle-gated math), and the
+    // composition must hold zero streaming state.
+    val docs = table("documents").select("doc_id", "text")
+    val isDelta = col("doc_id") % 5 === 4
+    val dir = Files.createTempDirectory("graft-sbm25").toString
+    graft.functions.RetrievalIndex.write(
+      graft.functions.RetrievalIndex.build(
+        docs.filter(!isDelta), "doc_id", "text"), dir)
+    val delta = docs.filter(isDelta)
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = delta.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = StreamingRetrieval.maintainIndex(
+      in.toDF.toDF("doc_id", "text"), dir, cp)
+    try {
+      in.addData(b1.map(_._1)); q.processAllAvailable()
+      in.addData(b2.map(_._1)); q.processAllAvailable()
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "index maintenance must not register a stateful operator")
+    } finally q.stop()
+    val maintained = graft.functions.RetrievalIndex.bm25TopDf(
+      graft.functions.RetrievalIndex.read(spark, dir))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val scratch = this.q("q_bm25")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(maintained.nonEmpty && maintained == scratch,
+      s"maintained $maintained vs from-scratch $scratch")
+  }
+
   test("s_simhash pairsAgainstIndex: arrivals probe the stored sig index") {
     // the SimHash twin of s_lsh (round-11: the family's persisted index)
     // — planted exact copies are Hamming-0 by construction, so recall is
