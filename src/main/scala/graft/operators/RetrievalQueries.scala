@@ -47,6 +47,24 @@ object RetrievalQueries extends QueryModule {
   /** 2⁴⁸ as an exact double (power of two). */
   private val Hex48 = 281474976710656.0
 
+  /** Per-source mean first-occurrence shingle novelty over a distinct
+    * (doc_id, source, sh) relation — the shared body of q_novelty and
+    * its persisted-increment twin. n_new per doc falls straight out of
+    * the first-occurrence relation (each shingle credits exactly its
+    * minimum doc), so the two relations meet at DOC grain. */
+  private def noveltyOf(sh: DataFrame): DataFrame = {
+    val nSh = sh.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"))
+    val nNew = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_new"))
+    nSh.join(nNew, col("doc_id") === col("first_doc"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        pround4(sum(coalesce(col("n_new"), lit(0L))).cast("double")
+          / sum(col("n_sh"))).as("novelty"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, Q] = Map(
     // Top-20 df tokens with their 5 smallest doc ids (pipe-joined).
     "q_inverted_index" -> ((s, dir) => {
@@ -80,18 +98,33 @@ object RetrievalQueries extends QueryModule {
       // shared persisted shingle relation — stored ≡ derived is proven
       // by this query's own from-scratch oracle hash match); the inline
       // derivation lives on as GramStore.buildSh3
-      val sh = graft.functions.GramStore.shingles3(s, dir)
+      noveltyOf(graft.functions.GramStore.shingles3(s, dir)
+        .select("doc_id", "source", "sh"))
+    }),
+
+    // INCREMENTAL novelty over a persisted base shingle store (round-11;
+    // the q_bm25_incr discipline applied to the GramStore family): the
+    // standing 80% of the corpus persists its distinct (doc, source,
+    // 3-gram) rows once; the measured operation is the ARRIVAL of the
+    // remaining 20% — tokenize ONLY the batch (GramStore.buildSh3 on the
+    // delta) and union in memory (per-doc rows with disjoint ids make
+    // the union the exact full relation; re-runs stay idempotent). The
+    // oracle is the FROM-SCRATCH q_novelty SQL over the full corpus, so
+    // the hash match proves maintained ≡ rebuilt. The on-disk append
+    // twin of this merge is GramStore.appendDocs (GramStoreSpec pins
+    // append ≡ rebuild).
+    "q_novelty_incr" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grams/base_${JoinQueries.dirTag(dir)}"
+      val isDelta = col("doc_id") % 5 === 4
+      if (!new java.io.File(s"$path/sh3/_SUCCESS").exists())
+        graft.functions.GramStore
+          .buildSh3(t(s, dir, "documents").filter(!isDelta))
+          .write.mode("overwrite").parquet(s"$path/sh3")
+      noveltyOf(s.read.parquet(s"$path/sh3")
         .select("doc_id", "source", "sh")
-      val nSh = sh.groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_sh"))
-      val nNew = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-        .groupBy("first_doc").agg(count(lit(1)).as("n_new"))
-      nSh.join(nNew, col("doc_id") === col("first_doc"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          pround4(sum(coalesce(col("n_new"), lit(0L))).cast("double")
-            / sum(col("n_sh"))).as("novelty"))
-        .orderBy("source")
+        .unionByName(graft.functions.GramStore
+          .buildSh3(t(s, dir, "documents").filter(isDelta))
+          .select("doc_id", "source", "sh")))
     }),
 
     // BM25 top-10 for the corpus's own 3 highest-df terms [Robertson &
@@ -190,24 +223,12 @@ object RetrievalQueries extends QueryModule {
          |FROM top JOIN post ON top.w = post.w
          |ORDER BY df DESC, token""".stripMargin,
 
-    "q_novelty" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, source, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
-         |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
-         |        FROM documents),
-         |    UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
-         |  WHERE LEN(t) >= 3),
-         |fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
-         |per_doc AS (
-         |  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
-         |    COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_new
-         |  FROM sh s JOIN fst f ON s.sh = f.sh
-         |  GROUP BY s.doc_id, s.source)
-         |SELECT source, COUNT(*) AS n_docs,
-         |  ${sqlRound4(
-             "CAST(SUM(n_new) AS DOUBLE) / CAST(SUM(n_sh) AS BIGINT)")}
-         |    AS novelty
-         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    "q_novelty" -> noveltyOracle,
+
+    // the incremental twin rides the SAME from-scratch oracle: a hash
+    // match proves the persisted-base + arriving-batch merge equals a
+    // full rebuild of the shingle relation
+    "q_novelty_incr" -> noveltyOracle,
 
     "q_bm25" -> bm25Oracle,
 
@@ -235,6 +256,28 @@ object RetrievalQueries extends QueryModule {
   /** From-scratch BM25 SQL — shared by q_bm25 (live build) and
     * q_bm25_incr (persisted index + arriving batch): both must
     * hash-match the full rebuild's ranking. */
+  /** From-scratch first-occurrence novelty — the shared oracle of
+    * q_novelty (stored-artifact read) and q_novelty_incr (persisted
+    * base + arriving batch): both must hash-match the full rebuild. */
+  private lazy val noveltyOracle: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, source, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
+       |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+       |        FROM documents),
+       |    UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+       |  WHERE LEN(t) >= 3),
+       |fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+       |per_doc AS (
+       |  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+       |    COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_new
+       |  FROM sh s JOIN fst f ON s.sh = f.sh
+       |  GROUP BY s.doc_id, s.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ${sqlRound4(
+           "CAST(SUM(n_new) AS DOUBLE) / CAST(SUM(n_sh) AS BIGINT)")}
+       |    AS novelty
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   private lazy val bm25Oracle: String =
     s"""WITH tok AS (
          |  SELECT doc_id, w
