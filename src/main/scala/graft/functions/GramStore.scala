@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   *
   *   - `sh3/`   (doc_id, source, sh, shh): DISTINCT 3-token shingles per
   *     doc — `sh` the shingle string (q_novelty / q_mix_knapsack group on
-  *     it), `shh` its 60-bit md5-prefix BIGINT (q_containment joins on
-  *     it; stored so the md5 is paid once per corpus, not per query);
+  *     it), `shh` its 60-bit md5-prefix BIGINT (stored so the md5 is
+  *     paid once per corpus, not per query);
+  *   - `sh3h/`  (doc_id, shh): the HASH-distinct projection — exactly
+  *     q_containment's join input, stored so its shingle-grain distinct
+  *     shuffle is paid once per corpus;
   *   - `span8/` (doc_id, span_h): ALL 8-token sliding-window span hashes
-  *     (NOT distinct — q_span_dedup counts every span occurrence).
+  *     (NOT distinct — q_span_dedup counts every span occurrence);
+  *   - `gram5/` (doc_id, g): per-doc DISTINCT 5-token grams — the
+  *     decontamination grain (q_decontaminate / q_curation_pipeline).
   *
   * Both relations are PER-DOC ROWS, so appending a batch of new doc ids
   * is exact: appendDocs(write(build(C)), B) ≡ build(C ∪ B) row-for-row
@@ -63,6 +68,29 @@ object GramStore {
         conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
           .cast("bigint").as("shh"))
 
+  /** DISTINCT (doc_id, shh) 60-bit shingle-hash rows — q_containment's
+    * exact input grain, DERIVED from [[buildSh3]] output (distinct on
+    * the HASH: two in-doc shingles could md5-collide — ~2^-60/pair —
+    * and the oracle de-dups on the hash, so the stored relation must
+    * too). Stored separately so the biggest per-query shuffle of the
+    * containment family (the shingle-grain distinct) is paid once per
+    * corpus. */
+  private[graft] def buildSh3h(docs: DataFrame): DataFrame =
+    buildSh3(docs).select(col("doc_id"), col("shh")).distinct()
+
+  /** Per-doc DISTINCT 5-token grams (doc_id, g) — the decontamination
+    * grain (PipelineQueries.fiveGrams verbatim: per-doc array_distinct
+    * ≡ distinct (doc_id, g) rows, the oracle's SELECT DISTINCT). */
+  private[graft] def buildGram5(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode_outer(array_distinct(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
+        .as("g"))
+
   /** ALL (doc_id, span_h) 8-token span hashes — q_span_dedup's span
     * relation verbatim (60-bit md5-prefix keys; a collision would be the
     * same collision in the oracle). */
@@ -78,13 +106,19 @@ object GramStore {
 
   /** Build-on-first-touch for a fixture dir (the persistedClusters
     * discipline: immutable fixture dirs, content-keyed tag). */
+  private val relations: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "sh3" -> buildSh3 _,
+    "sh3h" -> buildSh3h _,
+    "span8" -> buildSpan8 _,
+    "gram5" -> buildGram5 _)
+
   private def ensure(s: SparkSession, dir: String): String = {
     val path = storePath(dir)
-    if (!new java.io.File(s"$path/sh3/_SUCCESS").exists() ||
-        !new java.io.File(s"$path/span8/_SUCCESS").exists()) {
+    if (relations.exists { case (name, _) =>
+        !new java.io.File(s"$path/$name/_SUCCESS").exists() }) {
       val docs = graft.Tables.load(s, dir, "documents")
-      buildSh3(docs).write.mode("overwrite").parquet(s"$path/sh3")
-      buildSpan8(docs).write.mode("overwrite").parquet(s"$path/span8")
+      relations.foreach { case (name, build) =>
+        build(docs).write.mode("overwrite").parquet(s"$path/$name") }
     }
     path
   }
@@ -94,15 +128,24 @@ object GramStore {
   def shingles3(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/sh3")
 
+  /** The stored distinct (doc_id, shh) hash relation. */
+  def shingles3Hashed(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/sh3h")
+
   /** The stored span8 relation of a fixture corpus. */
   def spans8(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/span8")
 
+  /** The stored per-doc-distinct 5-gram relation. */
+  def grams5(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/gram5")
+
   /** Append a batch of NEW documents (ids disjoint from the stored
     * corpus) to an existing store at `path`: one tokenize pass over the
-    * batch, parquet-append of its per-doc rows. */
-  def appendDocs(path: String, docs: DataFrame): Unit = {
-    buildSh3(docs).write.mode("append").parquet(s"$path/sh3")
-    buildSpan8(docs).write.mode("append").parquet(s"$path/span8")
-  }
+    * batch, parquet-append of its per-doc rows (every stored relation is
+    * per-doc — including sh3h's per-batch hash-distinct — so disjoint
+    * ids make each append exact). */
+  def appendDocs(path: String, docs: DataFrame): Unit =
+    relations.foreach { case (name, build) =>
+      build(docs).write.mode("append").parquet(s"$path/$name") }
 }

@@ -327,17 +327,13 @@ object DedupQueries extends QueryModule {
     // Shingles shuffle as 60-bit md5-prefix BIGINTs (8 B/shingle, not
     // span text); a collision would be the same collision in the oracle.
     "q_containment" -> ((s, dir) => {
-      // served from the write-once GramStore.sh3 artifact (round-11):
-      // the stored rows are distinct on (doc, SHINGLE TEXT); projecting
-      // the stored 60-bit hash still needs the distinct below because
-      // the oracle de-dups on the HASH (two in-doc shingles could md5-
-      // collide — ~2^-60/pair, but the contract is exact equality).
-      // Materialized: probe side + corpus side of the equi-join both
-      // consume the deduped relation.
-      val sh = graft.functions.Materialize(
-        graft.functions.GramStore.shingles3(s, dir)
-          .select(col("doc_id"), col("shh"))
-          .distinct())
+      // served from the write-once GramStore.sh3h artifact (round-11):
+      // exactly the hash-DISTINCT (doc_id, shh) relation this query used
+      // to derive inline — tokenize, md5 AND the shingle-grain distinct
+      // shuffle are all paid once per corpus; the probe/corpus sides
+      // below are two scans of the stored 8-byte rows (the probe side
+      // additionally prunes on the pushed doc_id < 20 filter).
+      val sh = graft.functions.GramStore.shingles3Hashed(s, dir)
       val probes = sh.filter(col("doc_id") < 20)
         .select(col("doc_id").as("probe_id"), col("shh").as("psh"))
       val pn = probes.groupBy("probe_id").agg(count(lit(1)).as("n_p"))

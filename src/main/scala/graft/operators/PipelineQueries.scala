@@ -110,8 +110,10 @@ object PipelineQueries extends QueryModule {
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
       // same relation shape as contaminated(): per-doc distinct 5-gram
-      // hits against the broadcast eval grams, grams built off toksRel
-      val grams5 = graft.functions.Materialize(fiveGramsFromToks(toksRel))
+      // hits against the broadcast eval grams — read from the
+      // write-once GramStore artifact (round-11; toksRel still feeds
+      // the quality rules, which need whole token arrays)
+      val grams5 = graft.functions.GramStore.grams5(s, dir)
       val ev = grams5.filter(col("doc_id") < 10).select("g").distinct()
       val contam = grams5.filter(col("doc_id") >= 10)
         .join(broadcast(ev), "g").select("doc_id").distinct()
@@ -248,15 +250,15 @@ object PipelineQueries extends QueryModule {
 
   private def trainEvalGrams(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    // Materialize: TWO consumers (the broadcast eval side and the train
-    // side of the hash join) would otherwise each run the scan + 5-gram
-    // build; the checkpoint also keeps the decon tail's visible
-    // exchanges sketch-sized (ScaleSpec budget) — the repartition is a
-    // one-pass raw-text spread BEFORE the HOF build (the q_ngram_jaccard
-    // discipline; the fixture parquet is one row group = one scan task),
-    // measured 2x on the decon leg at sf1.
-    graft.functions.Materialize(fiveGrams(
-      t(s, dir, "documents").repartition(col("doc_id"))))
+    // served from the write-once GramStore.gram5 artifact (round-11):
+    // the tokenize + 5-gram HOF build runs once per corpus; both
+    // consumers (the broadcast eval side and the train side of the hash
+    // join) are plain scans of the stored narrow rows, and this query's
+    // own from-scratch oracle proves stored ≡ derived per sweep. The
+    // inline derivation lives on as [[fiveGrams]] (GramStore.buildGram5
+    // is its verbatim twin) for non-fixture corpora and the streaming
+    // gate.
+    graft.functions.GramStore.grams5(s, dir)
 
   override def oracleSql: Map[String, String] = Map(
     "q_quality_filter" ->

@@ -20,12 +20,16 @@ class GramStoreSpec extends SparkSpec {
       s"$what: stored and derived relations differ")
   }
 
-  test("stored sh3/span8 equal the inline derivations on the fixture") {
+  test("stored relations equal the inline derivations on the fixture") {
     val docs = table("documents")
     assertSameRelation(GramStore.shingles3(spark, sf),
       GramStore.buildSh3(docs), "sh3")
+    assertSameRelation(GramStore.shingles3Hashed(spark, sf),
+      GramStore.buildSh3h(docs), "sh3h")
     assertSameRelation(GramStore.spans8(spark, sf),
       GramStore.buildSpan8(docs), "span8")
+    assertSameRelation(GramStore.grams5(spark, sf),
+      GramStore.buildGram5(docs), "gram5")
     assert(GramStore.shingles3(spark, sf).count() > 0)
   }
 
@@ -35,12 +39,18 @@ class GramStoreSpec extends SparkSpec {
     val delta = docs.filter(col("doc_id") % 5 === 4)
     val path = Files.createTempDirectory("graft-grams-append").toString
     GramStore.buildSh3(base).write.parquet(s"$path/sh3")
+    GramStore.buildSh3h(base).write.parquet(s"$path/sh3h")
     GramStore.buildSpan8(base).write.parquet(s"$path/span8")
+    GramStore.buildGram5(base).write.parquet(s"$path/gram5")
     GramStore.appendDocs(path, delta)
     assertSameRelation(spark.read.parquet(s"$path/sh3"),
       GramStore.buildSh3(docs), "sh3 append")
+    assertSameRelation(spark.read.parquet(s"$path/sh3h"),
+      GramStore.buildSh3h(docs), "sh3h append")
     assertSameRelation(spark.read.parquet(s"$path/span8"),
       GramStore.buildSpan8(docs), "span8 append")
+    assertSameRelation(spark.read.parquet(s"$path/gram5"),
+      GramStore.buildGram5(docs), "gram5 append")
   }
 
   test("consumer steady state reads the artifact, not raw text") {
