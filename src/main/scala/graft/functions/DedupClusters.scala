@@ -354,30 +354,36 @@ object DedupClusters {
     * RollupRewrite.refreshAppended discipline). Costs O(delta + clusters),
     * never a pair-graph or text re-scan.
     *
-    * CRASH SAFETY (staged, never in-place): the refreshed clusters are
-    * fully written to `clusters_next/` FIRST, then the new pairs append
-    * to `pairs/`, then `clusters/` is swapped to the staged copy via two
-    * directory renames. A failure before the pairs append leaves the old
-    * state fully intact; a failure after it leaves `pairs/` AHEAD of
-    * `clusters/` with the completed `clusters_next/` still on disk — the
-    * marker that [[recoverAppended]] finishes the swap from (no rebuild
-    * needed; `pairs/` is always a valid from-scratch rebuild source
-    * besides, since the append-only trail is a superset of what the
-    * stored clusters reflect). CONCURRENCY: the rename window means
-    * readers must not race a refresh — serialize refreshes and reads of
-    * the same artifact (single-writer, the standard table-maintenance
-    * contract); a reader that opens `clusters/` mid-swap fails loudly
-    * (missing path) rather than seeing partial data. */
+    * CRASH SAFETY (staged, never in-place; ordered so recovery is
+    * unambiguous): the new pairs append to `pairs/` FIRST, then the
+    * refreshed clusters (materialized before any write) are fully
+    * written to `clusters_next/`, then `clusters/` swaps to the staged
+    * copy via renames. A failure during the pairs append leaves the old
+    * clusters fully valid with `pairs/` possibly ahead — and a trail
+    * that is AHEAD is always a safe from-scratch rebuild source (it is
+    * a superset of what the stored clusters reflect). A completed
+    * `clusters_next/` therefore proves the pairs append finished — it
+    * is the post-append marker [[recoverAppended]] can promote without
+    * ever installing clusters whose merge pairs were lost (the
+    * stage-first ordering had exactly that hole: crash between staging
+    * and appending, then recovery promotes merges absent from the
+    * trail). CONCURRENCY: the rename window means readers must not race
+    * a refresh — serialize refreshes and reads of the same artifact
+    * (single-writer, the standard table-maintenance contract); a reader
+    * that opens `clusters/` mid-swap fails loudly (missing path) rather
+    * than seeing partial data. */
   def refreshAppended(path: String, newPairs: DataFrame,
                       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val spark = newPairs.sparkSession
     val old = readPersistedClusters(spark, path)
+    // materialized BEFORE any write: the refresh must not lazily re-read
+    // `pairs/`/`clusters/` after they start changing underneath it
     val refreshed = Materialize(refreshClusters(old, newPairs, aCol, bCol))
     val pairCols = spark.read.parquet(s"$path/pairs").columns
-    // stage the complete refreshed relation BEFORE touching live state
-    refreshed.write.mode("overwrite").parquet(s"$path/clusters_next")
     newPairs.select(pairCols.map(col): _*)
       .write.mode("append").parquet(s"$path/pairs")
+    // stage only AFTER the trail holds the pairs the refresh folded in
+    refreshed.write.mode("overwrite").parquet(s"$path/clusters_next")
     swapInStagedClusters(path)
     readPersistedClusters(spark, path)
   }
@@ -391,12 +397,12 @@ object DedupClusters {
       s"staged clusters at $next are incomplete — refusing to swap")
     val live = new java.io.File(s"$path/clusters")
     val retired = new java.io.File(s"$path/clusters_old")
-    deleteRecursively(retired)
+    FsUtil.deleteRecursively(retired)
     if (live.exists() && !live.renameTo(retired))
       throw new java.io.IOException(s"could not retire $live")
     if (!next.renameTo(live))
       throw new java.io.IOException(s"could not promote $next to $live")
-    deleteRecursively(retired)
+    FsUtil.deleteRecursively(retired)
   }
 
   /** Finish an interrupted [[refreshAppended]]: if a completed staging
@@ -409,11 +415,5 @@ object DedupClusters {
     if (next.exists() && new java.io.File(next, "_SUCCESS").exists()) {
       swapInStagedClusters(path); true
     } else false
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }

@@ -74,7 +74,11 @@ object GramStore {
     * and the oracle de-dups on the hash, so the stored relation must
     * too). Stored separately so the biggest per-query shuffle of the
     * containment family (the shingle-grain distinct) is paid once per
-    * corpus. */
+    * corpus. This from-docs form is the SPEC's independent mirror; the
+    * production write path ([[writeRelations]]) derives sh3h from the
+    * already-materialized sh3 relation instead — identical rows by
+    * construction (shh is a pure function of sh), without re-running
+    * the tokenize+md5 pass the store exists to amortize. */
   private[graft] def buildSh3h(docs: DataFrame): DataFrame =
     buildSh3(docs).select(col("doc_id"), col("shh")).distinct()
 
@@ -106,20 +110,30 @@ object GramStore {
 
   /** Build-on-first-touch for a fixture dir (the persistedClusters
     * discipline: immutable fixture dirs, content-keyed tag). */
-  private val relations: Seq[(String, DataFrame => DataFrame)] = Seq(
-    "sh3" -> buildSh3 _,
-    "sh3h" -> buildSh3h _,
-    "span8" -> buildSpan8 _,
-    "gram5" -> buildGram5 _)
+  private val relationNames = Seq("sh3", "sh3h", "span8", "gram5")
+
+  /** One derivation pass for a doc set (full-corpus build or arriving
+    * batch): sh3 materializes once and also feeds the sh3h projection —
+    * the tokenize+md5+per-doc-distinct is the store's dominant cost,
+    * and paying it twice per build/append would halve the point of the
+    * artifact. span8/gram5 tokenize separately (different window
+    * widths over the raw text). */
+  private def writeRelations(docs: DataFrame, path: String,
+                             mode: String): Unit = {
+    val sh3 = Materialize(buildSh3(docs))
+    sh3.write.mode(mode).parquet(s"$path/sh3")
+    sh3.select(col("doc_id"), col("shh")).distinct()
+      .write.mode(mode).parquet(s"$path/sh3h")
+    buildSpan8(docs).write.mode(mode).parquet(s"$path/span8")
+    buildGram5(docs).write.mode(mode).parquet(s"$path/gram5")
+  }
 
   private def ensure(s: SparkSession, dir: String): String = {
     val path = storePath(dir)
-    if (relations.exists { case (name, _) =>
-        !new java.io.File(s"$path/$name/_SUCCESS").exists() }) {
-      val docs = graft.Tables.load(s, dir, "documents")
-      relations.foreach { case (name, build) =>
-        build(docs).write.mode("overwrite").parquet(s"$path/$name") }
-    }
+    if (relationNames.exists(name =>
+        !new java.io.File(s"$path/$name/_SUCCESS").exists()))
+      writeRelations(graft.Tables.load(s, dir, "documents"), path,
+        "overwrite")
     path
   }
 
@@ -142,10 +156,9 @@ object GramStore {
 
   /** Append a batch of NEW documents (ids disjoint from the stored
     * corpus) to an existing store at `path`: one tokenize pass over the
-    * batch, parquet-append of its per-doc rows (every stored relation is
-    * per-doc — including sh3h's per-batch hash-distinct — so disjoint
-    * ids make each append exact). */
+    * batch per window width, parquet-append of its per-doc rows (every
+    * stored relation is per-doc — including sh3h's per-batch
+    * hash-distinct — so disjoint ids make each append exact). */
   def appendDocs(path: String, docs: DataFrame): Unit =
-    relations.foreach { case (name, build) =>
-      build(docs).write.mode("append").parquet(s"$path/$name") }
+    writeRelations(docs, path, "append")
 }

@@ -760,10 +760,15 @@ object DedupQueries extends QueryModule {
     * probe then sort-merge-joins the stored side with NO Exchange — the
     * base key table never reshuffles per arrival, only the delta does
     * (the q_join_bucketed machinery; DedupPersistSpec plan-asserts it). */
+  /** The increment-base artifact path — a pure function of the fixture
+    * dir (content-keyed tag), so tooling can locate/wipe the artifact
+    * WITHOUT triggering [[ensureIncBase]]'s build. */
+  private[graft] def incBasePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup/base_${JoinQueries.dirTag(dir)}"
+
   private[graft] def ensureIncBase(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_dedup/base_${JoinQueries.dirTag(dir)}"
+    val path = incBasePath(dir)
     // bandcounts is newest — its presence implies a complete artifact,
     // and checking it self-heals artifacts written by older builds
     if (!new java.io.File(s"$path/clusters/_SUCCESS").exists() ||

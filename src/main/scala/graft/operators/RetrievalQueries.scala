@@ -253,9 +253,6 @@ object RetrievalQueries extends QueryModule {
     }
   )
 
-  /** From-scratch BM25 SQL — shared by q_bm25 (live build) and
-    * q_bm25_incr (persisted index + arriving batch): both must
-    * hash-match the full rebuild's ranking. */
   /** From-scratch first-occurrence novelty — the shared oracle of
     * q_novelty (stored-artifact read) and q_novelty_incr (persisted
     * base + arriving batch): both must hash-match the full rebuild. */
@@ -278,6 +275,9 @@ object RetrievalQueries extends QueryModule {
        |    AS novelty
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  /** From-scratch BM25 SQL — shared by q_bm25 (live build) and
+    * q_bm25_incr (persisted index + arriving batch): both must
+    * hash-match the full rebuild's ranking. */
   private lazy val bm25Oracle: String =
     s"""WITH tok AS (
          |  SELECT doc_id, w

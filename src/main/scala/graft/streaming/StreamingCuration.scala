@@ -68,21 +68,53 @@ object StreamingCuration {
 
   /** One micro-batch (or any batch relation) through all three gates.
     * `docs` needs (doc_id: Long, text: String) plus any carry-along
-    * columns; returns the surviving rows unchanged. */
+    * columns; returns the surviving rows unchanged.
+    *
+    * `shingleN`/`bands`/`rows` MUST match the model the standing index
+    * was built with (the MinHashDedup.updateIndex contract — a forked
+    * model makes the equi-joins silently return no hits); gates 2a and
+    * 2b share ONE materialized shingle/key scan of the batch (the
+    * dedupIncremental discipline) under that one model. REPLAY SAFETY:
+    * unlike dedupIncremental, gate 2a EXCLUDES self-matches — a
+    * replayed doc id already in the standing index must curate to the
+    * same verdict as its first delivery (foreachBatch re-delivers whole
+    * batches; if the first delivery's sink already appended the doc to
+    * the index, a self-match would flip it to "duplicate" and an
+    * overwrite-by-batchId sink would lose it). */
   def curateBatch(docs: DataFrame, index: MinHashDedup.Index,
-                  evGrams: DataFrame, threshold: Double = 0.5): DataFrame = {
+                  evGrams: DataFrame, threshold: Double = 0.5,
+                  shingleN: Int = 2, bands: Int = 4,
+                  rows: Int = 4): DataFrame = {
     val spark = docs.sparkSession
+    graft.functions.NativeJaccard.register(spark)
     val q = docs.filter(qualityKeep)
-    // gate 2a: verified near-dups of the standing corpus (batch-bounded)
-    val dupIds = StreamingLsh.againstIndex(spark, q, index, threshold)
-      .select(col("doc_id")).distinct()
+    // ONE shingle + band-key scan feeds both near-dup gates
+    val bSh = graft.functions.Materialize(graft.functions.Materialize.spread(
+      MinHashDedup.shingleRel(q, "doc_id", "text", shingleN)))
+    val bKeys = graft.functions.Materialize(
+      MinHashDedup.bandedKeysFromShingles(bSh, bands, rows))
+    // gate 2a: verified near-dups of the standing corpus (batch-bounded;
+    // key-equality probe of the stored index, exact-Jaccard verify)
+    val jac = call_function(graft.functions.NativeJaccard.name,
+      col("sb.sh"), col("se.sh"))
+    val dupIds = bKeys.as("b")
+      .join(index.keys.as("e"), Seq("band_idx", "band_hash"))
+      .filter(col("b.mh_id") =!= col("e.mh_id")) // replay guard, see above
+      .select(col("b.mh_id").as("b_id"), col("e.mh_id").as("e_id"))
+      .distinct()
+      .join(bSh.as("sb"), col("b_id") === col("sb.sh_id"))
+      .join(index.shingles.as("se"), col("e_id") === col("se.sh_id"))
+      .filter(jac >= threshold)
+      .select(col("b_id").as("doc_id")).distinct()
     // gate 2b: INTRA-batch near-dups — both sides of a same-batch pair
     // miss the standing index, so the batch self-pairs through the same
-    // banded-LSH + exact-verify machinery and the higher-id side drops
-    // (greedy min-id survivor; the kept side may still fall to gate 2a/3
-    // — same semantics as MinHashDedup.dedupIncremental's inner pass)
-    val intraDupIds = MinHashDedup
-      .nearDuplicatePairs(q, "doc_id", "text", threshold)
+    // materialized keys and the higher-id side drops (greedy min-id
+    // survivor; the kept side may still fall to gate 2a/3 — the
+    // MinHashDedup.dedupIncremental inner pass)
+    val intraDupIds = MinHashDedup.verifyPairs(
+        MinHashDedup.candidatePairsFromBanded(bKeys,
+          MinHashDedup.DefaultMaxBucket, chainHotBuckets = true),
+        bSh, threshold)
       .select(col("b_id").as("doc_id")).distinct()
     // gate 3: docs sharing any distinct 5-gram with the eval set
     val contamIds = graft.operators.PipelineQueries.fiveGrams(q)

@@ -133,22 +133,29 @@ class DedupPersistSpec extends SparkSpec {
   }
 
   test("interrupted refreshAppended: recoverAppended finishes the swap") {
-    // replicate refreshAppended's crash window — staged clusters written,
-    // pairs appended, swap NOT yet run — and assert (a) the live clusters
-    // still read as the pre-refresh state, (b) recoverAppended promotes
-    // the staged copy to exactly the rebuilt labels, (c) a second call is
-    // a no-op
+    // replicate refreshAppended's crash windows. Window A (crash during/
+    // after the pairs append, before staging): pairs ahead, no staging
+    // dir — recovery must NO-OP (old clusters stay valid; the ahead
+    // trail is a rebuild superset). Window B (crash after staging,
+    // before the swap): recovery promotes the staged copy — safe only
+    // because staging happens AFTER the append, so a completed
+    // clusters_next/ proves the trail holds the folded pairs.
     val dir = Files.createTempDirectory("graft-dedup-crash").toString
     val base = Seq((1L, 2L), (10L, 11L))
     val delta = Seq((2L, 10L), (30L, 31L))
     DedupClusters.writePersisted(pairs(base).withColumn("jac", lit(1.0)), dir)
     val oldLabels = labels(DedupClusters.readPersistedClusters(spark, dir))
-    // the crash window: stage + append, no swap
     val refreshed = DedupClusters.refreshClusters(
       DedupClusters.readPersistedClusters(spark, dir), pairs(delta))
-    refreshed.write.mode("overwrite").parquet(s"$dir/clusters_next")
+    // window A: pairs appended, nothing staged
     pairs(delta).withColumn("jac", lit(1.0))
       .write.mode("append").parquet(s"$dir/pairs")
+    assert(!DedupClusters.recoverAppended(dir),
+      "no staging dir: recovery must no-op")
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == oldLabels,
+      "live clusters must be untouched with nothing staged")
+    // window B: staging completed, swap not yet run
+    refreshed.write.mode("overwrite").parquet(s"$dir/clusters_next")
     assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == oldLabels,
       "live clusters must be untouched before the swap")
     assert(DedupClusters.recoverAppended(dir))
