@@ -47,19 +47,15 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries extends QueryModule {
 
-  /** doc_id → exploded non-empty whitespace tokens (the q_wordcount
-    * tokenizer, kept identical to STRING_SPLIT(text,' ') + LENGTH>0). */
-  private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) =
-    t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-
   override def queries: Map[String, Q] = Map(
     // Per-document unigram token entropy (bits): H = log2(N) - Σ n·log2(n)/N
     // — a repetition/diversity quality signal (low entropy ⇒ boilerplate).
     "q_token_entropy" -> ((s, dir) => {
-      tokens(s, dir)
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      // the stored TokenStore tf rows ARE the (doc, w, n) relation the
+      // inline derivation aggregated to (empty tokens filtered on scan)
+      graft.functions.TokenStore.termFreq(s, dir)
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), col("w"), col("tf").as("n"))
         .groupBy("doc_id")
         .agg(
           sum(col("n")).as("n_toks"),
@@ -73,15 +69,15 @@ object AnalyticsQueries extends QueryModule {
     // per-doc mean log2 p(token). The LM side of quality filtering (docs
     // of improbable tokens score low). Vocab and corpus total broadcast.
     "q_unigram_logprob" -> ((s, dir) => {
-      // Materialize the (doc, word, count) relation once: the model side
-      // (vocab, corpus total) and the scoring side both consume it, and
-      // without a barrier each would re-scan + re-explode the corpus
-      // (3 FileScans in the unmaterialized plan). dw is the compressed
-      // twin of the token stream — strictly smaller than what one scan
-      // reads, so the checkpoint is cheaper than the scans it replaces.
-      val dw = tokens(s, dir)
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
-        .transform(graft.functions.Materialize(_))
+      // The (doc, word, count) relation is the write-once TokenStore
+      // artifact (round-11) — the per-query Materialize barrier existed
+      // only to pay the tokenize + (doc, w) aggregate once for the two
+      // consumers (model side, scoring side); the stored parquet is that
+      // barrier made durable, and this query's from-scratch oracle
+      // proves stored ≡ derived on every sweep.
+      val dw = graft.functions.TokenStore.termFreq(s, dir)
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), col("w"), col("tf").as("c_dw"))
       val vocab = dw.groupBy("w").agg(sum(col("c_dw")).as("c_w"))
       val tot = vocab.agg(sum(col("c_w")).as("c_tot"))
       dw.join(broadcast(vocab), Seq("w"))

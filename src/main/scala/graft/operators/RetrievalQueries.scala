@@ -68,11 +68,14 @@ object RetrievalQueries extends QueryModule {
   override def queries: Map[String, Q] = Map(
     // Top-20 df tokens with their 5 smallest doc ids (pipe-joined).
     "q_inverted_index" -> ((s, dir) => {
-      val tok = graft.functions.Materialize(
-        t(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("w"), col("doc_id"))
-          .filter(col("w") =!= "")
-          .distinct())
+      // served from the write-once TokenStore artifact (round-11): the
+      // stored rows ARE the distinct (w, doc_id) posting grain this
+      // query built inline (tokenize + corpus-wide distinct, the
+      // biggest shuffle here) — both consumers (df count, posting
+      // collection) scan the artifact; the from-scratch oracle proves
+      // stored ≡ derived on every sweep
+      val tok = graft.functions.TokenStore.termFreq(s, dir)
+        .filter(col("w") =!= "").select("w", "doc_id")
       val top = tok.groupBy("w").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("w")).limit(20)
       val post = tok.join(broadcast(top.select("w")), Seq("w"))

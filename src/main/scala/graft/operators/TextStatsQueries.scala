@@ -118,14 +118,14 @@ object TextStatsQueries extends QueryModule {
     // identical double ratio in both engines (integer counts) and the
     // top-k carries a full (w1, w2) tiebreak.
     "q_cooccur_pmi" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("t"))
-      // the exploded (doc, token) relation feeds the unigram counts AND
-      // both sides of the pair self-join — one tokenize, checkpointed
-      val w = graft.functions.Materialize(
-        toks.select(col("doc_id"), explode(col("t")).as("w")))
+      // served from the write-once TokenStore artifact (round-11): the
+      // stored (doc, w) grain IS the distinct-token relation this query
+      // derived inline (array_distinct(split) ≡ the store's per-doc
+      // distinct rows, empty tokens included on both sides); the stored
+      // parquet replaces the per-query tokenize + Materialize — both the
+      // unigram counts and the two pair-join sides scan it directly
+      val w = graft.functions.TokenStore.termFreq(s, dir)
+        .select(col("doc_id"), col("w"))
       val cw = w.groupBy("w").agg(count(lit(1)).as("c"))
       val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
       // in-doc pairs as a doc-keyed SELF-JOIN, not a nested O(tokens²)
@@ -211,12 +211,16 @@ object TextStatsQueries extends QueryModule {
     // division, one ln, one multiply: identical on both sides.
     "q_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w"))
-      val dfc = tok.groupBy("w").agg(countDistinct("doc_id").as("dfc"))
-      val tf = tok.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
-      val ndocs = docs.agg(count(lit(1)).as("n"))
+      // served from the write-once TokenStore artifact (round-11): the
+      // stored rows are the (doc, w)-DISTINCT grain, so document
+      // frequency collapses from a countDistinct expansion over every
+      // token occurrence to a plain row count per w, and term frequency
+      // re-weights by the stored tf — this query's from-scratch oracle
+      // proves stored ≡ derived on every sweep
+      val tk = graft.functions.TokenStore.termFreq(s, dir)
+      val dfc = tk.groupBy("w").agg(count(lit(1)).as("dfc"))
+      val tf = tk.groupBy("lang", "w").agg(sum(col("tf")).as("tf"))
+      val ndocs = t(s, dir, "documents").agg(count(lit(1)).as("n"))
       val wnd = Window.partitionBy("lang")
         .orderBy(col("score").desc, col("w").asc)
       tf.join(dfc, "w")
@@ -241,10 +245,11 @@ object TextStatsQueries extends QueryModule {
     // table — nothing downstream of the first aggregate scales with the
     // corpus.
     "q_zipf_slope" -> ((s, dir) => {
-      val freq = t(s, dir, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      // stored TokenStore rows re-weighted by tf (empty tokens filtered
+      // on the scan, matching the inline w <> '' gate)
+      val freq = graft.functions.TokenStore.termFreq(s, dir)
         .filter(col("w") =!= "")
-        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        .groupBy("lang", "w").agg(sum(col("tf")).as("n"))
       val w = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("w"))
       freq

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.TokenStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The shared persisted word-grain artifact (round-11): stored rows must
+  * equal the inline derivation row-for-row (the oracle gate proves the
+  * same through the six consumers' from-scratch DuckDB SQL), per-doc
+  * appends must equal a rebuild (the RetrievalIndex.appendDocs
+  * contract), and the consumers' steady state must read the artifact,
+  * never raw text. */
+class TokenStoreSpec extends SparkSpec {
+
+  private def assertSameRelation(a: DataFrame, b: DataFrame,
+                                 what: String): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what: stored and derived relations differ")
+  }
+
+  test("stored tf relation equals the inline derivation on the fixture") {
+    assertSameRelation(TokenStore.termFreq(spark, sf),
+      TokenStore.buildTf(table("documents")), "tf")
+    assert(TokenStore.termFreq(spark, sf).count() > 0)
+  }
+
+  test("tf grain: one row per (doc, w), counts re-weight occurrences") {
+    val tf = TokenStore.termFreq(spark, sf)
+    assert(tf.groupBy("doc_id", "w").count().filter(col("count") > 1)
+      .isEmpty, "(doc, w) must be unique — df is a plain row count")
+    // Σ tf per doc ≡ the doc's token count (split-grain conservation)
+    val stored = tf.groupBy("doc_id").agg(sum("tf").as("n"))
+    val derived = table("documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    assertSameRelation(stored, derived, "per-doc token totals")
+  }
+
+  test("appendDocs ≡ rebuild for a disjoint-id batch") {
+    val docs = table("documents")
+      .select("doc_id", "lang", "source", "text")
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val path = Files.createTempDirectory("graft-tokens-append").toString
+    TokenStore.buildTf(base).write.parquet(s"$path/tf")
+    TokenStore.appendDocs(path, delta)
+    assertSameRelation(spark.read.parquet(s"$path/tf"),
+      TokenStore.buildTf(docs), "tf append")
+  }
+
+  test("consumer steady state reads the artifact, not raw text") {
+    // after the store exists, q_tfidf's executed plan must scan the
+    // artifact parquet — no split()/explode token build. (q_tfidf still
+    // touches documents.parquet for its 1-row corpus count — a
+    // zero-column scan — so the assertion targets the generator.)
+    TokenStore.termFreq(spark, sf).count()
+    val df = q("q_tfidf")
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("generate"),
+      s"tfidf steady state must not re-tokenize raw text:\n$plan")
+  }
+}
