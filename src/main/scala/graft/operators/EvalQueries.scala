@@ -47,6 +47,87 @@ object EvalQueries extends QueryModule {
        |  * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
       .stripMargin
 
+  /** The deterministic banded-hyperplane LSH machinery shared by
+    * q_lsh_eval (recall/precision audit) and q_lsh_persist (incremental
+    * index maintenance): 40 md5-derived integer hyperplanes, 4 bands ×
+    * 10 bits, 1-bit multi-probe — everything integer arithmetic so
+    * DuckDB derives the identical keys bit-for-bit. */
+  private val LshBits = 40
+  private val LshBandSz = 10
+
+  /** Scaled-integer grid (id, pos, iv) of the bounded audit block. */
+  private def lshIvGrid(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      .select(col("vec_id").cast("long").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("id"), col("pos"),
+        floor(col("v").cast("double") * 10000 + lit(0.5)).cast("long")
+          .as("iv"))
+
+  /** (id, band, bk) banded sign-LSH keys of an (id, pos, iv) relation —
+    * a PER-ID function (the plane matrix is fixed), which is what makes
+    * the stored index appendable: a delta's keys compute alone. */
+  private def lshBandKeys(s: org.apache.spark.sql.SparkSession,
+                          ex: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val coef = s.range(0, LshBits.toLong)
+      .select(col("id").cast("int").as("j"))
+      .crossJoin(s.range(0, 64).select(col("id").cast("int").as("cpos")))
+      .select(col("j"), col("cpos"),
+        (hv48(concat(lit("c"), col("j").cast("string"), lit(":"),
+          col("cpos").cast("string"))) % 2001 - 1000).as("w"))
+    ex.join(broadcast(coef), col("pos") === col("cpos"))
+      .groupBy("id", "j")
+      .agg((sum(col("w") * col("iv")) > 0).as("b"))
+      .withColumn("band", expr(s"j div $LshBandSz"))
+      .groupBy("id", "band")
+      .agg(sum(when(col("b"), expr(
+        s"SHIFTLEFT(CAST(1 AS BIGINT), CAST(j % $LshBandSz AS INT))"))
+        .otherwise(0L)).as("bk"))
+  }
+
+  /** (idb, band, pk) probe keys: the exact key plus every one-bit flip,
+    * so an equi-join on (band, pk = bk) finds every band pair within
+    * hamming ≤ 1. The flip set is symmetric under xor, so probing from
+    * ONE side of a pair decides the same condition as probing the
+    * other. */
+  private def lshProbes(keys: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    keys.select(col("id").as("idb"), col("band"),
+        explode(array((lit(-1) +: (0 until LshBandSz).map(lit(_))): _*))
+          .as("flip"), col("bk"))
+      .select(col("idb"), col("band"),
+        when(col("flip") < 0, col("bk")).otherwise(expr(
+          s"CAST(bk AS BIGINT) ^ SHIFTLEFT(CAST(1 AS BIGINT), CAST(flip AS INT))"))
+          .as("pk"))
+
+  /** q_lsh_persist's delta predicate (the incIsDelta convention). */
+  private def lshIsDelta = col("id") % 5 === 4
+
+  /** Write-once persisted LSH index base for q_lsh_persist: the standing
+    * 80% of the audit block stores its band keys and its verified
+    * candidate-pair list once (per-fixture, content-keyed tag — the
+    * ensureIncBase discipline). */
+  private def ensureLshBase(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_lsh/base_${JoinQueries.dirTag(dir)}"
+    if (!new java.io.File(s"$path/pairs/_SUCCESS").exists()) {
+      val keys = graft.functions.Materialize(
+        lshBandKeys(s, lshIvGrid(s, dir).filter(!lshIsDelta)))
+      keys.write.mode("overwrite").parquet(s"$path/keys")
+      val probes = lshProbes(keys)
+      keys.as("k").join(probes.as("p"),
+          col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
+            col("k.id") < col("p.idb"))
+        .select(col("k.id").as("ia"), col("p.idb").as("ib"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/pairs")
+    }
+    path
+  }
+
   override def queries: Map[String, Q] = Map(
     // NDCG@10 and P@10 per probe, relevance = same label.
     "q_ndcg" -> ((s, dir) => {
@@ -194,15 +275,8 @@ object EvalQueries extends QueryModule {
     // audit block — production candidates at corpus scale come from the
     // banding this query grades (CosineLsh.nearDuplicatePairs).
     "q_lsh_eval" -> ((s, dir) => {
-      val nBits = 40
-      val bandSz = 10
       // scaled-integer grid of the bounded block: (id, pos, iv)
-      val base = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
-        .select(col("vec_id").cast("long").as("id"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("id"), col("pos"),
-          floor(col("v").cast("double") * 10000 + lit(0.5)).cast("long")
-            .as("iv"))
+      val base = lshIvGrid(s, dir)
       val planted = base.filter(col("id") < 100)
         .select((col("id") + 1000000L).as("id"), col("pos"),
           (col("iv") + hv48(concat(lit("n"), col("id").cast("string"),
@@ -261,30 +335,10 @@ object EvalQueries extends QueryModule {
             col("na").cast("decimal(38,0)") * col("nb") * 7225)
         .select(col("ia"), col("ib")))
       // md5-derived integer hyperplanes, shared bit-for-bit with DuckDB
-      val coef = s.range(0, nBits.toLong)
-        .select(col("id").cast("int").as("j"))
-        .crossJoin(s.range(0, 64).select(col("id").cast("int").as("cpos")))
-        .select(col("j"), col("cpos"),
-          (hv48(concat(lit("c"), col("j").cast("string"), lit(":"),
-            col("cpos").cast("string"))) % 2001 - 1000).as("w"))
-      val bits = ex.join(broadcast(coef), col("pos") === col("cpos"))
-        .groupBy("id", "j")
-        .agg((sum(col("w") * col("iv")) > 0).as("b"))
-      val keys = graft.functions.Materialize(bits
-        .withColumn("band", expr(s"j div $bandSz"))
-        .groupBy("id", "band")
-        .agg(sum(when(col("b"), expr(
-          s"SHIFTLEFT(CAST(1 AS BIGINT), CAST(j % $bandSz AS INT))"))
-          .otherwise(0L)).as("bk")))
+      val keys = graft.functions.Materialize(lshBandKeys(s, ex))
       // 1-bit multi-probe: the probe side emits the exact key plus every
       // one-bit flip, so a candidate = any band within hamming ≤ 1
-      val probes = keys.select(col("id").as("idb"), col("band"),
-          explode(array((lit(-1) +: (0 until bandSz).map(lit(_))): _*))
-            .as("flip"), col("bk"))
-        .select(col("idb"), col("band"),
-          when(col("flip") < 0, col("bk")).otherwise(expr(
-            s"CAST(bk AS BIGINT) ^ SHIFTLEFT(CAST(1 AS BIGINT), CAST(flip AS INT))"))
-            .as("pk"))
+      val probes = lshProbes(keys)
       // same two-consumer pinning for the candidate pair list
       val cand = graft.functions.Materialize(keys.as("k").join(probes.as("p"),
           col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
@@ -309,6 +363,43 @@ object EvalQueries extends QueryModule {
           // engines agree on NULL
           pround4(when(col("n_vecs") > 1, col("n_cand").cast("double") * 2
             / (col("n_vecs") * (col("n_vecs") - 1)))).as("selectivity"))
+    }),
+
+    // INCREMENTAL maintenance of the banded-LSH candidate-pair relation,
+    // under the oracle gate (round-11 — the q_simhash_persist discipline
+    // applied to the vector-LSH family, closing the last sketch family
+    // without an oracle-gated maintained ≡ rebuilt proof): the standing
+    // 80% of the audit block persists its band keys and verified
+    // candidate list once; the measured operation is the ARRIVAL of the
+    // remaining 20% — key ONLY the delta (band keys are per-id functions
+    // of the fixed plane model, the CosineLsh.StoredIndex contract),
+    // equi-probe the stored keys for cross candidates plus the
+    // intra-delta self-join, and union onto the stored pairs. The oracle
+    // derives ALL keys from scratch and emits the full candidate set, so
+    // the hash match proves maintained ≡ rebuilt. Base-base pairs never
+    // recompute: band-key candidacy is a function of the two ids' keys
+    // alone, so the base-only build's pair list IS the full relation's
+    // base-base subset.
+    "q_lsh_persist" -> ((s, dir) => {
+      val path = ensureLshBase(s, dir)
+      val baseKeys = s.read.parquet(s"$path/keys")
+      val basePairs = s.read.parquet(s"$path/pairs")
+      val deltaKeys = graft.functions.Materialize(
+        lshBandKeys(s, lshIvGrid(s, dir).filter(lshIsDelta)))
+      val dProbes = lshProbes(deltaKeys)
+      // probing from the delta side alone decides hamming ≤ 1 for every
+      // cross pair (the flip set is xor-symmetric — see lshProbes);
+      // base/delta ids are disjoint, so least/greatest orders the pair
+      val cross = baseKeys.as("k").join(dProbes.as("p"),
+          col("k.band") === col("p.band") && col("k.bk") === col("p.pk"))
+        .select(least(col("k.id"), col("p.idb")).as("ia"),
+          greatest(col("k.id"), col("p.idb")).as("ib"))
+      val intra = deltaKeys.as("k").join(dProbes.as("p"),
+          col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
+            col("k.id") < col("p.idb"))
+        .select(col("k.id").as("ia"), col("p.idb").as("ib"))
+      basePairs.unionByName(cross.unionAll(intra).distinct())
+        .orderBy("ia", "ib")
     }),
 
     // Calibration/reliability curve: scores bucketed into rank deciles
@@ -558,6 +649,37 @@ object EvalQueries extends QueryModule {
              "CAST(n_cand AS DOUBLE) * 2 / (n_vecs * (n_vecs - 1)) END")}
          |    AS selectivity
          |FROM ns""".stripMargin
+    },
+
+    // the incremental twin's oracle derives EVERY id's band keys from
+    // scratch and emits the full candidate-pair relation — a hash match
+    // proves the maintained index (stored base keys/pairs + delta-only
+    // keying) equals a rebuild
+    "q_lsh_persist" -> {
+      val coefHv = sqlHv48(
+        "md5('c' || CAST(j AS VARCHAR) || ':' || CAST(cpos AS VARCHAR))")
+      s"""WITH ex AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(i - 1 AS INT) AS pos,
+         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+         |      AS BIGINT) AS iv
+         |  FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
+         |  WHERE vec_id < 1000),
+         |coef AS (SELECT t.j, u.cpos, ($coefHv) % 2001 - 1000 AS w
+         |  FROM RANGE(0, 40) t(j) CROSS JOIN RANGE(0, 64) u(cpos)),
+         |bits AS (SELECT id, j, SUM(w * iv) > 0 AS b
+         |  FROM ex JOIN coef ON pos = cpos GROUP BY id, j),
+         |keyz AS (SELECT id, j // 10 AS band,
+         |    CAST(SUM(CASE WHEN b THEN (CAST(1 AS BIGINT) << CAST(j % 10 AS INT))
+         |      ELSE 0 END) AS BIGINT) AS bk
+         |  FROM bits GROUP BY id, j // 10),
+         |probes AS (SELECT id AS idb, band,
+         |    CASE WHEN f < 0 THEN bk
+         |      ELSE xor(bk, CAST(1 AS BIGINT) << CAST(f AS INT)) END AS pk
+         |  FROM keyz CROSS JOIN RANGE(-1, 10) r(f))
+         |SELECT DISTINCT k.id AS ia, p.idb AS ib
+         |FROM keyz k JOIN probes p
+         |  ON k.band = p.band AND k.bk = p.pk AND k.id < p.idb
+         |ORDER BY ia, ib""".stripMargin
     },
 
     "q_reliability" ->
