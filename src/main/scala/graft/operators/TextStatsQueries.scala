@@ -23,6 +23,32 @@ object TextStatsQueries extends QueryModule {
   /** Tiny in-vocabulary "stopword" list for the stopword-ratio metric. */
   private val stopwords = Seq("data", "processing", "the", "and", "of")
 
+  /** TF-IDF top-5 terms per language over a (doc_id, lang, w, tf)
+    * token relation — the shared body of q_tfidf (stored-artifact read)
+    * and q_tfidf_incr (persisted base + arriving batch): both must
+    * hash-match the from-scratch oracle. Document frequency is a plain
+    * row count (the relation is the (doc, w)-distinct grain); ranking
+    * uses the PORTABLY-ROUNDED score so a sub-ulp ln() drift between
+    * engines cannot reorder rows, with exact ties broken on the term. */
+  private[graft] def tfidfOf(tk: org.apache.spark.sql.DataFrame,
+                             ndocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfc = tk.groupBy("w").agg(count(lit(1)).as("dfc"))
+    val tf = tk.groupBy("lang", "w").agg(sum(col("tf")).as("tf"))
+    val wnd = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(dfc, "w")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score",
+        pround4(col("tf") * log((col("n") + 1.0) / (col("dfc") + 1.0))))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("w").as("term"),
+        col("tf"), col("score"))
+      .orderBy("lang", "rn")
+  }
+
   override def queries: Map[String, Q] = Map(
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -209,29 +235,38 @@ object TextStatsQueries extends QueryModule {
     // between engines cannot reorder rows; residual exact-tie rank breaks
     // on the term. idf = ln((N+1)/(df+1)) — integer operands, one double
     // division, one ln, one multiply: identical on both sides.
-    "q_tfidf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    "q_tfidf" -> ((s, dir) =>
       // served from the write-once TokenStore artifact (round-11): the
       // stored rows are the (doc, w)-DISTINCT grain, so document
       // frequency collapses from a countDistinct expansion over every
       // token occurrence to a plain row count per w, and term frequency
       // re-weights by the stored tf — this query's from-scratch oracle
       // proves stored ≡ derived on every sweep
-      val tk = graft.functions.TokenStore.termFreq(s, dir)
-      val dfc = tk.groupBy("w").agg(count(lit(1)).as("dfc"))
-      val tf = tk.groupBy("lang", "w").agg(sum(col("tf")).as("tf"))
-      val ndocs = t(s, dir, "documents").agg(count(lit(1)).as("n"))
-      val wnd = Window.partitionBy("lang")
-        .orderBy(col("score").desc, col("w").asc)
-      tf.join(dfc, "w")
-        .crossJoin(broadcast(ndocs))
-        .withColumn("score",
-          pround4(col("tf") * log((col("n") + 1.0) / (col("dfc") + 1.0))))
-        .withColumn("rn", row_number().over(wnd))
-        .filter(col("rn") <= 5)
-        .select(col("lang"), col("rn"), col("w").as("term"),
-          col("tf"), col("score"))
-        .orderBy("lang", "rn")
+      tfidfOf(graft.functions.TokenStore.termFreq(s, dir),
+        t(s, dir, "documents").agg(count(lit(1)).as("n")))),
+
+    // INCREMENTAL TF-IDF over a persisted token-store base (the
+    // q_bm25_incr discipline applied to the TokenStore family): the
+    // standing 80% of the corpus stores its (doc, w, tf) rows once; the
+    // measured operation is the ARRIVAL of the remaining 20% — tokenize
+    // ONLY the batch (TokenStore.buildTf on the delta) and union in
+    // memory (per-doc rows with disjoint ids make the union the exact
+    // full relation; re-runs stay idempotent). The oracle is the
+    // FROM-SCRATCH q_tfidf SQL over the full corpus, so the hash match
+    // proves maintained ≡ rebuilt. The on-disk append twin of this
+    // merge is TokenStore.appendDocs (TokenStoreSpec pins append ≡
+    // rebuild); the streaming twin is StreamingTokens.maintainStore.
+    "q_tfidf_incr" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tokens/base_${JoinQueries.dirTag(dir)}"
+      val isDelta = col("doc_id") % 5 === 4
+      if (!new java.io.File(s"$path/tf/_SUCCESS").exists())
+        graft.functions.TokenStore
+          .buildTf(t(s, dir, "documents").filter(!isDelta))
+          .write.mode("overwrite").parquet(s"$path/tf")
+      tfidfOf(
+        s.read.parquet(s"$path/tf").unionByName(graft.functions.TokenStore
+          .buildTf(t(s, dir, "documents").filter(isDelta))),
+        t(s, dir, "documents").agg(count(lit(1)).as("n")))
     }),
 
     // Zipf-law fit per language: regression slope of log2(freq) on
@@ -366,24 +401,12 @@ object TextStatsQueries extends QueryModule {
         |    / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_subwords
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q_tfidf" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
-        |  FROM documents),
-        |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY w),
-        |n AS (SELECT COUNT(*) AS n FROM documents),
-        |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w),
-        |scored AS (
-        |  SELECT lang, w, tf,
-        |    FLOOR((tf * LN((n.n + 1.0) / (dfc + 1.0))) * 10000 + 0.5) / 10000
-        |      AS score
-        |  FROM tf JOIN dfq USING (w) CROSS JOIN n),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
-        |    ORDER BY score DESC, w ASC) AS rn
-        |  FROM scored)
-        |SELECT lang, rn, w AS term, tf, score FROM ranked
-        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_tfidf" -> tfidfOracle,
+
+    // the incremental twin rides the SAME from-scratch oracle: a hash
+    // match proves the persisted-base + arriving-batch merge ranks
+    // identically to a full rebuild of the token relation
+    "q_tfidf_incr" -> tfidfOracle,
 
     "q_zipf_slope" ->
       """WITH freq AS (SELECT lang, w, COUNT(*) AS n
@@ -400,4 +423,26 @@ object TextStatsQueries extends QueryModule {
         |    * 10000 + 0.5) / 10000 AS r2
         |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
   )
+
+  /** From-scratch TF-IDF SQL — shared by q_tfidf (stored-artifact read)
+    * and q_tfidf_incr (persisted base + arriving batch): both must
+    * hash-match the full rebuild's ranking. */
+  private lazy val tfidfOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      |  FROM documents),
+      |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w),
+      |scored AS (
+      |  SELECT lang, w, tf,
+      |    FLOOR((tf * LN((n.n + 1.0) / (dfc + 1.0))) * 10000 + 0.5) / 10000
+      |      AS score
+      |  FROM tf JOIN dfq USING (w) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY score DESC, w ASC) AS rn
+      |  FROM scored)
+      |SELECT lang, rn, w AS term, tf, score FROM ranked
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 }

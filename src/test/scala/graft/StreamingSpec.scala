@@ -466,6 +466,43 @@ class StreamingSpec extends SparkSpec {
       s"maintained $maintained vs from-scratch $scratch")
   }
 
+  test("s_tokens: stream-maintained token store ranks TF-IDF like q_tfidf") {
+    // the TokenStore increment twin (round-11): the standing 80% of the
+    // corpus stores its word-grain rows once; the remaining 20% ARRIVES
+    // over two micro-batches through StreamingTokens.maintainStore.
+    // TF-IDF over the maintained artifact must equal the from-scratch
+    // q_tfidf rows (the oracle-gated math), and the composition must
+    // hold zero streaming state.
+    val docs = table("documents").select("doc_id", "lang", "source", "text")
+    val isDelta = col("doc_id") % 5 === 4
+    val dir = Files.createTempDirectory("graft-stok").toString
+    graft.functions.TokenStore.buildTf(docs.filter(!isDelta))
+      .write.parquet(s"$dir/tf")
+    val delta = docs.filter(isDelta)
+      .as[(Long, String, String, String)].collect().toSeq
+    val (b1, b2) = delta.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[(Long, String, String, String)]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val sq = StreamingTokens.maintainStore(
+      in.toDF.toDF("doc_id", "lang", "source", "text"), dir, cp)
+    try {
+      in.addData(b1.map(_._1)); sq.processAllAvailable()
+      in.addData(b2.map(_._1)); sq.processAllAvailable()
+      assert(Option(sq.lastProgress).forall(_.stateOperators.isEmpty),
+        "store maintenance must not register a stateful operator")
+    } finally sq.stop()
+    val maintained = graft.operators.TextStatsQueries.tfidfOf(
+        spark.read.parquet(s"$dir/tf"),
+        docs.agg(count(lit(1)).as("n")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val scratch = this.q("q_tfidf")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(maintained.nonEmpty && maintained == scratch,
+      s"maintained $maintained vs from-scratch $scratch")
+  }
+
   test("s_simhash pairsAgainstIndex: arrivals probe the stored sig index") {
     // the SimHash twin of s_lsh (round-11: the family's persisted index)
     // — planted exact copies are Hamming-0 by construction, so recall is
