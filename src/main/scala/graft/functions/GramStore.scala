@@ -95,6 +95,29 @@ object GramStore {
           |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
         .as("g"))
 
+  /** Per-doc BIGRAM COUNTS (doc_id, w1, w2, c) — the bigram-family
+    * grain (round-11 extension: q_repetition / q_ngrams /
+    * q_bigram_logprob each re-derived it): counts per distinct in-doc
+    * adjacent pair, UNFILTERED (q_repetition and q_ngrams keep
+    * empty-string tokens; q_bigram_logprob drops them on read). The
+    * (w1, w2) pair is stored split, not as the joined gram string —
+    * tokens are space-split so the two forms biject, and the LM
+    * consumer needs the components. Docs under 2 tokens have no rows
+    * (mirrored by every consumer's size ≥ 2 gate or inner join). */
+  private[graft] def buildGram2(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      // explode_OUTER: see buildSh3 — the size guard excludes empty
+      // pair arrays, so the row sets are identical and no inferred
+      // filter re-inlines the pair transform
+      .select(col("doc_id"), explode_outer(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(t[i-1] AS w1, t[i] AS w2))""".stripMargin)).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+
   /** ALL (doc_id, span_h) 8-token span hashes — q_span_dedup's span
     * relation verbatim (60-bit md5-prefix keys; a collision would be the
     * same collision in the oracle). */
@@ -110,7 +133,7 @@ object GramStore {
 
   /** Build-on-first-touch for a fixture dir (the persistedClusters
     * discipline: immutable fixture dirs, content-keyed tag). */
-  private val relationNames = Seq("sh3", "sh3h", "span8", "gram5")
+  private val relationNames = Seq("sh3", "sh3h", "span8", "gram5", "gram2")
 
   /** One derivation pass for a doc set (full-corpus build or arriving
     * batch): sh3 materializes once and also feeds the sh3h projection —
@@ -126,6 +149,7 @@ object GramStore {
       .write.mode(mode).parquet(s"$path/sh3h")
     buildSpan8(docs).write.mode(mode).parquet(s"$path/span8")
     buildGram5(docs).write.mode(mode).parquet(s"$path/gram5")
+    buildGram2(docs).write.mode(mode).parquet(s"$path/gram2")
   }
 
   private def ensure(s: SparkSession, dir: String): String = {
@@ -153,6 +177,10 @@ object GramStore {
   /** The stored per-doc-distinct 5-gram relation. */
   def grams5(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/gram5")
+
+  /** The stored per-doc bigram-count relation. */
+  def grams2(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensure(s, dir)}/gram2")
 
   /** Append a batch of NEW documents (ids disjoint from the stored
     * corpus) to an existing store at `path`: one tokenize pass over the

@@ -102,33 +102,28 @@ object AnalyticsQueries extends QueryModule {
     // terms are numerous enough to hit reordering); the model join is
     // (w1,w2)-keyed — broadcast at fixture vocab, shuffle at web scale.
     "q_bigram_logprob" -> ((s, dir) => {
-      val bi = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(expr(
-          """filter(transform(sequence(1, size(toks) - 1),
-            |  i -> struct(toks[i-1] AS w1, toks[i] AS w2)),
-            |  p -> p.w1 != '' AND p.w2 != '')""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      // bigram OCCURRENCES score directly (no per-doc-bigram rollup:
-      // bigrams are near-unique within a doc, so that rollup compresses
-      // nothing and costs a corpus-sized shuffle); bi is materialized
-      // once for its two consumers (model derivation, scoring)
-      val biM = graft.functions.Materialize(bi)
-      val model = biM.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // served from the write-once GramStore.gram2 artifact (round-11):
+      // the stored per-doc bigram counts replace the per-query tokenize
+      // + Materialize barrier (the rollup this query once avoided as a
+      // per-query shuffle is exactly what the store pays once per
+      // corpus), and per-occurrence BIGINT contributions re-weight by c
+      // (c identical terms sum to c·ti exactly). The vocabulary count
+      // reads the TokenStore word grain — no tokenize anywhere.
+      val bi = graft.functions.GramStore.grams2(s, dir)
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val model = bi.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
       val first = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val vocab = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
+      val vocab = graft.functions.TokenStore.termFreq(s, dir)
         .filter(col("w") =!= "").agg(countDistinct(col("w")).as("v"))
-      biM.join(model, Seq("w1", "w2"))
+      bi.join(model, Seq("w1", "w2"))
         .join(first, Seq("w1"))
         .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("c"),
           floor((log2(col("c12") + 0.5) -
             log2(col("c1") + lit(0.5) * col("v"))) * lit(1e10) + lit(0.5))
             .cast("bigint").as("ti"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bi"), sum(col("ti")).as("sti"))
+        .agg(sum(col("c")).as("n_bi"), sum(col("c") * col("ti")).as("sti"))
         .select(col("doc_id"), col("n_bi"),
           pround4(col("sti").cast("double") / lit(1e10) / col("n_bi"))
             .as("avg_logprob"))

@@ -30,6 +30,8 @@ class GramStoreSpec extends SparkSpec {
       GramStore.buildSpan8(docs), "span8")
     assertSameRelation(GramStore.grams5(spark, sf),
       GramStore.buildGram5(docs), "gram5")
+    assertSameRelation(GramStore.grams2(spark, sf),
+      GramStore.buildGram2(docs), "gram2")
     assert(GramStore.shingles3(spark, sf).count() > 0)
   }
 
@@ -42,6 +44,7 @@ class GramStoreSpec extends SparkSpec {
     GramStore.buildSh3h(base).write.parquet(s"$path/sh3h")
     GramStore.buildSpan8(base).write.parquet(s"$path/span8")
     GramStore.buildGram5(base).write.parquet(s"$path/gram5")
+    GramStore.buildGram2(base).write.parquet(s"$path/gram2")
     GramStore.appendDocs(path, delta)
     assertSameRelation(spark.read.parquet(s"$path/sh3"),
       GramStore.buildSh3(docs), "sh3 append")
@@ -51,6 +54,8 @@ class GramStoreSpec extends SparkSpec {
       GramStore.buildSpan8(docs), "span8 append")
     assertSameRelation(spark.read.parquet(s"$path/gram5"),
       GramStore.buildGram5(docs), "gram5 append")
+    assertSameRelation(spark.read.parquet(s"$path/gram2"),
+      GramStore.buildGram2(docs), "gram2 append")
   }
 
   test("consumer steady state reads the artifact, not raw text") {
