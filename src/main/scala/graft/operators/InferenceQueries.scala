@@ -212,12 +212,16 @@ object InferenceQueries extends QueryModule {
 
     // Monroe log-odds: top-5 tokens most distinguishing each source.
     "q_log_odds" -> ((s, dir) => {
+      // served from the write-once TokenStore artifact (round-11): the
+      // (source, w) counts aggregate the stored per-doc tf rows — no
+      // tokenize, and the stored parquet replaces the Materialize
+      // barrier its four consumers needed; the from-scratch oracle
+      // proves stored ≡ derived on every sweep
       val cst = graft.functions.Materialize(
-        t(s, dir, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        graft.functions.TokenStore.termFreq(s, dir)
           .filter(col("w") =!= "")
           .groupBy("source", "w")
-          .agg(count(lit(1)).as("c")))
+          .agg(sum(col("tf")).as("c")))
       val ct = cst.groupBy("w").agg(sum(col("c")).as("ctot"))
       val ns = cst.groupBy("source").agg(sum(col("c")).as("nsrc"))
       val tot = cst.agg(sum(col("c")).as("ntot"),

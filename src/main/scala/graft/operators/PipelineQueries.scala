@@ -167,15 +167,19 @@ object PipelineQueries extends QueryModule {
     }),
 
     "q_vocab_oov" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      // served from the write-once TokenStore artifact (round-11): both
+      // scans (vocabulary derivation, per-doc coverage) read the stored
+      // (doc, w, tf) grain with occurrences re-weighted by tf — no
+      // tokenize; the from-scratch oracle proves stored ≡ derived
+      val tok = graft.functions.TokenStore.termFreq(s, dir)
+      val vocab = tok.groupBy("w").agg(sum(col("tf")).as("c"))
         .orderBy(col("c").desc, col("w").asc).limit(20)
         .select(col("w"), lit(1).as("in_vocab"))
       tok.join(broadcast(vocab), Seq("w"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+        .agg(sum(col("tf")).as("n"),
+          coalesce(sum(when(col("in_vocab").isNull, col("tf"))), lit(0L))
+            .as("n_oov"))
         .select(col("doc_id"), col("n"), col("n_oov"),
           pround4(col("n_oov").cast("double") / col("n")).as("oov_ratio"),
           when(col("n_oov") * 10 <= col("n") * 3, lit(1)).otherwise(lit(0))

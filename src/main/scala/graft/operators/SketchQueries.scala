@@ -82,8 +82,10 @@ object SketchQueries extends QueryModule {
     // distinct runs on (source, hv) — a 48-bit hash shuffle; the window
     // ranks hashes within each source; the kth hash drives the estimator.
     "q_kmv_distinct" -> ((s, dir) => {
-      val hashes = t(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      // the stored TokenStore grain is already per-doc distinct, so the
+      // (source, hv) dedup shuffle receives pre-compressed rows and the
+      // tokenize disappears (round-11; oracle stays from-scratch)
+      val hashes = graft.functions.TokenStore.termFreq(s, dir)
         .filter(col("w") =!= "")
         .select(col("source"), hv48(col("w")).as("hv"))
         .distinct()

@@ -170,7 +170,13 @@ object TextPipelineQueries extends QueryModule {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .withColumnRenamed("col", "w")
         .filter(col("w") =!= "")
-      val stop = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      // the stopword model (corpus top-10 tokens) reads the TokenStore
+      // word grain — one fewer full-corpus tokenize+aggregate pass; the
+      // positional tok relation itself must re-derive (the store has no
+      // positions, and RAKE's runs are positional by definition)
+      val stop = graft.functions.TokenStore.termFreq(s, dir)
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(sum(col("tf")).as("n"))
         .orderBy(col("n").desc, col("w")).limit(10)
         .select(col("w").as("sw"))
       val wrun = Window.partitionBy("doc_id").orderBy("pos")
