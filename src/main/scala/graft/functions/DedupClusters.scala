@@ -354,21 +354,25 @@ object DedupClusters {
     * RollupRewrite.refreshAppended discipline). Costs O(delta + clusters),
     * never a pair-graph or text re-scan.
     *
-    * CRASH SAFETY (staged, never in-place; ordered so recovery is
-    * unambiguous): the new pairs append to `pairs/` FIRST, then the
-    * refreshed clusters (materialized before any write) are fully
-    * written to `clusters_next/`, then `clusters/` swaps to the staged
-    * copy via renames. A failure during the pairs append leaves the old
-    * clusters fully valid with `pairs/` possibly ahead — and a trail
-    * that is AHEAD is always a safe from-scratch rebuild source (it is
-    * a superset of what the stored clusters reflect). A completed
-    * `clusters_next/` therefore proves the pairs append finished — it
-    * is the post-append marker [[recoverAppended]] can promote without
-    * ever installing clusters whose merge pairs were lost (the
-    * stage-first ordering had exactly that hole: crash between staging
-    * and appending, then recovery promotes merges absent from the
-    * trail). CONCURRENCY: the rename window means readers must not race
-    * a refresh — serialize refreshes and reads of the same artifact
+    * CRASH SAFETY (intent marker + staged swap, never in-place): an
+    * intent marker `refresh_pending` is created FIRST, then the new
+    * pairs append to `pairs/`, then the refreshed clusters (materialized
+    * before any write) are fully written to `clusters_next/`, then
+    * `clusters/` swaps to the staged copy via renames, then the marker
+    * clears. Every crash window recovers through [[recoverAppended]]:
+    * marker-without-staging (crash before/during/after the append)
+    * rebuilds clusters from the full `pairs/` trail — the trail is the
+    * source of truth and is, by the append-first ordering, always equal
+    * to or ahead of the stored clusters, never behind a staged copy —
+    * and a completed `clusters_next/` proves the append finished, so
+    * recovery may simply promote it (the old stage-first ordering could
+    * promote merges absent from the trail; the old marker-less ordering
+    * silently LOST an appended delta's merges forever when the crash
+    * landed between append and staging). A replayed refresh after a
+    * mid-append crash may duplicate trail rows — harmless: CC is
+    * edge-idempotent and the trail is a multiset audit log.
+    * CONCURRENCY: the rename window means readers must not race a
+    * refresh — serialize refreshes and reads of the same artifact
     * (single-writer, the standard table-maintenance contract); a reader
     * that opens `clusters/` mid-swap fails loudly (missing path) rather
     * than seeing partial data. */
@@ -380,11 +384,16 @@ object DedupClusters {
     // `pairs/`/`clusters/` after they start changing underneath it
     val refreshed = Materialize(refreshClusters(old, newPairs, aCol, bCol))
     val pairCols = spark.read.parquet(s"$path/pairs").columns
+    // intent marker: from here until the post-swap clear, recovery knows
+    // a refresh was in flight and can rebuild from the trail
+    val pending = new java.io.File(s"$path/refresh_pending")
+    pending.createNewFile(): Unit
     newPairs.select(pairCols.map(col): _*)
       .write.mode("append").parquet(s"$path/pairs")
     // stage only AFTER the trail holds the pairs the refresh folded in
     refreshed.write.mode("overwrite").parquet(s"$path/clusters_next")
     swapInStagedClusters(path)
+    pending.delete(): Unit
     readPersistedClusters(spark, path)
   }
 
@@ -405,15 +414,35 @@ object DedupClusters {
     FsUtil.deleteRecursively(retired)
   }
 
-  /** Finish an interrupted [[refreshAppended]]: if a completed staging
-    * dir is still present (the crash-between-append-and-swap window),
-    * promote it; otherwise no-op. Call on open before trusting
-    * `clusters/` when a prior refresh may have died. Returns true when
-    * a recovery swap ran. */
-  def recoverAppended(path: String): Boolean = {
+  /** Finish an interrupted [[refreshAppended]]. Call on open before
+    * trusting `clusters/` when a prior refresh may have died. Returns
+    * true when a recovery action ran. Two windows:
+    *
+    *   - completed `clusters_next/` present (crash between staging and
+    *     swap): promote it — the append-first ordering proves the trail
+    *     already holds its merge pairs;
+    *   - `refresh_pending` marker WITHOUT a completed staging dir
+    *     (crash before/during/after the pairs append): the trail may be
+    *     ahead of the stored clusters with the in-flight refresh lost —
+    *     rebuild clusters from the full `pairs/` trail (the documented
+    *     rebuild source; labels = connected components of every pair
+    *     ever appended) through the same staged swap. Without this leg
+    *     the appended delta's merges would silently never fold in.
+    */
+  def recoverAppended(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean = {
     val next = new java.io.File(s"$path/clusters_next")
+    val pending = new java.io.File(s"$path/refresh_pending")
     if (next.exists() && new java.io.File(next, "_SUCCESS").exists()) {
-      swapInStagedClusters(path); true
+      swapInStagedClusters(path)
+      pending.delete(): Unit
+      true
+    } else if (pending.exists()) {
+      connectedComponents(readPersistedPairs(spark, path))
+        .write.mode("overwrite").parquet(s"$path/clusters_next")
+      swapInStagedClusters(path)
+      pending.delete(): Unit
+      true
     } else false
   }
 }

@@ -143,13 +143,21 @@ object GramStore {
     * widths over the raw text). */
   private def writeRelations(docs: DataFrame, path: String,
                              mode: String): Unit = {
+    val written = scala.collection.mutable.Set.empty[String]
+    def put(name: String, df: DataFrame): Unit = {
+      df.write.mode(mode).parquet(s"$path/$name"); written += name
+    }
     val sh3 = Materialize(buildSh3(docs))
-    sh3.write.mode(mode).parquet(s"$path/sh3")
-    sh3.select(col("doc_id"), col("shh")).distinct()
-      .write.mode(mode).parquet(s"$path/sh3h")
-    buildSpan8(docs).write.mode(mode).parquet(s"$path/span8")
-    buildGram5(docs).write.mode(mode).parquet(s"$path/gram5")
-    buildGram2(docs).write.mode(mode).parquet(s"$path/gram2")
+    put("sh3", sh3)
+    put("sh3h", sh3.select(col("doc_id"), col("shh")).distinct())
+    put("span8", buildSpan8(docs))
+    put("gram5", buildGram5(docs))
+    put("gram2", buildGram2(docs))
+    // lockstep guard: ensure()'s completeness check and this write path
+    // must name the same relations — a grain added to one but not the
+    // other either crashes readers of older stores or rebuilds forever
+    require(written == relationNames.toSet,
+      s"writeRelations/relationNames drift: wrote $written, declared $relationNames")
   }
 
   private def ensure(s: SparkSession, dir: String): String = {

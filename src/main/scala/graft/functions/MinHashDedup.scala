@@ -133,15 +133,21 @@ object MinHashDedup {
     * its materialized batch keys). */
   private[graft] def candidatePairsFromBanded(banded0: DataFrame,
                                               maxBucket: Int,
-                                              chainHotBuckets: Boolean): DataFrame = {
+                                              chainHotBuckets: Boolean,
+                                              preMaterialized: Boolean = false): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must allow at least a pair, got $maxBucket")
     // three consumers (bucket counts + both self-join sides): materialize
     // once — the production analog writes the banded relation to storage.
     // spread: a one-file corpus arrives as ONE partition, and if the
     // planner broadcasts one side of the self-join below, the stream side
     // (and every banded-verify row with it) inherits that single task —
-    // see Materialize.spread (the CosineLsh fix, same shape)
-    val banded = Materialize(Materialize.spread(banded0))
+    // see Materialize.spread (the CosineLsh fix, same shape).
+    // preMaterialized: a caller that already checkpointed a spread banded
+    // relation (StreamingCuration shares one across its gates) skips the
+    // redundant second localCheckpoint here.
+    val banded =
+      if (preMaterialized) banded0
+      else Materialize(Materialize.spread(banded0))
     // the over-cap key set is tiny by construction (≤ corpus/maxBucket),
     // so both the anti-join and the chain semi-join broadcast it; the
     // full banded relation is never shuffled a second time for the cap.

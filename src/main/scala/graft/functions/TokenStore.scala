@@ -46,6 +46,13 @@ object TokenStore {
     s"${System.getProperty("java.io.tmpdir")}/graft_tokens/" +
       s"store_${graft.operators.JoinQueries.dirTag(dir)}"
 
+  /** The q_tfidf_incr increment-base path — a pure function of the
+    * fixture dir (the DedupQueries.incBasePath convention: tooling can
+    * locate/wipe the artifact without triggering a build). */
+  private[graft] def incBasePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_tokens/" +
+      s"base_${graft.operators.JoinQueries.dirTag(dir)}"
+
   /** The (doc_id, lang, source, w, tf) relation — one tokenize pass.
     * Plain explode, NOT explode_outer: every consumer tokenizes with
     * explode(split(...)), which drops a null-text document entirely —

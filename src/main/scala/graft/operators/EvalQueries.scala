@@ -109,10 +109,15 @@ object EvalQueries extends QueryModule {
     * 80% of the audit block stores its band keys and its verified
     * candidate-pair list once (per-fixture, content-keyed tag — the
     * ensureIncBase discipline). */
+  /** The q_lsh_persist base path — a pure function of the fixture dir
+    * (the DedupQueries.incBasePath convention: tooling can locate/wipe
+    * the artifact without triggering a build). */
+  private[graft] def lshBasePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lsh/base_${JoinQueries.dirTag(dir)}"
+
   private def ensureLshBase(s: org.apache.spark.sql.SparkSession,
                             dir: String): String = {
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_lsh/base_${JoinQueries.dirTag(dir)}"
+    val path = lshBasePath(dir)
     if (!new java.io.File(s"$path/pairs/_SUCCESS").exists()) {
       val keys = graft.functions.Materialize(
         lshBandKeys(s, lshIvGrid(s, dir).filter(!lshIsDelta)))

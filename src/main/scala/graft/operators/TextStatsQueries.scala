@@ -246,7 +246,7 @@ object TextStatsQueries extends QueryModule {
     // merge is TokenStore.appendDocs (TokenStoreSpec pins append ≡
     // rebuild); the streaming twin is StreamingTokens.maintainStore.
     "q_tfidf_incr" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tokens/base_${JoinQueries.dirTag(dir)}"
+      val path = graft.functions.TokenStore.incBasePath(dir)
       val isDelta = col("doc_id") % 5 === 4
       if (!new java.io.File(s"$path/tf/_SUCCESS").exists())
         graft.functions.TokenStore

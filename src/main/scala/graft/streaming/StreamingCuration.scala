@@ -113,7 +113,10 @@ object StreamingCuration {
     // MinHashDedup.dedupIncremental inner pass)
     val intraDupIds = MinHashDedup.verifyPairs(
         MinHashDedup.candidatePairsFromBanded(bKeys,
-          MinHashDedup.DefaultMaxBucket, chainHotBuckets = true),
+          MinHashDedup.DefaultMaxBucket, chainHotBuckets = true,
+          // bKeys is already checkpointed above (and derives from the
+          // spread bSh), so the shared scan is not re-materialized
+          preMaterialized = true),
         bSh, threshold)
       .select(col("b_id").as("doc_id")).distinct()
     // gate 3: docs sharing any distinct 5-gram with the eval set
@@ -131,13 +134,18 @@ object StreamingCuration {
     * update the index (MinHashDedup.appendIndex) in the same callback. */
   def curateStream(docs: DataFrame, index: MinHashDedup.Index,
                    evGrams: DataFrame, checkpointDir: String,
-                   threshold: Double = 0.5)
+                   threshold: Double = 0.5, shingleN: Int = 2,
+                   bands: Int = 4, rows: Int = 4)
                   (sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(curateBatch(batch, index, evGrams, threshold), batchId)
+        // the model params plumb through — an index built with a
+        // non-default model would otherwise silently equi-join to
+        // nothing in gate 2a (see the curateBatch contract above)
+        sink(curateBatch(batch, index, evGrams, threshold, shingleN,
+          bands, rows), batchId)
       }
       .start()
 }

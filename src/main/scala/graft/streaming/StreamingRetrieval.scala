@@ -11,10 +11,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * per-doc posting/doclen rows to the stored artifact. The standing
   * corpus is never re-read, and the composition holds NO streaming
   * state (foreachBatch over a stateless batch transform): restart =
-  * offset replay, exactly-once when the sink dedups replayed batch ids
-  * (the standard foreachBatch contract — compose with a batch-id ledger
-  * for strict replay safety; the spec's MemoryStream run is replay-free
-  * by construction).
+  * offset replay, and both relations commit through
+  * [[AppendLedger.appendOnce]] — a replayed batchId no-ops per
+  * relation, so at-least-once delivery cannot double posting rows
+  * (exactly-once; a crash between the two relation commits replays into
+  * one no-op and one commit).
   *
   * 100 TB lens: per-batch work is one tokenize + two per-doc aggregates
   * over the batch alone; the stored postings stay bucketed-by-term at
@@ -35,9 +36,14 @@ object StreamingRetrieval {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          RetrievalIndex.appendDocs(indexPath, batch, idCol, textCol): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = RetrievalIndex.build(batch, idCol, textCol)
+          AppendLedger.appendOnce(s"$indexPath/postings", batchId,
+            delta.postings)
+          AppendLedger.appendOnce(s"$indexPath/doclens", batchId,
+            delta.doclens): Unit
+        }
       }
       .start()
 }

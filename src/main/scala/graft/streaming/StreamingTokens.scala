@@ -10,10 +10,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * and parquet-appends their per-doc (doc_id, lang, source, w, tf) rows
   * to the stored artifact. The standing corpus is never re-read, and
   * the composition holds NO streaming state (foreachBatch over a
-  * stateless batch transform): restart = offset replay, exactly-once
-  * when the sink dedups replayed batch ids (the standard foreachBatch
-  * contract; the spec's MemoryStream run is replay-free by
-  * construction).
+  * stateless batch transform): restart = offset replay, and the append
+  * commits through [[AppendLedger.appendOnce]] — a replayed batchId is
+  * a no-op, so the stored (doc, w)-unique grain survives at-least-once
+  * delivery (EXACTLY-once, not just the documented-contract kind).
   *
   * 100 TB lens: per-batch work is one tokenize + one (doc, w) aggregate
   * over the batch alone; the stored relation stays bucketed-by-term at
@@ -33,8 +33,10 @@ object StreamingTokens {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) TokenStore.appendDocs(storePath, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          AppendLedger.appendOnce(s"$storePath/tf", batchId,
+            TokenStore.buildTf(batch)): Unit
       }
       .start()
 }

@@ -133,36 +133,49 @@ class DedupPersistSpec extends SparkSpec {
   }
 
   test("interrupted refreshAppended: recoverAppended finishes the swap") {
-    // replicate refreshAppended's crash windows. Window A (crash during/
-    // after the pairs append, before staging): pairs ahead, no staging
-    // dir — recovery must NO-OP (old clusters stay valid; the ahead
-    // trail is a rebuild superset). Window B (crash after staging,
-    // before the swap): recovery promotes the staged copy — safe only
-    // because staging happens AFTER the append, so a completed
-    // clusters_next/ proves the trail holds the folded pairs.
+    // replicate refreshAppended's crash windows. Window 0 (clean
+    // artifact, no marker, nothing staged): recovery must NO-OP.
+    // Window A (marker set, pairs appended, nothing staged — the crash
+    // that used to LOSE the delta's merges forever): recovery must
+    // rebuild clusters from the full pairs trail. Window B (crash after
+    // staging, before the swap): recovery promotes the staged copy —
+    // safe only because staging happens AFTER the append, so a
+    // completed clusters_next/ proves the trail holds the folded pairs.
     val dir = Files.createTempDirectory("graft-dedup-crash").toString
     val base = Seq((1L, 2L), (10L, 11L))
     val delta = Seq((2L, 10L), (30L, 31L))
     DedupClusters.writePersisted(pairs(base).withColumn("jac", lit(1.0)), dir)
     val oldLabels = labels(DedupClusters.readPersistedClusters(spark, dir))
-    val refreshed = DedupClusters.refreshClusters(
-      DedupClusters.readPersistedClusters(spark, dir), pairs(delta))
-    // window A: pairs appended, nothing staged
+    val want = labels(DedupClusters.connectedComponents(pairs(base ++ delta)))
+    // window 0: clean artifact
+    assert(!DedupClusters.recoverAppended(spark, dir),
+      "clean artifact: recovery must no-op")
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == oldLabels)
+    // window A: marker + pairs appended, nothing staged
+    new java.io.File(s"$dir/refresh_pending").createNewFile()
     pairs(delta).withColumn("jac", lit(1.0))
       .write.mode("append").parquet(s"$dir/pairs")
-    assert(!DedupClusters.recoverAppended(dir),
-      "no staging dir: recovery must no-op")
-    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == oldLabels,
-      "live clusters must be untouched with nothing staged")
-    // window B: staging completed, swap not yet run
+    assert(DedupClusters.recoverAppended(spark, dir),
+      "pending marker without staging: recovery must rebuild from the trail")
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == want,
+      "trail rebuild must fold the appended delta's merges in")
+    assert(!new java.io.File(s"$dir/refresh_pending").exists(),
+      "recovery must clear the intent marker")
+    // window B: staging completed, swap not yet run (replay the same
+    // refreshed relation onto a reset clusters/ to isolate the window)
+    val refreshed = DedupClusters.connectedComponents(pairs(base ++ delta))
+    DedupClusters.connectedComponents(pairs(base))
+      .write.mode("overwrite").parquet(s"$dir/clusters")
+    new java.io.File(s"$dir/refresh_pending").createNewFile()
     refreshed.write.mode("overwrite").parquet(s"$dir/clusters_next")
     assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == oldLabels,
       "live clusters must be untouched before the swap")
-    assert(DedupClusters.recoverAppended(dir))
-    val want = labels(DedupClusters.connectedComponents(pairs(base ++ delta)))
+    assert(DedupClusters.recoverAppended(spark, dir))
     assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == want)
-    assert(!DedupClusters.recoverAppended(dir), "second recovery must no-op")
+    assert(!DedupClusters.recoverAppended(spark, dir),
+      "second recovery must no-op")
     assert(!new java.io.File(s"$dir/clusters_next").exists())
+    assert(!new java.io.File(s"$dir/refresh_pending").exists())
   }
 
   test("q_dedup_cluster steady state is an exchange-free artifact scan") {

@@ -466,6 +466,27 @@ class StreamingSpec extends SparkSpec {
       s"maintained $maintained vs from-scratch $scratch")
   }
 
+  test("AppendLedger: a replayed batchId appends exactly once") {
+    // the maintenance sinks' exactly-once contract: the same batchId
+    // delivered twice (at-least-once replay) must land rows ONCE —
+    // a bare parquet append would silently double the (doc, w) grain
+    val docs = table("documents")
+      .select("doc_id", "lang", "source", "text").limit(50)
+    val dir = Files.createTempDirectory("graft-ledger").toString + "/tf"
+    graft.functions.TokenStore.buildTf(docs.filter(col("doc_id") % 2 === 0))
+      .write.parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val delta = graft.functions.TokenStore
+      .buildTf(docs.filter(col("doc_id") % 2 =!= 0))
+    val deltaN = delta.count()
+    assert(deltaN > 0)
+    assert(AppendLedger.appendOnce(dir, 7L, delta))
+    assert(spark.read.parquet(dir).count() == before + deltaN)
+    assert(!AppendLedger.appendOnce(dir, 7L, delta), "replay must no-op")
+    assert(spark.read.parquet(dir).count() == before + deltaN,
+      "a replayed batch must not double-append")
+  }
+
   test("s_tokens: stream-maintained token store ranks TF-IDF like q_tfidf") {
     // the TokenStore increment twin (round-11): the standing 80% of the
     // corpus stores its word-grain rows once; the remaining 20% ARRIVES
