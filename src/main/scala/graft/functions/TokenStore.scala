@@ -88,4 +88,43 @@ object TokenStore {
     * the append exact). */
   def appendDocs(path: String, docs: DataFrame): Unit =
     buildTf(docs).write.mode("append").parquet(s"$path/tf")
+
+  /** Catalog name of the BUCKETED token table (content-keyed like every
+    * artifact tag). */
+  private[graft] def bucketedTbl(dir: String): String =
+    s"graft_tokens_${graft.operators.JoinQueries.dirTag(dir)}"
+
+  /** The stored word grain as a BUCKETED catalog relation — the
+    * TokenStore scaladoc's "at warehouse scale store it bucketed by w"
+    * claim, exercised (the incBandsTable machinery): 8 buckets on `w`,
+    * ONE sorted file per bucket (repartition before the bucketed write,
+    * so the bucket scans as sorted). Every w-clustered stage of a
+    * consumer then runs with NO Exchange on the stored side: df counts
+    * (groupBy w), (lang, w) term frequencies (HashPartitioning(w)
+    * satisfies clustering on the superset (lang, w) — same-w rows are
+    * co-located), and the w-keyed join between the two aggregates.
+    * TokenStoreSpec plan-asserts q_tfidf's only exchanges are the
+    * per-lang window and the output sort. The catalog entry is per-JVM
+    * (in-memory catalog): a fresh session re-REGISTERS the existing
+    * bucketed files with CREATE TABLE ... CLUSTERED BY ... LOCATION —
+    * bucket ids live in the file names, so registration is
+    * metadata-only and the write-once economics hold across JVMs. */
+  def termFreqBucketed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensure(s, dir)
+    val tbl = bucketedTbl(dir)
+    if (!new java.io.File(s"$path/tfb/_SUCCESS").exists())
+      s.read.parquet(s"$path/tf")
+        .repartition(8, col("w"))
+        .write.format("parquet").bucketBy(8, "w").sortBy("w")
+        .option("path", s"$path/tfb")
+        .mode("overwrite").saveAsTable(tbl)
+    else if (!s.catalog.tableExists(tbl))
+      s.sql(
+        s"""CREATE TABLE $tbl
+           |(doc_id BIGINT, lang STRING, source STRING, w STRING, tf BIGINT)
+           |USING parquet
+           |CLUSTERED BY (w) SORTED BY (w) INTO 8 BUCKETS
+           |LOCATION '$path/tfb'""".stripMargin)
+    s.table(tbl)
+  }
 }

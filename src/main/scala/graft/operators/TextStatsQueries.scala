@@ -230,8 +230,10 @@ object TextStatsQueries extends QueryModule {
       // frequency collapses from a countDistinct expansion over every
       // token occurrence to a plain row count per w, and term frequency
       // re-weights by the stored tf — this query's from-scratch oracle
-      // proves stored ≡ derived on every sweep
-      tfidfOf(graft.functions.TokenStore.termFreq(s, dir),
+      // proves stored ≡ derived on every sweep. The BUCKETED read makes
+      // both aggregates and their w-keyed join exchange-free
+      // (TokenStoreSpec plan-asserts it).
+      tfidfOf(graft.functions.TokenStore.termFreqBucketed(s, dir),
         t(s, dir, "documents").agg(count(lit(1)).as("n")))),
 
     // INCREMENTAL TF-IDF over a persisted token-store base (the

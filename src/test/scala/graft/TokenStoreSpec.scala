@@ -60,5 +60,22 @@ class TokenStoreSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("generate"),
       s"tfidf steady state must not re-tokenize raw text:\n$plan")
+    // BUCKETED read (termFreqBucketed): the df count (groupBy w), the
+    // (lang, w) term frequencies (w-clustering satisfies the superset)
+    // and their w-keyed join all run on the stored bucketing — the only
+    // shuffles left are the per-lang window, the output sort, and the
+    // 1-row corpus-count aggregate (SinglePartition). Node-count, not
+    // plan-string grep: AQE's toString prints final + initial plans.
+    val shuffles = graft.plans.PlanAllowlist
+      .flatten(df.queryExecution.executedPlan)
+      .collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.toString
+      }
+    assert(!shuffles.exists(_.contains("hashpartitioning(w")),
+      s"the stored bucketing must satisfy every w-clustered stage: $shuffles\n$plan")
+    val nontrivial = shuffles.filterNot(_ == "SinglePartition")
+    assert(nontrivial.size <= 2,
+      s"q_tfidf must shuffle only for the window and the sort: $shuffles\n$plan")
   }
 }
