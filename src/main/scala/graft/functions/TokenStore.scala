@@ -85,9 +85,18 @@ object TokenStore {
   /** Append a batch of NEW documents (ids disjoint from the stored
     * corpus): one tokenize pass over the batch, parquet-append of its
     * per-doc rows (the (doc, w) grain is per-doc, so disjoint ids make
-    * the append exact). */
-  def appendDocs(path: String, docs: DataFrame): Unit =
+    * the append exact). The bucketed projection (`tfb/`) derives from
+    * `tf/`, so the append invalidates it — rebuilt on the next
+    * [[termFreqBucketed]] touch rather than served stale. */
+  def appendDocs(path: String, docs: DataFrame): Unit = {
     buildTf(docs).write.mode("append").parquet(s"$path/tf")
+    invalidateBucketed(path)
+  }
+
+  /** Drop the bucketed projection after its source grew (see
+    * [[appendDocs]]; StreamingTokens' ledger commits call this too). */
+  private[graft] def invalidateBucketed(path: String): Unit =
+    FsUtil.deleteRecursively(new java.io.File(s"$path/tfb"))
 
   /** Catalog name of the BUCKETED token table (content-keyed like every
     * artifact tag). */

@@ -34,9 +34,12 @@ object StreamingTokens {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          AppendLedger.appendOnce(s"$storePath/tf", batchId,
-            TokenStore.buildTf(batch)): Unit
+        if (!batch.isEmpty &&
+            AppendLedger.appendOnce(s"$storePath/tf", batchId,
+              TokenStore.buildTf(batch)))
+          // the bucketed projection derives from tf/ — a committed
+          // append invalidates it (rebuilt on next bucketed touch)
+          TokenStore.invalidateBucketed(storePath)
       }
       .start()
 }
