@@ -330,9 +330,25 @@ object DedupClusters {
                      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val p = Materialize(pairs)
     p.write.mode("overwrite").parquet(s"$path/pairs")
+    // self-describing artifact: record the pair id columns so recovery
+    // (recoverAppended's trail rebuild) needs no caller-supplied names —
+    // production artifacts use (id_a, id_b), the default is (a_id, b_id)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/pair_cols"), s"$aCol,$bCol"): Unit
     connectedComponents(p, aCol, bCol)
       .write.mode("overwrite").parquet(s"$path/clusters")
     pairs.sparkSession.read.parquet(s"$path/clusters")
+  }
+
+  /** The pair id columns an artifact was written with ([[writePersisted]]
+    * records them; artifacts from older builds fall back to defaults). */
+  private def persistedPairCols(path: String): (String, String) = {
+    val f = new java.io.File(s"$path/pair_cols")
+    if (f.exists()) {
+      val Array(a, b) = java.nio.file.Files.readString(f.toPath)
+        .trim.split(",")
+      (a, b)
+    } else ("a_id", "b_id")
   }
 
   /** Re-open a persisted cluster artifact. */
@@ -379,6 +395,11 @@ object DedupClusters {
   def refreshAppended(path: String, newPairs: DataFrame,
                       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val spark = newPairs.sparkSession
+    // a surviving marker means a PRIOR refresh crashed with its merges
+    // only in the trail — heal first, or this refresh would compute from
+    // the stale clusters and clear the marker below, losing them forever
+    if (new java.io.File(s"$path/refresh_pending").exists())
+      recoverAppended(spark, path): Unit
     val old = readPersistedClusters(spark, path)
     // materialized BEFORE any write: the refresh must not lazily re-read
     // `pairs/`/`clusters/` after they start changing underneath it
@@ -438,7 +459,12 @@ object DedupClusters {
       pending.delete(): Unit
       true
     } else if (pending.exists()) {
-      connectedComponents(readPersistedPairs(spark, path))
+      // star-CC for the rebuild: the trail can hold high-diameter chain
+      // components (hot-bucket chaining emits sorted id-paths), where
+      // label propagation's maxIter would exit unconverged; the id
+      // columns come from the artifact's own pair_cols record
+      val (a, b) = persistedPairCols(path)
+      connectedComponentsStar(readPersistedPairs(spark, path), a, b)
         .write.mode("overwrite").parquet(s"$path/clusters_next")
       swapInStagedClusters(path)
       pending.delete(): Unit

@@ -89,8 +89,11 @@ object TokenStore {
     * `tf/`, so the append invalidates it — rebuilt on the next
     * [[termFreqBucketed]] touch rather than served stale. */
   def appendDocs(path: String, docs: DataFrame): Unit = {
-    buildTf(docs).write.mode("append").parquet(s"$path/tf")
+    // invalidate BEFORE the source grows: a crash mid-append then leaves
+    // no bucketed projection at all (rebuilt on next touch) instead of a
+    // stale one silently served alongside the grown tf/
     invalidateBucketed(path)
+    buildTf(docs).write.mode("append").parquet(s"$path/tf")
   }
 
   /** Drop the bucketed projection after its source grew (see

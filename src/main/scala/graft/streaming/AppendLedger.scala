@@ -29,12 +29,28 @@ import org.apache.spark.sql.DataFrame
 object AppendLedger {
 
   /** Append `batch` into `destDir` exactly once for `batchId`. Returns
-    * false when the batchId already committed (replay no-op). */
+    * false when the batchId already committed (replay no-op).
+    *
+    * RETENTION CONTRACT: batch ids come from the stream's checkpoint.
+    * Retain (or wipe) the checkpoint and the store TOGETHER — a fresh
+    * checkpoint against an existing store restarts ids at 0 and the
+    * ledger would treat genuinely new batches as replays (the no-op
+    * path warns for this reason). */
   def appendOnce(destDir: String, batchId: Long,
                  batch: DataFrame): Boolean = {
     val target = new java.io.File(s"$destDir/batch-$batchId.parquet")
-    if (target.exists()) return false
     val staging = s"$destDir/_staging_$batchId"
+    if (target.exists()) {
+      // a crash between the rename-commit and the staging cleanup leaves
+      // the staged copy orphaned — clear it on the replay that follows
+      graft.functions.FsUtil.deleteRecursively(new java.io.File(staging))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"batch $batchId already committed to $destDir — skipping append " +
+          "(replay no-op; if this stream was restarted with a FRESH " +
+          "checkpoint against an existing store, its ids collide with " +
+          "committed ones and this skip is dropping new data)")
+      return false
+    }
     batch.coalesce(1).write.mode("overwrite").parquet(staging)
     val part = Option(new java.io.File(staging).listFiles())
       .getOrElse(Array.empty)

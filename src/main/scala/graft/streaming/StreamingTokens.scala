@@ -34,12 +34,15 @@ object StreamingTokens {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty &&
-            AppendLedger.appendOnce(s"$storePath/tf", batchId,
-              TokenStore.buildTf(batch)))
-          // the bucketed projection derives from tf/ — a committed
-          // append invalidates it (rebuilt on next bucketed touch)
+        if (!batch.isEmpty) {
+          // invalidate the derived bucketed projection UNCONDITIONALLY
+          // (idempotent local delete): gating it on a fresh commit would
+          // leave tfb stale forever if the JVM died between a replayed
+          // batch's rename-commit and its invalidation
           TokenStore.invalidateBucketed(storePath)
+          AppendLedger.appendOnce(s"$storePath/tf", batchId,
+            TokenStore.buildTf(batch)): Unit
+        }
       }
       .start()
 }

@@ -178,6 +178,46 @@ class DedupPersistSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/refresh_pending").exists())
   }
 
+  test("recovery is self-describing on non-default pair columns") {
+    // the production dedup artifacts persist pairs as (id_a, id_b) —
+    // the trail rebuild must read the artifact's own pair_cols record,
+    // not assume the (a_id, b_id) defaults
+    val dir = Files.createTempDirectory("graft-dedup-cols").toString
+    val p = pairs(Seq((1L, 2L), (10L, 11L)))
+      .withColumnRenamed("a_id", "id_a").withColumnRenamed("b_id", "id_b")
+    DedupClusters.writePersisted(p, dir, "id_a", "id_b")
+    new java.io.File(s"$dir/refresh_pending").createNewFile()
+    pairs(Seq((2L, 10L)))
+      .withColumnRenamed("a_id", "id_a").withColumnRenamed("b_id", "id_b")
+      .write.mode("append").parquet(s"$dir/pairs")
+    assert(DedupClusters.recoverAppended(spark, dir))
+    val want = labels(DedupClusters.connectedComponents(
+      pairs(Seq((1L, 2L), (10L, 11L), (2L, 10L)))))
+    assert(labels(DedupClusters.readPersistedClusters(spark, dir)) == want)
+  }
+
+  test("refreshAppended heals a surviving crash marker before refreshing") {
+    // a prior refresh crashed post-append: its merges live only in the
+    // trail. The next refreshAppended must fold them in (via recovery)
+    // instead of computing from the stale clusters and clearing the
+    // marker — which would lose the crashed delta's merges forever.
+    val dir = Files.createTempDirectory("graft-dedup-heal").toString
+    DedupClusters.writePersisted(
+      pairs(Seq((1L, 2L), (10L, 11L))).withColumn("jac", lit(1.0)), dir)
+    // crashed refresh: marker + appended pairs, nothing staged
+    new java.io.File(s"$dir/refresh_pending").createNewFile()
+    pairs(Seq((2L, 10L))).withColumn("jac", lit(1.0))
+      .write.mode("append").parquet(s"$dir/pairs")
+    // the NEXT delta arrives through the normal API
+    val got = labels(DedupClusters.refreshAppended(dir,
+      pairs(Seq((30L, 31L))).withColumn("jac", lit(1.0))))
+    val want = labels(DedupClusters.connectedComponents(
+      pairs(Seq((1L, 2L), (10L, 11L), (2L, 10L), (30L, 31L)))))
+    assert(got == want,
+      s"the crashed delta's merge (2-10) must survive: got $got want $want")
+    assert(!new java.io.File(s"$dir/refresh_pending").exists())
+  }
+
   test("q_dedup_cluster steady state is an exchange-free artifact scan") {
     // the point of persisting: every consumer reads the stored relation
     // instead of re-deriving it — the executed plan must contain no
