@@ -95,21 +95,38 @@ object BenchSupport {
   def isOutlier(median: Double, prev: Double): Boolean =
     prev > 0 && median > 0.5 && median > 1.5 * prev
 
-  /** md5 over the sorted (relative-name, byte-size) listing of a fixture
-    * dir — proves two sweeps claiming the same fixture saw the same data. */
-  def manifest(dir: String): String = {
+  /** md5 over the sorted (relative-name, byte-size, mtime-ms) listing of
+    * a fixture dir — proves two sweeps claiming the same fixture saw the
+    * same data. The mtime term closes the round-11 advice gap: a fixture
+    * regenerated in place whose files keep identical sizes (plausible for
+    * fixed-width/seeded generators) still changes the manifest, so every
+    * content-keyed artifact tag (JoinQueries.dirTag) invalidates.
+    *
+    * Error handling is the caller's choice: `strict = true` (the dirTag
+    * artifact-keying path) PROPAGATES IO errors — a transient listing
+    * failure must never collapse two different corpora onto one shared
+    * tag and silently serve stale artifacts; `strict = false` (the bench
+    * provenance stamp) folds the failure into a per-error string so a
+    * diagnostic field can't abort a sweep, but two different failures
+    * still stamp differently. */
+  def manifest(dir: String, strict: Boolean = false): String = {
     def walk(f: java.io.File, prefix: String): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .flatMap(c => walk(c, s"$prefix${f.getName}/")).toSeq
-      else Seq(s"$prefix${f.getName}:${f.length}")
+      else Seq(s"$prefix${f.getName}:${f.length}:${f.lastModified}")
     try {
       val lines = Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty).sortBy(_.getName)
         .flatMap(walk(_, "")).mkString("\n")
       java.security.MessageDigest.getInstance("MD5")
         .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    } catch { case _: Throwable => "unavailable" }
+    } catch {
+      case e: Throwable if !strict =>
+        s"unavailable:${e.getClass.getSimpleName}:" +
+          Option(e.getMessage).getOrElse("").take(80)
+      case e: Throwable => throw e
+    }
   }
 }
 

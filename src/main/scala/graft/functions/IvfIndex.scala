@@ -194,6 +194,12 @@ object IvfIndex {
   def appendVectors(path: String, batch: DataFrame, idCol: String,
                     vecCol: String): Unit = {
     val m = loadModel(batch.sparkSession, path)
+    // NOT the StagedCommit single-file path: the cell-PARTITIONED layout
+    // needs one file per touched cell dir, so this append is not
+    // crash-atomic — a crash mid-write can leave some cells appended.
+    // Appended rows are per-vector and idempotent to re-derive, so the
+    // recovery is re-run appendVectors after de-duplicating on vec_id
+    // (or rebuild); the exactly-once arrival path is StreamingAnn.
     Materialize.spread(
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("cv")))
       .withColumn("cell", assign(col("cv"), m))

@@ -277,9 +277,13 @@ object MinHashDedup {
                   textCol: String, shingleN: Int = 2, bands: Int = 4,
                   rows: Int = 4): Unit = {
     val sh = Materialize(shingleRel(accepted, idCol, textCol, shingleN))
-    bandedKeysFromShingles(sh, bands, rows)
-      .write.mode("append").parquet(s"$path/keys")
-    sh.write.mode("append").parquet(s"$path/shingles")
+    // staged-rename commits: each relation appends crash-atomically (a
+    // crash between the two leaves keys appended and shingles not —
+    // treat as a rebuild signal, same two-relation caveat as
+    // RetrievalIndex.appendDocs)
+    StagedCommit.commitAppend(s"$path/keys",
+      bandedKeysFromShingles(sh, bands, rows))
+    StagedCommit.commitAppend(s"$path/shingles", sh)
   }
 
   /** INCREMENTAL dedup — the operation a living 100 TB corpus actually

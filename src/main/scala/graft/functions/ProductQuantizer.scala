@@ -342,6 +342,8 @@ object ProductQuantizer {
       .withColumn("cell", IvfIndex.assign(col("cv"), ivf))
       .withColumn("codes", codes(col("cv"), model))
       .select("vec_id", "cell", "codes")
+      // cell-partitioned layout ⇒ multi-file append, not crash-atomic —
+      // same caveat and recovery as IvfIndex.appendVectors
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 

@@ -54,13 +54,17 @@ object RetrievalIndex {
 
   /** Append a batch of NEW documents (ids disjoint from the stored
     * corpus — the appender's contract): one tokenize pass over the
-    * batch, parquet-append of its per-doc rows. Returns the re-opened
-    * merged index. */
+    * batch, each relation committed through the staged-rename primitive
+    * (crash-atomic per relation and loud on a never-built store —
+    * round-11 verdict task #2; a crash BETWEEN the two commits leaves
+    * postings appended and doclens not: treat as a rebuild signal — the
+    * exactly-once per-relation path is StreamingRetrieval's ledger).
+    * Returns the re-opened merged index. */
   def appendDocs(path: String, docs: DataFrame, idCol: String,
                  textCol: String): Index = {
     val delta = build(docs, idCol, textCol)
-    delta.postings.write.mode("append").parquet(s"$path/postings")
-    delta.doclens.write.mode("append").parquet(s"$path/doclens")
+    StagedCommit.commitAppend(s"$path/postings", delta.postings)
+    StagedCommit.commitAppend(s"$path/doclens", delta.doclens)
     read(docs.sparkSession, path)
   }
 

@@ -250,13 +250,14 @@ object SimHash {
 
   /** Append a batch of NEW documents (disjoint ids — the appender's
     * contract) to a stored index: one signature pass over the batch
-    * under the STORED model constants, parquet-append. The standing
-    * corpus is never read. */
+    * under the STORED model constants, committed through the
+    * staged-rename primitive (crash-atomic; loud on a never-built
+    * index). The standing corpus is never read. */
   def appendIndex(path: String, batch: DataFrame, idCol: String,
                   tokensCol: String): Unit = {
     val idx = readIndex(batch.sparkSession, path)
-    buildIndex(batch, idCol, tokensCol, idx.d, idx.nBlocks)
-      .keys.write.mode("append").parquet(s"$path/keys")
+    StagedCommit.commitAppend(s"$path/keys",
+      buildIndex(batch, idCol, tokensCol, idx.d, idx.nBlocks).keys)
   }
 
   /** Arriving documents probed against a stored index — batch or

@@ -31,20 +31,24 @@ object JoinQueries extends QueryModule {
     * state a cluster would see). External under the system tmpdir. */
   /** Collision-resistant fixture tag for cached table/path names: md5
     * prefix of the full dir path PLUS its file manifest (relative names +
-    * byte sizes — the same listing Bench stamps as `fixture.manifest`).
-    * The path part keeps two fixture dirs from reusing each other's
-    * artifacts; the CONTENT part keys every write-once artifact
-    * (bucketed tables, partitioned orders, graft_dedup/graft_retr/
-    * graft_grams) to the data it was derived from, so regenerating a
-    * fixture in place (gen_sf1.py rewriting /tmp/graft-sf1) changes the
-    * tag and invalidates stale artifacts automatically instead of
-    * silently serving clusters of the old corpus. Walks ~a dozen fixture
+    * byte sizes + mtimes — the same listing Bench stamps as
+    * `fixture.manifest`; the mtime term catches an in-place regeneration
+    * whose files keep identical sizes). The path part keeps two fixture
+    * dirs from reusing each other's artifacts; the CONTENT part keys
+    * every write-once artifact (bucketed tables, partitioned orders,
+    * graft_dedup/graft_retr/graft_grams) to the data it was derived
+    * from, so regenerating a fixture in place (gen_sf1.py rewriting
+    * /tmp/graft-sf1) changes the tag and invalidates stale artifacts
+    * automatically instead of silently serving clusters of the old
+    * corpus. STRICT manifest: a listing IO error propagates — mapping
+    * all failures onto one shared "unavailable" tag would alias every
+    * failing fixture onto the same artifacts. Walks ~a dozen fixture
     * files per call — microseconds, and deliberately NOT memoized so an
     * in-place regeneration is caught even mid-JVM. Shared with the specs
     * that look the cached tables up. */
   private[graft] def dirTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + "\n" + graft.BenchSupport.manifest(dir))
+      .digest((dir + "\n" + graft.BenchSupport.manifest(dir, strict = true))
         .getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   private def bucketize(s: SparkSession, dir: String, name: String,

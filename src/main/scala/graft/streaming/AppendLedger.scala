@@ -9,22 +9,28 @@ import org.apache.spark.sql.DataFrame
   * offset advances, the batch re-delivers and appends again — and the
   * (doc, w)-unique grains the stores guarantee (TokenStore df-by-row-
   * count, RetrievalIndex postings) silently double. This ledger makes
-  * the append idempotent by construction:
+  * the append idempotent by construction: the batch commits through the
+  * staged-rename primitive (functions/StagedCommit — shared with the
+  * batch appendDocs paths) under the deterministic name
+  * `batch-<batchId>.parquet`, so
   *
-  *   1. the batch stages to `_staging_<batchId>/` with overwrite (a
-  *      replay overwrites its own leftovers — idempotent), coalesced to
-  *      ONE part file (micro-batch grain, so the single deterministic
-  *      target below is possible);
-  *   2. that part file renames to `batch-<batchId>.parquet` in the
-  *      destination dir — the ATOMIC commit point (local-FS rename; an
-  *      object-store deployment uses its atomic put/copy instead);
-  *   3. a replayed batchId sees the target file and no-ops.
+  *   - crash anywhere before the rename → replay restages and renames;
+  *   - crash after → replay sees the target and no-ops.
   *
-  * Crash anywhere before the rename → replay restages and renames;
-  * crash after → replay no-ops. Readers see either no file or the whole
-  * file, never a partial append. The destination stays a plain parquet
-  * directory (the build's part-*.parquet and these batch-*.parquet read
-  * together), so consumers need no layout change.
+  * Readers see either no file or the whole file, never a partial append.
+  * The destination stays a plain parquet directory (the build's
+  * part-*.parquet, batch appends' append-*.parquet and these
+  * batch-*.parquet read together), so consumers need no layout change.
+  *
+  * BATCH-ID ↔ STORE BINDING ([[bindEpoch]]): batch ids are only unique
+  * within ONE checkpoint's lifetime. A stream restarted with a FRESH
+  * checkpoint against an existing store restarts ids at 0, and every
+  * genuinely new batch would look like a replay — silent data loss under
+  * a routine operator error (wiping only the checkpoint dir). The epoch
+  * guard makes that loud: the first commit stamps one random epoch id
+  * into BOTH the checkpoint dir and each destination dir; any later
+  * mismatch (either side wiped or swapped) throws at stream start,
+  * forcing the operator to restore the checkpoint or rebuild the store.
   */
 object AppendLedger {
 
@@ -32,35 +38,98 @@ object AppendLedger {
     * false when the batchId already committed (replay no-op).
     *
     * RETENTION CONTRACT: batch ids come from the stream's checkpoint.
-    * Retain (or wipe) the checkpoint and the store TOGETHER — a fresh
-    * checkpoint against an existing store restarts ids at 0 and the
-    * ledger would treat genuinely new batches as replays (the no-op
-    * path warns for this reason). */
+    * Retain (or wipe) the checkpoint and the store TOGETHER — the
+    * [[bindEpoch]] stamp turns a violation into a loud failure at
+    * stream start instead of silent skips here. */
   def appendOnce(destDir: String, batchId: Long,
                  batch: DataFrame): Boolean = {
-    val target = new java.io.File(s"$destDir/batch-$batchId.parquet")
-    val staging = s"$destDir/_staging_$batchId"
-    if (target.exists()) {
-      // a crash between the rename-commit and the staging cleanup leaves
-      // the staged copy orphaned — clear it on the replay that follows
-      graft.functions.FsUtil.deleteRecursively(new java.io.File(staging))
+    val committed = !graft.functions.StagedCommit.commitFile(
+      destDir, s"batch-$batchId.parquet", batch)
+    if (committed)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"batch $batchId already committed to $destDir — skipping append " +
-          "(replay no-op; if this stream was restarted with a FRESH " +
-          "checkpoint against an existing store, its ids collide with " +
-          "committed ones and this skip is dropping new data)")
-      return false
-    }
-    batch.coalesce(1).write.mode("overwrite").parquet(staging)
-    val part = Option(new java.io.File(staging).listFiles())
-      .getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") &&
+          "(replay no-op; a FRESH checkpoint against an existing store " +
+          "is caught by bindEpoch before any batch runs)")
+    !committed
+  }
+
+  private def epochOf(f: java.io.File): Option[String] =
+    if (f.isFile) Some(java.nio.file.Files.readString(f.toPath).trim)
+    else None
+
+  private def hasCommittedBatches(dest: String): Boolean =
+    Option(new java.io.File(dest).listFiles()).getOrElse(Array.empty)
+      .exists(f => f.getName.startsWith("batch-") &&
         f.getName.endsWith(".parquet"))
-      .getOrElse(throw new java.io.IOException(
-        s"no part file staged under $staging"))
-    if (!part.renameTo(target))
-      throw new java.io.IOException(s"could not commit $part to $target")
-    graft.functions.FsUtil.deleteRecursively(new java.io.File(staging))
-    true
+
+  private def stamp(f: java.io.File, epoch: String): Unit = {
+    Option(f.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.writeString(f.toPath, epoch): Unit
+  }
+
+  /** Bind a stream checkpoint to its ledger destination dirs — call
+    * BEFORE starting the maintainer. First binding stamps a fresh epoch
+    * id into the checkpoint dir and every destination; later bindings
+    * require all stamps to agree:
+    *
+    *   - checkpoint epoch ≠ store epoch → throw (dirs from two different
+    *     streams were mixed);
+    *   - store stamped + committed batches, checkpoint unstamped → throw
+    *     (the data-loss scenario: a fresh checkpoint would replay ids
+    *     the store already holds, and every new batch would no-op);
+    *   - checkpoint stamped, store unstamped → throw (the store was
+    *     wiped or rebuilt behind the checkpoint — earlier committed
+    *     batches are gone; wipe the checkpoint too and rebuild);
+    *   - store stamped but NO committed batches, checkpoint unstamped →
+    *     a crash mid-first-stamp (dests stamp before the checkpoint);
+    *     adopt the store's epoch and finish stamping.
+    */
+  def bindEpoch(checkpointDir: String, destDirs: Seq[String]): Unit = {
+    require(destDirs.nonEmpty, "bindEpoch needs at least one destination")
+    val cpFile = new java.io.File(s"$checkpointDir/graft-ledger-epoch")
+    val cpEpoch = epochOf(cpFile)
+    val destEpochs = destDirs.map(d =>
+      d -> epochOf(new java.io.File(s"$d/_ledger_epoch")))
+    val distinct = destEpochs.flatMap(_._2).distinct
+    if (distinct.size > 1)
+      throw new IllegalStateException(
+        s"destination dirs carry ${distinct.size} different ledger epochs " +
+          s"($destEpochs) — they were maintained by different streams and " +
+          "cannot bind to one checkpoint")
+    destEpochs.foreach { case (dest, dEpoch) =>
+      (cpEpoch, dEpoch) match {
+        case (Some(c), Some(d)) if c != d =>
+          throw new IllegalStateException(
+            s"ledger epoch mismatch: checkpoint $checkpointDir has epoch " +
+              s"$c but store $dest has $d — these dirs belong to " +
+              "different stream lifetimes; restore the matching pair or " +
+              "rebuild both")
+        case (None, Some(_)) if hasCommittedBatches(dest) =>
+          throw new IllegalStateException(
+            s"fresh checkpoint $checkpointDir against store $dest that " +
+              "already holds ledger-committed batches — restarting batch " +
+              "ids at 0 would silently drop every new batch as a replay; " +
+              "restore the original checkpoint or rebuild the store")
+        case (Some(c), None) =>
+          throw new IllegalStateException(
+            s"checkpoint $checkpointDir (epoch $c) expects a stamped " +
+              s"store at $dest but found none — the store was wiped or " +
+              "rebuilt behind the checkpoint and its committed batches " +
+              "are gone; wipe the checkpoint too and rebuild")
+        case _ => ()
+      }
+    }
+    // first binding (or finishing a crashed one): one epoch for the set.
+    // Stamp order: destinations FIRST, checkpoint LAST — a crash mid-way
+    // leaves batch-less stamped dests, which the adoption arm above
+    // resolves on the next bind; stamping the checkpoint first would
+    // make the crash window indistinguishable from a wiped store.
+    val epoch = cpEpoch
+      .orElse(destEpochs.collectFirst { case (_, Some(e)) => e })
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    destEpochs.foreach { case (dest, dEpoch) =>
+      if (dEpoch.isEmpty) stamp(new java.io.File(s"$dest/_ledger_epoch"), epoch)
+    }
+    if (cpEpoch.isEmpty) stamp(cpFile, epoch)
   }
 }

@@ -32,7 +32,11 @@ object StreamingRetrieval {
     * through a rebuild/compaction instead). */
   def maintainIndex(docs: DataFrame, indexPath: String,
                     checkpointDir: String, idCol: String = "doc_id",
-                    textCol: String = "text"): StreamingQuery =
+                    textCol: String = "text"): StreamingQuery = {
+    // fail FAST on a checkpoint/store lifetime mismatch (the round-11
+    // advice data-loss path); both relations bind to one epoch
+    AppendLedger.bindEpoch(checkpointDir,
+      Seq(s"$indexPath/postings", s"$indexPath/doclens"))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -46,4 +50,5 @@ object StreamingRetrieval {
         }
       }
       .start()
+  }
 }

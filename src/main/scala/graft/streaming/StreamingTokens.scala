@@ -29,7 +29,11 @@ object StreamingTokens {
     * disjoint from the stored corpus (the appendDocs contract — route
     * updates through a rebuild/compaction instead). */
   def maintainStore(docs: DataFrame, storePath: String,
-                    checkpointDir: String): StreamingQuery =
+                    checkpointDir: String): StreamingQuery = {
+    // fail FAST on a checkpoint/store lifetime mismatch (a fresh
+    // checkpoint against a maintained store would replay-skip every new
+    // batch — the round-11 advice data-loss path)
+    AppendLedger.bindEpoch(checkpointDir, Seq(s"$storePath/tf"))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -45,4 +49,5 @@ object StreamingTokens {
         }
       }
       .start()
+  }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.{GramStore, RetrievalIndex, StagedCommit, TokenStore}
+import graft.streaming.AppendLedger
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-11 verdict task #2 + advice findings: batch `appendDocs` must
+  * be crash-atomic (staged-rename commit — a crash mid-append leaves the
+  * store byte-identical, never partial rows under a vouching _SUCCESS),
+  * must fail LOUD on a never-built store (bare mode("append") silently
+  * minted a delta-only store), and the streaming ledger must fail fast
+  * when a checkpoint and its store come from different stream lifetimes
+  * (fresh-checkpoint id collisions silently dropped new batches). */
+class AtomicAppendSpec extends SparkSpec {
+
+  private def docs: DataFrame = table("documents")
+    .select("doc_id", "lang", "source", "text")
+
+  private def sameRelation(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("commitAppend refuses a never-built relation — all three stores") {
+    val base = Files.createTempDirectory("graft-atomic-never").toString
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    intercept[IllegalArgumentException] {
+      TokenStore.appendDocs(s"$base/tok", delta)
+    }
+    intercept[IllegalArgumentException] {
+      GramStore.appendDocs(s"$base/grams", delta)
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalIndex.appendDocs(s"$base/retr", delta, "doc_id", "text")
+    }
+    // and none of the paths may have been created as readable relations
+    assert(!new java.io.File(s"$base/tok/tf/_SUCCESS").exists())
+    assert(!new java.io.File(s"$base/retr/postings/_SUCCESS").exists())
+  }
+
+  test("crash window: orphaned staging is invisible and swept; append ≡ rebuild") {
+    val path = Files.createTempDirectory("graft-atomic-crash").toString
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    TokenStore.buildTf(base).write.parquet(s"$path/tf")
+    val before = spark.read.parquet(s"$path/tf")
+
+    // simulate a crash BEFORE the rename-commit: a staged-but-uncommitted
+    // append attempt is exactly an _staging_append-* dir with a part file
+    val orphan = s"$path/tf/_staging_append-deadbeef.parquet"
+    TokenStore.buildTf(delta).coalesce(1).write.parquet(orphan)
+    // readers see the store exactly as before the crashed append
+    assert(sameRelation(spark.read.parquet(s"$path/tf"), before),
+      "an uncommitted staging dir must be invisible to readers")
+
+    // the next append sweeps the orphan and commits atomically
+    TokenStore.appendDocs(path, delta)
+    assert(!new java.io.File(orphan).exists(), "orphan must be swept")
+    assert(sameRelation(spark.read.parquet(s"$path/tf"),
+      TokenStore.buildTf(docs)), "append after crash ≡ rebuild")
+    assert(Option(new java.io.File(s"$path/tf").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("append-")) == 1,
+      "the committed append is exactly one renamed file")
+  }
+
+  test("commitAppend on RetrievalIndex ≡ rebuild (both relations)") {
+    // (GramStore's five-relation append ≡ rebuild is GramStoreSpec's —
+    // it now runs through the same staged commit)
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val rp = Files.createTempDirectory("graft-atomic-retr").toString
+    RetrievalIndex.write(RetrievalIndex.build(base, "doc_id", "text"), rp)
+    val appended = RetrievalIndex.appendDocs(rp, delta, "doc_id", "text")
+    val rebuilt = RetrievalIndex.build(docs, "doc_id", "text")
+    assert(sameRelation(appended.postings, rebuilt.postings))
+    assert(sameRelation(appended.doclens, rebuilt.doclens))
+  }
+
+  test("bindEpoch: first bind stamps, rebind agrees, mixed lifetimes throw") {
+    val root = Files.createTempDirectory("graft-epoch").toString
+    val cp = s"$root/cp"; val dest = s"$root/store/tf"
+    new java.io.File(dest).mkdirs()
+
+    // first bind stamps both sides with one epoch
+    AppendLedger.bindEpoch(cp, Seq(dest))
+    val cpEpoch = Files.readString(
+      java.nio.file.Paths.get(s"$cp/graft-ledger-epoch"))
+    val destEpoch = Files.readString(
+      java.nio.file.Paths.get(s"$dest/_ledger_epoch"))
+    assert(cpEpoch == destEpoch && cpEpoch.nonEmpty)
+
+    // a rebind of the same pair is a no-op
+    AppendLedger.bindEpoch(cp, Seq(dest))
+
+    // commit a batch, then simulate the operator error: wipe ONLY the
+    // checkpoint — bind must fail fast instead of silently replay-skipping
+    val delta = docs.filter(col("doc_id") % 5 === 4).limit(5)
+    assert(AppendLedger.appendOnce(dest, 0L, TokenStore.buildTf(delta)))
+    graft.functions.FsUtil.deleteRecursively(new java.io.File(cp))
+    val e1 = intercept[IllegalStateException] {
+      AppendLedger.bindEpoch(cp, Seq(dest))
+    }
+    assert(e1.getMessage.contains("fresh checkpoint"))
+
+    // inverse: checkpoint kept, store wiped/rebuilt behind it
+    val cp2 = s"$root/cp2"; val dest2 = s"$root/store2/tf"
+    new java.io.File(dest2).mkdirs()
+    AppendLedger.bindEpoch(cp2, Seq(dest2))
+    graft.functions.FsUtil.deleteRecursively(new java.io.File(dest2))
+    new java.io.File(dest2).mkdirs()
+    val e2 = intercept[IllegalStateException] {
+      AppendLedger.bindEpoch(cp2, Seq(dest2))
+    }
+    assert(e2.getMessage.contains("wiped or rebuilt"))
+
+    // two stores stamped by different streams can't bind to one checkpoint
+    val e3 = intercept[IllegalStateException] {
+      AppendLedger.bindEpoch(s"$root/cp3", Seq(dest, s"$root/store2/tf2")
+        .map { d =>
+          new java.io.File(d).mkdirs()
+          if (d.endsWith("tf2")) Files.writeString(
+            java.nio.file.Paths.get(s"$d/_ledger_epoch"), "other-epoch"): Unit
+          d
+        })
+    }
+    assert(e3.getMessage.contains("different ledger epochs"))
+  }
+
+  test("bindEpoch: crashed first stamp (dest stamped, no batches) is adopted") {
+    val root = Files.createTempDirectory("graft-epoch2").toString
+    val cp = s"$root/cp"; val dest = s"$root/store/tf"
+    new java.io.File(dest).mkdirs()
+    // the stamp order is dests-then-checkpoint; a crash in between leaves
+    // a stamped dest with no committed batches and no checkpoint epoch
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dest/_ledger_epoch"), "orphan-epoch"): Unit
+    AppendLedger.bindEpoch(cp, Seq(dest))
+    assert(Files.readString(java.nio.file.Paths.get(
+      s"$cp/graft-ledger-epoch")) == "orphan-epoch",
+      "the checkpoint must adopt the crashed stamp's epoch")
+  }
+}

@@ -98,4 +98,24 @@ class BenchSupportSpec extends AnyFunSuite {
       dir.delete()
     }
   }
+
+  test("manifest catches a same-size in-place regeneration via mtime") {
+    // round-11 advice: a seeded/fixed-width generator can rewrite a
+    // fixture with byte-identical sizes; the artifact tags must still
+    // invalidate, so the manifest folds each file's mtime
+    val dir = java.nio.file.Files.createTempDirectory("benchsupport4").toFile
+    try {
+      val f = new java.io.File(dir, "t.parquet")
+      java.nio.file.Files.writeString(f.toPath, "abc")
+      assert(f.setLastModified(1000000000000L))
+      val m1 = BenchSupport.manifest(dir.getPath)
+      java.nio.file.Files.writeString(f.toPath, "xyz") // same size
+      assert(f.setLastModified(1000000001000L))
+      assert(BenchSupport.manifest(dir.getPath) != m1,
+        "same-size regeneration must change the manifest via mtime")
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
 }
