@@ -150,6 +150,22 @@ object Bench {
     // first measured query isn't charged ~5s of one-time cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Pre-build the incremental families' write-once BASE artifacts
+    // (round-11 advice #5: building a base lazily inside the graded
+    // query re-entangles the one-time build with the steady-state
+    // arrival timing). Each family's build time ships as `baseBuilds`
+    // so the write-once cost stays visible in the artifact; the graded
+    // per-query numbers then measure only the arrival path. A failure
+    // here is non-fatal — the query would just rebuild lazily (and its
+    // own error surface in `errors`).
+    val baseBuilds =
+      try IncrementContract.prebuildBases(spark, sfDir)
+      catch { case e: Throwable =>
+        Seq("prebuild-failed:" +
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+          -> -1.0)
+      }
+
     // Self-calibration: a FIXED synthetic workload — one CPU-bound hash
     // pass over spark.range plus one 1000-key shuffle, constant input at
     // every SF — timed (median of 3) BEFORE and AFTER the query sweep.
@@ -298,6 +314,8 @@ object Bench {
     val remJson = remeasured.map { case (k, (a, b, p)) =>
       s"${jstr(k)}:{\"first\":$a,\"second\":$b,\"prev\":$p,\"isolated\":true}"
     }.mkString("{", ",", "}")
+    val baseJson = baseBuilds.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val calPost = calibrate()
 
     // Fixture manifest — two sweeps claiming the same fixture can be
@@ -337,6 +355,7 @@ object Bench {
       s""""total_calibrated":$totalCal,""" +
       s""""planRisks":$planRisks,"planRisksNovel":$planRisksNovel,""" +
       s""""fixture":{"dir":${jstr(sfDir)},"manifest":${jstr(manifest(sfDir))}},""" +
+      s""""baseBuilds":$baseJson,""" +
       s""""storagePost":$storageJson,"remeasured":$remJson,""" +
       s""""partialRuns":$partialJson,"errors":$errJson}"""
     // a filtered run must never masquerade as the durable full-registry

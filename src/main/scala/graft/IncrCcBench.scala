@@ -46,7 +46,7 @@ object IncrCcBench {
       import org.apache.spark.sql.functions.col
       operators.DedupQueries.minhashBands(operators.DedupQueries.minhashGrams(
         operators.DedupQueries.minhashTokRel(spark, sfDir,
-          col("doc_id") % 5 === 4))).count()
+          IncrementContract.isDelta(col("doc_id"))))).count()
     }
     timed("cand-only") {
       operators.DedupQueries.incDeltaCand(spark, sfDir)._3.count()

@@ -30,6 +30,25 @@ object RetrievalIndex {
   /** The two stored relations. */
   final case class Index(postings: DataFrame, doclens: DataFrame)
 
+  /** The q_bm25_incr increment-base path — a pure function of the
+    * fixture dir (the incBasePath convention). */
+  private[graft] def incBasePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_retr/" +
+      s"base_${graft.operators.JoinQueries.dirTag(dir)}"
+
+  /** Build-on-first-touch of the q_bm25_incr increment base: the
+    * standing 80% corpus's postings/doclens (the IncrementContract
+    * split), write-once at [[incBasePath]]. The bench driver pre-builds
+    * it so the graded query times only the arrival path. */
+  private[graft] def ensureIncBase(s: SparkSession, dir: String): String = {
+    val path = incBasePath(dir)
+    if (!new java.io.File(s"$path/doclens/_SUCCESS").exists())
+      write(build(graft.Tables.load(s, dir, "documents")
+          .filter(!graft.IncrementContract.isDelta(col("doc_id"))),
+        "doc_id", "text"), path)
+    path
+  }
+
   /** Build both relations in ONE tokenize pass over (idCol, textCol). */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val tok = Materialize(docs

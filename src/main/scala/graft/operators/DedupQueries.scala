@@ -487,7 +487,7 @@ object DedupQueries extends QueryModule {
     * plus its verified pair list — 8 bytes/doc of signature state, the
     * whole point of the family (at 100 TB the sig relation is the
     * index; the text is never re-read to re-derive it). */
-  private def ensureSimhashBase(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ensureSimhashBase(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_dedup/sim_${JoinQueries.dirTag(dir)}"
@@ -741,11 +741,10 @@ object DedupQueries extends QueryModule {
     graft.functions.DedupClusters.readPersistedClusters(s, path)
   }
 
-  /** The delta predicate of the INCREMENTAL artifact (q_dedup_persist):
-    * doc_id % 5 == 4 plays the arriving batch (~20% of the corpus), the
-    * rest the standing base. Deterministic so the oracle-side rebuild and
-    * every re-run see the same split. */
-  private def incIsDelta = col("doc_id") % 5 === 4
+  /** The delta predicate of the INCREMENTAL artifact (q_dedup_persist) —
+    * the shared IncrementContract split (one definition across the six
+    * maintained ≡ rebuilt families). */
+  private def incIsDelta = graft.IncrementContract.isDelta(col("doc_id"))
 
   /** Catalog name of the BUCKETED stored band-key table of the
     * increment base (content-keyed like every artifact tag). */

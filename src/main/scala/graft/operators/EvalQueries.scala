@@ -102,8 +102,9 @@ object EvalQueries extends QueryModule {
           s"CAST(bk AS BIGINT) ^ SHIFTLEFT(CAST(1 AS BIGINT), CAST(flip AS INT))"))
           .as("pk"))
 
-  /** q_lsh_persist's delta predicate (the incIsDelta convention). */
-  private def lshIsDelta = col("id") % 5 === 4
+  /** q_lsh_persist's delta predicate — the shared IncrementContract
+    * split over the embedding id. */
+  private def lshIsDelta = graft.IncrementContract.isDelta(col("id"))
 
   /** Write-once persisted LSH index base for q_lsh_persist: the standing
     * 80% of the audit block stores its band keys and its verified
@@ -115,8 +116,8 @@ object EvalQueries extends QueryModule {
   private[graft] def lshBasePath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_lsh/base_${JoinQueries.dirTag(dir)}"
 
-  private def ensureLshBase(s: org.apache.spark.sql.SparkSession,
-                            dir: String): String = {
+  private[graft] def ensureLshBase(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
     val path = lshBasePath(dir)
     if (!new java.io.File(s"$path/pairs/_SUCCESS").exists()) {
       val keys = graft.functions.Materialize(

@@ -117,12 +117,8 @@ object RetrievalQueries extends QueryModule {
     // twin of this merge is GramStore.appendDocs (GramStoreSpec pins
     // append ≡ rebuild).
     "q_novelty_incr" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_grams/base_${JoinQueries.dirTag(dir)}"
-      val isDelta = col("doc_id") % 5 === 4
-      if (!new java.io.File(s"$path/sh3/_SUCCESS").exists())
-        graft.functions.GramStore
-          .buildSh3(t(s, dir, "documents").filter(!isDelta))
-          .write.mode("overwrite").parquet(s"$path/sh3")
+      val path = graft.functions.GramStore.ensureIncBase(s, dir)
+      val isDelta = graft.IncrementContract.isDelta(col("doc_id"))
       noveltyOf(s.read.parquet(s"$path/sh3")
         .select("doc_id", "source", "sh")
         .unionByName(graft.functions.GramStore
@@ -178,13 +174,8 @@ object RetrievalQueries extends QueryModule {
     // RetrievalIndex.appendDocs (RetrievalIndexSpec pins append ≡
     // rebuild); the query merges in memory so re-runs stay idempotent.
     "q_bm25_incr" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_retr/base_${JoinQueries.dirTag(dir)}"
-      val isDelta = col("doc_id") % 5 === 4
-      if (!new java.io.File(s"$path/doclens/_SUCCESS").exists())
-        graft.functions.RetrievalIndex.write(
-          graft.functions.RetrievalIndex.build(
-            t(s, dir, "documents").filter(!isDelta), "doc_id", "text"),
-          path)
+      val path = graft.functions.RetrievalIndex.ensureIncBase(s, dir)
+      val isDelta = graft.IncrementContract.isDelta(col("doc_id"))
       val base = graft.functions.RetrievalIndex.read(s, path)
       graft.functions.RetrievalIndex.bm25TopDf(
         graft.functions.RetrievalIndex.merged(base,

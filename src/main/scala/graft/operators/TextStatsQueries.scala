@@ -248,12 +248,8 @@ object TextStatsQueries extends QueryModule {
     // merge is TokenStore.appendDocs (TokenStoreSpec pins append ≡
     // rebuild); the streaming twin is StreamingTokens.maintainStore.
     "q_tfidf_incr" -> ((s, dir) => {
-      val path = graft.functions.TokenStore.incBasePath(dir)
-      val isDelta = col("doc_id") % 5 === 4
-      if (!new java.io.File(s"$path/tf/_SUCCESS").exists())
-        graft.functions.TokenStore
-          .buildTf(t(s, dir, "documents").filter(!isDelta))
-          .write.mode("overwrite").parquet(s"$path/tf")
+      val path = graft.functions.TokenStore.ensureIncBase(s, dir)
+      val isDelta = graft.IncrementContract.isDelta(col("doc_id"))
       tfidfOf(
         s.read.parquet(s"$path/tf").unionByName(graft.functions.TokenStore
           .buildTf(t(s, dir, "documents").filter(isDelta))),
