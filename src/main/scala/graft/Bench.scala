@@ -95,6 +95,35 @@ object BenchSupport {
   def isOutlier(median: Double, prev: Double): Boolean =
     prev > 0 && median > 0.5 && median > 1.5 * prev
 
+  /** Calibration-NORMALIZED outlier gate (round-11 verdict task #5): the
+    * raw-delta gate both floods the queue on a hot VM hour (12 re-measures
+    * in the r11 sf1 sweep) and can miss real movers on a cool one (the
+    * unremeasured q_bpe_merge doubling). Dividing each side by its own
+    * run's calibration compares plan cost, not host contention. Falls
+    * back to the raw gate when either run lacks a calibration value. The
+    * absolute floor stays on RAW seconds — sub-half-second medians jitter
+    * past any ratio on VM noise alone. */
+  def isOutlierCalibrated(median: Double, prev: Double,
+                          calNow: Double, calPrev: Double): Boolean =
+    if (calNow > 0 && calPrev > 0)
+      prev > 0 && median > 0.5 && median / calNow > 1.5 * (prev / calPrev)
+    else isOutlier(median, prev)
+
+  /** Mean of the pre/post calibration stamps of a prior bench artifact
+    * (direct JSON or escaped inside the driver wrapper's "tail"). */
+  def parsePrevCalibration(txt: String): Option[Double] = {
+    // no closing brace in the pattern: the object gained a "prev" field
+    // in round 12, and older artifacts end right after "post"
+    val re =
+      """"calibration":\{"pre":(-?[\d.]+(?:[eE][+-]?\d+)?),"post":(-?[\d.]+(?:[eE][+-]?\d+)?)""".r
+    def parse(t: String): Option[Double] =
+      re.findFirstMatchIn(t)
+        .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2)
+        .filter(_ > 0)
+    try parse(txt).orElse(parse(txt.replace("\\\"", "\"")))
+    catch { case _: Throwable => None }
+  }
+
   /** md5 over the sorted (relative-name, byte-size, mtime-ms) listing of
     * a fixture dir — proves two sweeps claiming the same fixture saw the
     * same data. The mtime term closes the round-11 advice gap: a fixture
@@ -265,14 +294,20 @@ object Bench {
     // (BENCH_r*.json — my JSON sits escaped in its "tail") → the committed
     // BENCH_LOCAL.json (the previous full local sweep; read before this
     // run overwrites it). First candidate that parses non-empty wins.
-    val prev = (
+    // the baseline's CALIBRATION must come from the same artifact as its
+    // per-query medians, so resolve the file text first
+    val prevTxt = (
       sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)) ++
       BenchSupport.latestRoundArtifact(new java.io.File(".")) ++
       Some(new java.io.File("BENCH_LOCAL.json")))
       .filter(_.isFile)
-      .map(f => BenchSupport.parsePrevQueries(Files.readString(f.toPath), sfDir))
-      .find(_.nonEmpty)
+      .map(f => Files.readString(f.toPath))
+      .find(t => BenchSupport.parsePrevQueries(t, sfDir).nonEmpty)
+    val prev = prevTxt
+      .map(BenchSupport.parsePrevQueries(_, sfDir))
       .getOrElse(Map.empty[String, Double])
+    val prevCal = prevTxt.flatMap(BenchSupport.parsePrevCalibration)
+      .getOrElse(-1.0)
     val remeasured =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // QUIESCE before each re-measure (round-9 verdict: the re-measure ran
@@ -286,9 +321,13 @@ object Bench {
       System.gc()
       Thread.sleep(2000)
     }
+    // gate on the CALIBRATED ratio (task #5): calPre stands in for this
+    // run's load at re-measure time (calPost doesn't exist yet; the two
+    // track each other barring mid-run drift, which the artifact exposes)
     val finalResults = results.map { case (name, med) =>
       prev.get(name) match {
-        case Some(p) if BenchSupport.isOutlier(med, p) =>
+        case Some(p)
+            if BenchSupport.isOutlierCalibrated(med, p, calPre, prevCal) =>
           quiesce()
           val (second, _) = timeQuery(name, SparkEntry.queries(name))
           if (second >= 0) {
@@ -307,6 +346,15 @@ object Bench {
     } + "\""
     val qs = finalResults.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val calPost = calibrate()
+    // per-query CALIBRATED values (task #5): cross-round per-query
+    // comparison reads these directly instead of re-deriving from the
+    // headline calibration; -1 marks failed queries
+    val calMean = (calPre + calPost) / 2
+    val qsCal = finalResults.map { case (k, v) =>
+      val cal = if (v >= 0 && calMean > 0) v / calMean else -1.0
+      s"${jstr(k)}:${math.floor(cal * 10000 + 0.5) / 10000}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val partialJson = partial.map { case (k, v) => s"${jstr(k)}:$v" }
@@ -316,7 +364,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val baseJson = baseBuilds.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val calPost = calibrate()
 
     // Fixture manifest — two sweeps claiming the same fixture can be
     // checked for actually-same data (round-8's sf1 artifacts diverged
@@ -346,12 +393,12 @@ object Bench {
     // calibration runs under the same contention as the queries it
     // normalizes. Dimensionless by design (a ratio of same-hour
     // wall-clock times).
-    val calMean = (calPre + calPost) / 2
     val totalCal = if (calMean > 0) total / calMean else -1.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_calibrated":$qsCal,""" +
       s""""sf":${jstr(sfDir)},"runs":$runs,"stat":"median",""" +
-      s""""calibration":{"pre":$calPre,"post":$calPost},""" +
+      s""""calibration":{"pre":$calPre,"post":$calPost,"prev":$prevCal},""" +
       s""""total_calibrated":$totalCal,""" +
       s""""planRisks":$planRisks,"planRisksNovel":$planRisksNovel,""" +
       s""""fixture":{"dir":${jstr(sfDir)},"manifest":${jstr(manifest(sfDir))}},""" +

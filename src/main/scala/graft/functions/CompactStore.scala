@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DELETE/UPDATE compaction for the per-doc-grain persisted stores —
+  * the append-only contract's documented gap (round-11 verdict task #1):
+  * every store scaladoc deferred updates to "rebuild or delete+append
+  * compaction", but none existed, so a single takedown forced a
+  * full rebuild of six artifact families. A living 100 TB corpus takes
+  * deletions (takedowns, licensing, contamination discoveries) as
+  * surely as appends.
+  *
+  * The rewrite is TOUCHED-FILES-ONLY — the property that makes it a
+  * compaction rather than a rebuild: because every stored row is
+  * per-doc, deleting doc ids rewrites only the files that physically
+  * hold their rows (located with `input_file_name()` + a broadcast
+  * semi-join against the removal set), unions the survivors with the
+  * caller-built replacement rows, and leaves every untouched file —
+  * the overwhelming bulk at warehouse scale — byte-identical on disk.
+  *
+  * Crash discipline (the DedupClusters staged-swap family):
+  *
+  *   1. survivors + replacements stage under `_compact/data/`
+  *      (`_`-prefixed — invisible to parquet readers);
+  *   2. the COMMIT POINT is writing `_compact/commit`, which lists the
+  *      old files to delete — before it exists, [[heal]] aborts the
+  *      attempt and the store reads exactly as before;
+  *   3. apply = move staged files in (globally-unique part names, so a
+  *      replay skips files already moved), delete the listed old files
+  *      (idempotent), drop `_compact/`.
+  *
+  * A crash anywhere replays through [[heal]], which every caller runs
+  * first. SINGLE-WRITER, NO CONCURRENT READERS during the apply window
+  * (a reader could momentarily see an old touched file alongside its
+  * replacement) — the same maintenance contract the cluster artifact
+  * documents; steady-state reads between compactions are unrestricted.
+  */
+object CompactStore {
+
+  /** Compact one parquet relation dir in place: drop every row whose
+    * `idCol` is in `removeIds` (one column, distinct ids) and add
+    * `replacement` rows (the caller's rebuilt rows for updated docs —
+    * ids being re-added must also appear in `removeIds`, the
+    * delete+append update idiom). No-ops when nothing is touched and no
+    * replacement rows exist. */
+  def compactRelation(relDir: String, idCol: String, removeIds: DataFrame,
+                      replacement: Option[DataFrame]): Unit = {
+    val spark = removeIds.sparkSession
+    heal(relDir)
+    require(new java.io.File(s"$relDir/_SUCCESS").exists(),
+      s"compactRelation target $relDir is not a built relation")
+    val rm = removeIds.select(col(idCol)).distinct()
+    val rel = spark.read.parquet(relDir)
+    // the relation's column ORDER is part of its on-disk contract: the
+    // equi-join below would move idCol first, and a staged file with
+    // reordered columns breaks positional consumers (and exceptAll
+    // comparisons) on the next read — restore it before staging
+    val relCols = rel.columns.toIndexedSeq
+    // locate the files that physically hold removed rows — file count is
+    // bounded (one driver row per touched FILE, never per data row)
+    val touched = rel
+      .withColumn("_f", input_file_name())
+      .join(broadcast(rm), Seq(idCol), "semi")
+      .select("_f").distinct()
+      .collect().map(_.getString(0))
+    val hasRepl = replacement.isDefined
+    if (touched.isEmpty && !hasRepl) return
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.toIndexedSeq: _*)
+        .join(broadcast(rm), Seq(idCol), "left_anti"))
+    val staged = (survivors, replacement) match {
+      case (Some(a), Some(b)) => a.unionByName(b.select(a.columns.map(col)
+        .toIndexedSeq: _*))
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return
+    }
+    val compactDir = s"$relDir/_compact"
+    staged.select(relCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$compactDir/data")
+    require(new java.io.File(s"$compactDir/data/_SUCCESS").exists(),
+      s"staging under $compactDir did not complete")
+    // THE commit point: the marker lists the superseded files by local
+    // name; everything after it is replayable
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$compactDir/commit"),
+      touched.map(localName).mkString("\n")): Unit
+    applyCommit(relDir)
+  }
+
+  /** Finish (post-commit) or abort (pre-commit) an interrupted
+    * compaction — pure file operations, idempotent, run by every caller
+    * before reading or rewriting. */
+  def heal(relDir: String): Unit = {
+    val compactDir = new java.io.File(s"$relDir/_compact")
+    if (!compactDir.exists()) return
+    if (new java.io.File(compactDir, "commit").isFile) applyCommit(relDir)
+    else FsUtil.deleteRecursively(compactDir) // crashed before the commit
+  }
+
+  private def applyCommit(relDir: String): Unit = {
+    val compactDir = new java.io.File(s"$relDir/_compact")
+    val data = new java.io.File(compactDir, "data")
+    // move staged part files in FIRST (readers lose no rows mid-apply);
+    // part names carry a job-unique uuid, so a replayed move whose
+    // target exists means a partially-applied crash already moved it
+    Option(data.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val target = new java.io.File(relDir, f.getName)
+        if (!target.exists() && !f.renameTo(target))
+          throw new java.io.IOException(s"could not move $f to $target")
+      }
+    // then retire the superseded files (idempotent deletes)
+    java.nio.file.Files
+      .readString(new java.io.File(compactDir, "commit").toPath)
+      .split("\n").filter(_.nonEmpty)
+      .foreach(n => new java.io.File(relDir, n).delete(): Unit)
+    FsUtil.deleteRecursively(compactDir)
+  }
+
+  /** Local file name of an `input_file_name()` URI. */
+  private def localName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+}

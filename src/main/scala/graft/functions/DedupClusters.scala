@@ -393,7 +393,8 @@ object DedupClusters {
     * that opens `clusters/` mid-swap fails loudly (missing path) rather
     * than seeing partial data. */
   def refreshAppended(path: String, newPairs: DataFrame,
-                      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+                      aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    FsUtil.withWriterLock(path) {
     val spark = newPairs.sparkSession
     // a surviving marker means a PRIOR refresh crashed with its merges
     // only in the trail — heal first, or this refresh would compute from
@@ -419,7 +420,7 @@ object DedupClusters {
     swapInStagedClusters(path)
     pending.delete(): Unit
     readPersistedClusters(spark, path)
-  }
+    }
 
   /** Promote a completed `clusters_next/` staging dir to `clusters/`
     * (two local renames; the old dir is deleted only after the staged
@@ -473,5 +474,86 @@ object DedupClusters {
       pending.delete(): Unit
       true
     } else false
+  }
+
+  /** DELETE compaction of a persisted cluster artifact (round-11 verdict
+    * task #1, the dedup leg): drop every stored pair that touches a
+    * `removeIds` document and REFRESH the clusters that held them — a
+    * removed doc can split its component or take its min-id label with
+    * it, so labels must recompute, not just filter. The recompute is
+    * AFFECTED-CLUSTERS-ONLY: every pair's endpoints share a cluster (the
+    * trail invariant), so components without removed members keep their
+    * rows untouched and never reshuffle — cost ∝ clusters holding
+    * removed docs, not the corpus. An UPDATED document composes the two
+    * maintained paths: compactRemoved its old version out, then
+    * refreshAppended its re-paired new version in.
+    *
+    * Crash discipline (the refresh_pending pattern): the removal set
+    * persists to `compact_rm/` and a `compact_pending` marker is set
+    * BEFORE pairs mutate; [[recoverCompact]] re-runs the idempotent pair
+    * compaction from the stored set and rebuilds clusters from the
+    * compacted trail. Single-writer, like every maintenance path. */
+  def compactRemoved(spark: org.apache.spark.sql.SparkSession,
+                     path: String, removeIds: DataFrame): DataFrame =
+    FsUtil.withWriterLock(path) {
+    recoverAppended(spark, path): Unit // heal any append crash first
+    recoverCompact(spark, path): Unit  // and any prior compaction
+    removeIds.select(col(removeIds.columns.head).as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/compact_rm")
+    new java.io.File(s"$path/compact_pending").createNewFile(): Unit
+    val (a, b) = persistedPairCols(path)
+    compactPairs(spark, path, a, b)
+    val rm = spark.read.parquet(s"$path/compact_rm")
+    val old = readPersistedClusters(spark, path)
+    val affected = Materialize(old.join(rm, Seq("id"), "semi")
+      .select("cluster").distinct())
+    val members = old.join(broadcast(affected), Seq("cluster"), "semi")
+    // one-endpoint restriction suffices: both endpoints of any trail
+    // pair share a cluster, so a pair touches an affected cluster iff
+    // its a-side member does
+    val subPairs = readPersistedPairs(spark, path)
+      .join(members.select(col("id").as(a)), Seq(a), "semi")
+    val recomputed = connectedComponentsStar(subPairs, a, b)
+    old.join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select("id", "cluster")
+      .unionByName(recomputed)
+      .write.mode("overwrite").parquet(s"$path/clusters_next")
+    swapInStagedClusters(path)
+    new java.io.File(s"$path/compact_pending").delete(): Unit
+    FsUtil.deleteRecursively(new java.io.File(s"$path/compact_rm"))
+    readPersistedClusters(spark, path)
+    }
+
+  /** Drop pair rows touching the stored removal set — one touched-file
+    * rewrite per endpoint column, each idempotent (pure deletions). */
+  private def compactPairs(spark: org.apache.spark.sql.SparkSession,
+                           path: String, a: String, b: String): Unit = {
+    val rm = spark.read.parquet(s"$path/compact_rm")
+    CompactStore.compactRelation(s"$path/pairs", a,
+      rm.select(col("id").as(a)), None)
+    CompactStore.compactRelation(s"$path/pairs", b,
+      rm.select(col("id").as(b)), None)
+  }
+
+  /** Finish an interrupted [[compactRemoved]] (marker present): re-run
+    * the idempotent pair compaction from `compact_rm/`, then rebuild
+    * clusters from the FULL compacted trail — mid-crash the affected
+    * set can no longer be re-derived from a possibly half-swapped
+    * clusters relation, so recovery takes the always-correct full
+    * star-CC (the recoverAppended trail-rebuild discipline; compaction
+    * crashes are rare enough that the full rebuild is the right
+    * trade). Returns true when a recovery ran. */
+  def recoverCompact(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val pending = new java.io.File(s"$path/compact_pending")
+    if (!pending.exists()) return false
+    val (a, b) = persistedPairCols(path)
+    compactPairs(spark, path, a, b)
+    connectedComponentsStar(readPersistedPairs(spark, path), a, b)
+      .write.mode("overwrite").parquet(s"$path/clusters_next")
+    swapInStagedClusters(path)
+    pending.delete(): Unit
+    FsUtil.deleteRecursively(new java.io.File(s"$path/compact_rm"))
+    true
   }
 }

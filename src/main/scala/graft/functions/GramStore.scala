@@ -162,6 +162,9 @@ object GramStore {
     * widths over the raw text). */
   private def writeRelations(docs: DataFrame, path: String,
                              mode: String): Unit = {
+    // the bucketed projections derive from the relations about to change
+    // — drop them FIRST (crash ⇒ no projection, never a stale one)
+    invalidateBucketed(path)
     val written = scala.collection.mutable.Set.empty[String]
     def put(name: String, df: DataFrame): Unit = {
       // appends go through the staged-rename commit (crash-atomic, and
@@ -186,6 +189,8 @@ object GramStore {
 
   private def ensure(s: SparkSession, dir: String): String = {
     val path = storePath(dir)
+    // finish/abort any interrupted compaction before trusting _SUCCESS
+    relationNames.foreach(name => CompactStore.heal(s"$path/$name"))
     if (relationNames.exists(name =>
         !new java.io.File(s"$path/$name/_SUCCESS").exists()))
       writeRelations(graft.Tables.load(s, dir, "documents"), path,
@@ -193,10 +198,93 @@ object GramStore {
     path
   }
 
+  /** Per-relation replacement builders for [[compact]] — the same
+    * derivations [[writeRelations]] writes, over the updated docs only.
+    * sh3h derives from the updated docs directly (buildSh3h), not from
+    * the materialized sh3, because the compaction path is takedown-sized,
+    * not corpus-sized. */
+  private def replacementFor(name: String, docs: DataFrame): DataFrame =
+    name match {
+      case "sh3"   => buildSh3(docs)
+      case "sh3h"  => buildSh3h(docs)
+      case "span8" => buildSpan8(docs)
+      case "gram5" => buildGram5(docs)
+      case "gram2" => buildGram2(docs)
+    }
+
+  /** DELETE/UPDATE compaction (round-11 verdict task #1): drop every
+    * stored row of `removeIds` documents across all five grains and
+    * insert the freshly-derived rows of `updatedDocs` (ids implicitly
+    * removed first — the delete+append update idiom). Touched-files-only
+    * rewrite per relation; a crash between relations re-runs
+    * idempotently (updated ids are in the removal set, so their
+    * previously-inserted rows delete before re-inserting). */
+  def compact(path: String, removeIds: DataFrame,
+              updatedDocs: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      invalidateBucketed(path)
+      val rm = removeIds.select(col("doc_id"))
+        .unionByName(updatedDocs.select(col("doc_id"))).distinct()
+      relationNames.foreach { name =>
+        CompactStore.compactRelation(s"$path/$name", "doc_id", rm,
+          Some(replacementFor(name, updatedDocs)))
+      }
+    }
+
   /** The stored sh3 relation of a fixture corpus (builds on first touch;
     * steady state: an exchange-free parquet scan). */
   def shingles3(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${ensure(s, dir)}/sh3")
+
+  /** A stored relation as a BUCKETED catalog projection — the TokenStore
+    * termFreqBucketed machinery generalized (round-11 verdict task #4:
+    * "bucket by the grain hash at warehouse scale" was a scaladoc claim;
+    * this exercises it): 8 buckets on `key`, ONE sorted file per bucket
+    * (repartition before the bucketed write so each bucket scans as
+    * sorted), re-registered across JVMs with a metadata-only CREATE
+    * TABLE ... CLUSTERED BY ... LOCATION. Every key-clustered stage of a
+    * consumer then runs with NO Exchange on the stored side. The
+    * projection derives from the base relation, so appends/compactions
+    * invalidate it ([[invalidateBucketed]]) and the next touch rebuilds. */
+  private def bucketedRead(s: SparkSession, dir: String, rel: String,
+                           key: String, ddlSchema: String): DataFrame = {
+    val path = ensure(s, dir)
+    val tbl = s"graft_grams_${rel}_${graft.operators.JoinQueries.dirTag(dir)}"
+    if (!new java.io.File(s"$path/${rel}b/_SUCCESS").exists())
+      s.read.parquet(s"$path/$rel")
+        .repartition(8, col(key))
+        .write.format("parquet").bucketBy(8, key).sortBy(key)
+        .option("path", s"$path/${rel}b")
+        .mode("overwrite").saveAsTable(tbl)
+    else if (!s.catalog.tableExists(tbl))
+      s.sql(
+        s"""CREATE TABLE $tbl ($ddlSchema)
+           |USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+           |LOCATION '$path/${rel}b'""".stripMargin)
+    s.table(tbl)
+  }
+
+  /** sh3 bucketed+sorted on the shingle string — q_novelty's and
+    * q_mix_knapsack's first-occurrence aggregates (groupBy sh, the
+    * family's dominant shuffle) run exchange-free on the stored side. */
+  def shingles3Bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedRead(s, dir, "sh3", "sh",
+      "doc_id BIGINT, source STRING, sh STRING, shh BIGINT")
+
+  /** span8 bucketed+sorted on the span hash — q_span_dedup's span-grain
+    * aggregate AND its join back to the span relation both cluster on
+    * span_h, so neither exchanges the stored side. */
+  def spans8Bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedRead(s, dir, "span8", "span_h", "doc_id BIGINT, span_h BIGINT")
+
+  /** Drop the derived bucketed projections after their sources changed
+    * (appends and compactions call this BEFORE mutating, the TokenStore
+    * crash-ordering argument: a crash then leaves no projection at all,
+    * never a stale one). */
+  private[graft] def invalidateBucketed(path: String): Unit =
+    Seq("sh3b", "span8b").foreach(rel =>
+      FsUtil.deleteRecursively(new java.io.File(s"$path/$rel")))
 
   /** The stored distinct (doc_id, shh) hash relation. */
   def shingles3Hashed(s: SparkSession, dir: String): DataFrame =
@@ -227,5 +315,5 @@ object GramStore {
     * exact. Requires a BUILT store (commitAppend fails loud otherwise —
     * the round-11 advice finding). */
   def appendDocs(path: String, docs: DataFrame): Unit =
-    writeRelations(docs, path, "append")
+    FsUtil.withWriterLock(path) { writeRelations(docs, path, "append") }
 }

@@ -186,6 +186,25 @@ object DedupQueries extends QueryModule {
         .orderBy("id")
     }),
 
+    // COMPACTED dedup clusters: the delete proof for the cluster
+    // artifact (round-11 verdict task #1, the dedup leg — "cluster
+    // labels must REFRESH when a member leaves"). A FULL-corpus cluster
+    // artifact takes a takedown of the isRemoved docs through
+    // DedupClusters.compactRemoved: their pairs rewrite out of the
+    // trail (touched files only) and ONLY the clusters that held them
+    // recompute (a removed doc can split its component or take its
+    // min-id label with it). The oracle recursively re-clusters FROM
+    // SCRATCH over the post-takedown corpus, so the hash match proves
+    // compacted ≡ rebuilt — splits, relabels, vanished components and
+    // all. Updates compose with the maintained append path
+    // (compactRemoved + refreshAppended), each half oracle-gated.
+    // Pre-built by the bench driver; re-runs are pure artifact reads.
+    "q_dedup_compact" -> ((s, dir) => {
+      val path = ensureCompactClusters(s, dir)
+      graft.functions.DedupClusters.readPersistedClusters(s, path)
+        .orderBy("id")
+    }),
+
     // SimHash near-dup pairs, DRIVER-GATED (md5-derived integer hashes —
     // same portability trick as q_minhash_lsh; the xxhash64 SimHash
     // library path in graft.functions.SimHash stays the production
@@ -305,7 +324,10 @@ object DedupQueries extends QueryModule {
       // this query's from-scratch oracle proves stored ≡ derived). Two
       // consumers (the span-count aggregate + the join back) read the
       // stored relation — two scans of narrow 8-byte rows.
-      val spans = graft.functions.GramStore.spans8(s, dir)
+      // BUCKETED read (round-12): both the span-grain aggregate and the
+      // join back cluster on span_h, so neither exchanges the stored
+      // side (GramStoreSpec plan-asserts it)
+      val spans = graft.functions.GramStore.spans8Bucketed(s, dir)
       val sd = spans.groupBy("span_h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       spans.join(sd, "span_h")
@@ -765,6 +787,35 @@ object DedupQueries extends QueryModule {
   private[graft] def incBasePath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup/base_${JoinQueries.dirTag(dir)}"
 
+  /** The q_dedup_compact artifact path (the incBasePath convention). */
+  private[graft] def compactClustersPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup/cmpc_${JoinQueries.dirTag(dir)}"
+
+  /** Build-then-compact artifact for the q_dedup_compact proof: a
+    * FULL-corpus cluster artifact (pairs trail + labels) compacted by
+    * removing the IncrementContract takedown docs, marked `compacted`
+    * once done. A crash anywhere re-runs clean: the marker-less re-entry
+    * re-runs compactRemoved (idempotent — pair deletions no-op, label
+    * refresh recomputes), and compactRemoved itself heals its own
+    * crash windows via recoverCompact/recoverAppended. Pre-built by the
+    * bench driver; the graded query is then a pure artifact read. */
+  private[graft] def ensureCompactClusters(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = compactClustersPath(dir)
+    if (!new java.io.File(s"$path/compacted").exists()) {
+      graft.functions.DedupClusters.recoverCompact(s, path): Unit
+      if (!new java.io.File(s"$path/clusters/_SUCCESS").exists())
+        graft.functions.DedupClusters.writePersisted(
+          minhashPairs(s, dir), path, "id_a", "id_b"): Unit
+      graft.functions.DedupClusters.compactRemoved(s, path,
+        t(s, dir, "documents")
+          .filter(graft.IncrementContract.isRemoved(col("doc_id")))
+          .select(col("doc_id").as("id"))): Unit
+      new java.io.File(s"$path/compacted").createNewFile(): Unit
+    }
+    path
+  }
+
   private[graft] def ensureIncBase(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val path = incBasePath(dir)
@@ -906,9 +957,13 @@ object DedupQueries extends QueryModule {
 
   /** Shared oracle CTE chain for the MinHash-LSH family; ends at
     * `pairs(id_a, id_b, jac)` — the verified near-dup pair list. */
-  private[operators] val minhashCtes: String =
-    """toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
-        |    FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+  private[operators] val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** The minhash pair CTE chain over a parametrized corpus source — the
+    * compaction oracle re-derives pairs from the post-takedown corpus. */
+  private[operators] def minhashCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |    FROM $src WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
         |    RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i : i + 1], ' ')))
         |    AS g FROM toks),
@@ -1003,8 +1058,8 @@ object DedupQueries extends QueryModule {
     * shared oracle of q_dedup_cluster (read path) and q_dedup_persist
     * (incremental-maintenance path): both must hash-match the rebuilt
     * relation. */
-  private val dedupClusterOracle: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  private def dedupClusterSql(ctes: String): String =
+    s"""WITH RECURSIVE $ctes,
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
@@ -1013,6 +1068,14 @@ object DedupQueries extends QueryModule {
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
        |SELECT a AS id, MIN(b) AS cluster FROM reach
        |GROUP BY a ORDER BY id""".stripMargin
+
+  private val dedupClusterOracle: String = dedupClusterSql(minhashCtes)
+
+  /** The compaction proof's oracle: the SAME recursive re-clustering,
+    * from scratch, over the post-takedown corpus — splits, relabels and
+    * vanished components must all match the compacted artifact. */
+  private val dedupCompactOracle: String = dedupClusterSql(
+    minhashCtesFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 0)"))
 
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1079,6 +1142,8 @@ object DedupQueries extends QueryModule {
     // refresh over the persisted base state reproduces the full
     // recursive closure exactly
     "q_dedup_persist" -> dedupClusterOracle,
+
+    "q_dedup_compact" -> dedupCompactOracle,
 
     "q_simhash_dedup" -> simhashDedupOracle,
 

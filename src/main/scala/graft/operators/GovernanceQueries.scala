@@ -79,7 +79,8 @@ object GovernanceQueries extends QueryModule {
       // the write-once GramStore artifact replaces the per-query inline
       // shingle derivation (round-11; this query's from-scratch oracle
       // proves stored ≡ derived on every sweep)
-      val sh = graft.functions.GramStore.shingles3(s, dir)
+      // BUCKETED read (round-12): the groupBy sh runs exchange-free
+      val sh = graft.functions.GramStore.shingles3Bucketed(s, dir)
         .select("doc_id", "source", "sh")
       // each shingle's novelty credit goes to the source of its FIRST doc
       val nv = sh.groupBy("sh")

@@ -101,7 +101,10 @@ object RetrievalQueries extends QueryModule {
       // shared persisted shingle relation — stored ≡ derived is proven
       // by this query's own from-scratch oracle hash match); the inline
       // derivation lives on as GramStore.buildSh3
-      noveltyOf(graft.functions.GramStore.shingles3(s, dir)
+      // BUCKETED read (round-12): the first-occurrence aggregate
+      // (groupBy sh — the query's dominant shuffle) runs exchange-free
+      // on the sh-clustered stored side (GramStoreSpec plan-asserts it)
+      noveltyOf(graft.functions.GramStore.shingles3Bucketed(s, dir)
         .select("doc_id", "source", "sh"))
     }),
 
@@ -182,6 +185,20 @@ object RetrievalQueries extends QueryModule {
           t(s, dir, "documents").filter(isDelta), "doc_id", "text"))
     }),
 
+    // COMPACTED BM25: the delete/update proof for the retrieval family
+    // (round-11 verdict task #1). A FULL-corpus index is compacted once
+    // (takedowns + delete/re-insert updates under the IncrementContract
+    // split — CompactStore's touched-file rewrite of postings and
+    // doclens), then BM25 scores from the compacted relations. The
+    // oracle rebuilds FROM SCRATCH over the post-compaction corpus, so
+    // the hash match proves compacted ≡ rebuilt. Pre-built by the bench
+    // driver; re-runs are pure reads.
+    "q_bm25_compact" -> ((s, dir) => {
+      val path = graft.functions.RetrievalIndex.ensureCompacted(s, dir)
+      graft.functions.RetrievalIndex.bm25TopDf(
+        graft.functions.RetrievalIndex.read(s, path))
+    }),
+
     // Length-weighted top-32 sample via Efraimidis-Spirakis keys.
     "q_sample_weighted" -> ((s, dir) => {
       val keyed = t(s, dir, "documents")
@@ -231,6 +248,10 @@ object RetrievalQueries extends QueryModule {
     // full rebuild
     "q_bm25_incr" -> bm25Oracle,
 
+    // the compaction twin rebuilds from scratch over the
+    // post-compaction corpus (removed docs gone, updated text seen)
+    "q_bm25_compact" -> bm25CompactOracle,
+
 
     "q_sample_weighted" -> {
       val hex12 = sqlHv48("h")
@@ -272,11 +293,18 @@ object RetrievalQueries extends QueryModule {
   /** From-scratch BM25 SQL — shared by q_bm25 (live build) and
     * q_bm25_incr (persisted index + arriving batch): both must
     * hash-match the full rebuild's ranking. */
-  private lazy val bm25Oracle: String =
-    s"""WITH tok AS (
+  private lazy val bm25Oracle: String = bm25Sql("", "documents")
+
+  /** The compaction proof's oracle: the SAME from-scratch BM25 over the
+    * post-compaction corpus (IncrementContract.compactedCorpusSql). */
+  private lazy val bm25CompactOracle: String = bm25Sql(
+    s"corpus AS (${graft.IncrementContract.compactedCorpusSql}),", "corpus")
+
+  private def bm25Sql(pre: String, src: String): String =
+    s"""WITH $pre tok AS (
          |  SELECT doc_id, w
          |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
-         |        FROM documents)
+         |        FROM $src)
          |  WHERE w <> ''),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
          |stats AS (SELECT COUNT(*) AS n_docs,

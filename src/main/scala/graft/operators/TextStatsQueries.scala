@@ -256,6 +256,23 @@ object TextStatsQueries extends QueryModule {
         t(s, dir, "documents").agg(count(lit(1)).as("n")))
     }),
 
+    // COMPACTED TF-IDF: the delete/update proof for the token-store
+    // family (round-11 verdict task #1 — a living corpus takes
+    // takedowns, not just appends). A FULL-corpus store is compacted
+    // once (remove isRemoved docs, delete+re-insert isUpdated docs with
+    // deterministically modified text — CompactStore's touched-file
+    // rewrite), then TF-IDF reads the compacted rows. The oracle
+    // rebuilds FROM SCRATCH over the post-compaction corpus, so the
+    // hash match proves compacted ≡ rebuilt. Pre-built by the bench
+    // driver (IncrementContract.prebuildBases); re-runs are pure reads.
+    "q_tfidf_compact" -> ((s, dir) => {
+      val path = graft.functions.TokenStore.ensureCompacted(s, dir)
+      tfidfOf(s.read.parquet(s"$path/tf"),
+        t(s, dir, "documents")
+          .filter(!graft.IncrementContract.isRemoved(col("doc_id")))
+          .agg(count(lit(1)).as("n")))
+    }),
+
     // Zipf-law fit per language: regression slope of log2(freq) on
     // log2(rank) over the token frequency table, plus R² — the
     // vocabulary-health diagnostic (natural text ≈ -1 slope with high R²;
@@ -395,6 +412,10 @@ object TextStatsQueries extends QueryModule {
     // identically to a full rebuild of the token relation
     "q_tfidf_incr" -> tfidfOracle,
 
+    // the compaction twin rebuilds from scratch over the
+    // post-compaction corpus (removed docs gone, updated text seen)
+    "q_tfidf_compact" -> tfidfCompactOracle,
+
     "q_zipf_slope" ->
       """WITH freq AS (SELECT lang, w, COUNT(*) AS n
         |  FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
@@ -414,12 +435,21 @@ object TextStatsQueries extends QueryModule {
   /** From-scratch TF-IDF SQL — shared by q_tfidf (stored-artifact read)
     * and q_tfidf_incr (persisted base + arriving batch): both must
     * hash-match the full rebuild's ranking. */
-  private lazy val tfidfOracle: String =
-    """WITH tok AS (
+  private lazy val tfidfOracle: String = tfidfSql("", "documents")
+
+  /** The compaction proof's oracle: the SAME from-scratch TF-IDF, over
+    * the post-compaction corpus (IncrementContract.compactedCorpusSql) —
+    * a hash match proves the compacted store ranks identically to a
+    * rebuild that never saw the removed docs and saw the updated text. */
+  private lazy val tfidfCompactOracle: String = tfidfSql(
+    s"corpus AS (${graft.IncrementContract.compactedCorpusSql}),", "corpus")
+
+  private def tfidfSql(pre: String, src: String): String =
+    s"""WITH $pre tok AS (
       |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
-      |  FROM documents),
+      |  FROM $src),
       |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY w),
-      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM $src),
       |tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w),
       |scored AS (
       |  SELECT lang, w, tf,

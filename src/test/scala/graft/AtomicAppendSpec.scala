@@ -78,6 +78,28 @@ class AtomicAppendSpec extends SparkSpec {
     assert(sameRelation(appended.doclens, rebuilt.doclens))
   }
 
+  test("single-writer lock: second maintainer fails loud, dead locks steal") {
+    val path = Files.createTempDirectory("graft-lock").toString
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    TokenStore.buildTf(docs.filter(col("doc_id") % 5 =!= 4))
+      .write.parquet(s"$path/tf")
+    val lock = new java.io.File(s"$path/_writer.lock")
+    // a LIVE concurrent writer (this very pid) — the second mutation
+    // must fail loud instead of interleaving staged commits
+    Files.writeString(lock.toPath,
+      s"${ProcessHandle.current().pid()}\n")
+    val before = spark.read.parquet(s"$path/tf").count()
+    intercept[IllegalStateException] { TokenStore.appendDocs(path, delta) }
+    assert(spark.read.parquet(s"$path/tf").count() == before,
+      "a refused writer must not have touched the store")
+    assert(lock.exists(), "the holder's lock must survive the refusal")
+    // a DEAD holder (crashed JVM): the lock steals with a warning
+    Files.writeString(lock.toPath, "99999999\n")
+    TokenStore.appendDocs(path, delta)
+    assert(!lock.exists(), "the lock must release after the mutation")
+    assert(spark.read.parquet(s"$path/tf").count() > before)
+  }
+
   test("bindEpoch: first bind stamps, rebind agrees, mixed lifetimes throw") {
     val root = Files.createTempDirectory("graft-epoch").toString
     val cp = s"$root/cp"; val dest = s"$root/store/tf"

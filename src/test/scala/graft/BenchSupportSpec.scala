@@ -99,6 +99,37 @@ class BenchSupportSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrated outlier gate normalizes both sides by their run's load") {
+    // raw doubling on a 2x-hotter VM hour is NOT an outlier...
+    assert(!BenchSupport.isOutlierCalibrated(
+      median = 2.0, prev = 1.0, calNow = 1.0, calPrev = 0.5))
+    // ...while a flat raw value on a 2x-COOLER hour IS (the q_bpe_merge
+    // miss: the raw gate saw no delta, the plan got slower)
+    assert(BenchSupport.isOutlierCalibrated(
+      median = 1.0, prev = 1.0, calNow = 0.5, calPrev = 1.0))
+    // absolute floor stays raw: sub-half-second medians never flag
+    assert(!BenchSupport.isOutlierCalibrated(
+      median = 0.4, prev = 0.1, calNow = 1.0, calPrev = 1.0))
+    // missing calibration on either side falls back to the raw gate
+    assert(BenchSupport.isOutlierCalibrated(
+      median = 2.0, prev = 1.0, calNow = -1.0, calPrev = 1.0))
+    assert(!BenchSupport.isOutlierCalibrated(
+      median = 1.2, prev = 1.0, calNow = 1.0, calPrev = -1.0))
+  }
+
+  test("parsePrevCalibration reads plain, extended and wrapper-escaped forms") {
+    assert(BenchSupport.parsePrevCalibration(
+      """{"calibration":{"pre":0.5,"post":1.5},"x":1}""").contains(1.0))
+    // round-12 artifacts append a "prev" field — must still parse
+    assert(BenchSupport.parsePrevCalibration(
+      """{"calibration":{"pre":0.5,"post":1.5,"prev":0.7}}""").contains(1.0))
+    // escaped inside the driver wrapper's tail string
+    assert(BenchSupport.parsePrevCalibration(
+      """{"tail":"{\"calibration\":{\"pre\":2.0,\"post\":4.0}}"}""")
+      .contains(3.0))
+    assert(BenchSupport.parsePrevCalibration("""{"no":"cal"}""").isEmpty)
+  }
+
   test("manifest catches a same-size in-place regeneration via mtime") {
     // round-11 advice: a seeded/fixed-width generator can rewrite a
     // fixture with byte-identical sizes; the artifact tags must still

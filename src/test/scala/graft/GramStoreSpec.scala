@@ -68,4 +68,34 @@ class GramStoreSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"),
       s"span dedup steady state must not re-scan raw text:\n$plan")
   }
+
+  /** Shuffle partitionings of a query's FINAL adaptive plan (node-count,
+    * not plan-string grep — AQE's toString prints final + initial). */
+  private def shufflesOf(name: String): Seq[String] = {
+    val df = q(name)
+    df.queryExecution.toRdd.count()
+    graft.plans.PlanAllowlist.flatten(df.queryExecution.executedPlan)
+      .collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.toString
+      }
+  }
+
+  test("bucketed projections make the grain stages exchange-free") {
+    // round-12 (verdict task #4): sh3 bucketed on sh, span8 on span_h —
+    // the consumers' grain-level aggregates/joins must not reshuffle the
+    // stored side.
+    // q_span_dedup: span-grain agg + join back both cluster on span_h;
+    // the only shuffle left is the per-doc aggregate (+ nothing else)
+    val spanShuffles = shufflesOf("q_span_dedup")
+    assert(!spanShuffles.exists(_.contains("hashpartitioning(span_h")),
+      s"span_h stages must ride the stored bucketing: $spanShuffles")
+    assert(spanShuffles.count(_ != "SinglePartition") <= 2,
+      s"q_span_dedup should shuffle only for the per-doc agg and the " +
+        s"output sort: $spanShuffles")
+    // q_novelty: the first-occurrence aggregate clusters on sh
+    val novShuffles = shufflesOf("q_novelty")
+    assert(!novShuffles.exists(_.contains("hashpartitioning(sh")),
+      s"the sh grain stage must ride the stored bucketing: $novShuffles")
+  }
 }

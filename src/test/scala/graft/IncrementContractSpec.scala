@@ -26,7 +26,8 @@ class IncrementContractSpec extends SparkSpec {
   test("prebuildBases creates every family's base, each free of delta ids") {
     val builds = IncrementContract.prebuildBases(spark, sf).toMap
     assert(builds.keySet ==
-      Set("dedup", "simhash", "lsh", "tokens", "grams", "retrieval"),
+      Set("dedup", "simhash", "lsh", "tokens", "grams", "retrieval",
+        "tokens_compact", "retrieval_compact", "dedup_compact"),
       s"unexpected family set: ${builds.keySet}")
     assert(builds.values.forall(_ >= 0), s"a prebuild failed: $builds")
 
