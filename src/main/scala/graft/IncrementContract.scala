@@ -85,6 +85,12 @@ object IncrementContract {
       },
       timed("dedup_compact") {
         operators.DedupQueries.ensureCompactClusters(s, dir): Unit
+      },
+      timed("simhash_compact") {
+        operators.DedupQueries.ensureSimhashCompact(s, dir): Unit
+      },
+      timed("lsh_compact") {
+        operators.EvalQueries.ensureLshCompact(s, dir): Unit
       })
   }
 }

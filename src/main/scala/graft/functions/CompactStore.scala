@@ -43,7 +43,13 @@ object CompactStore {
     * `replacement` rows (the caller's rebuilt rows for updated docs —
     * ids being re-added must also appear in `removeIds`, the
     * delete+append update idiom). No-ops when nothing is touched and no
-    * replacement rows exist. */
+    * replacement rows exist.
+    *
+    * SIZING CONTRACT: removal sets are TAKEDOWN-sized — the broadcast
+    * semi-join ships them to every scan task, and the rewrite volume is
+    * (touched files × their full rows). A mass deletion whose ids hit
+    * most files approaches a full rewrite with broadcast pressure on
+    * top; past ~10% of the corpus, rebuild the store instead. */
   def compactRelation(relDir: String, idCol: String, removeIds: DataFrame,
                       replacement: Option[DataFrame]): Unit = {
     val spark = removeIds.sparkSession

@@ -328,6 +328,16 @@ object CosineLsh {
         idx.bands).keys)
   }
 
+  /** DELETE compaction of a stored index: drop every bucket-key row of
+    * `removeIds` vectors (per-id rows, so deletion is exact — probes
+    * simply stop seeing them). An updated vector composes compactIndex
+    * + appendIndex. */
+  def compactIndex(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      CompactStore.compactRelation(s"$path/keys", "ls_id",
+        removeIds.select(col(removeIds.columns.head).as("ls_id")), None)
+    }
+
   /** Arriving vectors probed against a stored index — batch or
     * STREAMING (stateless stream-static equi-join on bucket key):
     * (probe_id, vec_id, cos) hits with cosine ≥ threshold. Probes

@@ -286,6 +286,19 @@ object MinHashDedup {
     StagedCommit.commitAppend(s"$path/shingles", sh)
   }
 
+  /** DELETE compaction of a stored index: drop every key and shingle
+    * row of `removeIds` documents. Both relations are per-doc, so the
+    * deletion is exact; an updated doc composes compactIndex +
+    * appendIndex. A crash between the two relations re-runs
+    * idempotently (pure deletions). */
+  def compactIndex(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      CompactStore.compactRelation(s"$path/keys", "mh_id",
+        removeIds.select(col(removeIds.columns.head).as("mh_id")), None)
+      CompactStore.compactRelation(s"$path/shingles", "sh_id",
+        removeIds.select(col(removeIds.columns.head).as("sh_id")), None)
+    }
+
   /** INCREMENTAL dedup — the operation a living 100 TB corpus actually
     * runs: a new batch arrives and must be deduped (a) against the
     * standing corpus and (b) within itself, WITHOUT ever re-pairing the

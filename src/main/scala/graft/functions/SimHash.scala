@@ -260,6 +260,17 @@ object SimHash {
       buildIndex(batch, idCol, tokensCol, idx.d, idx.nBlocks).keys)
   }
 
+  /** DELETE compaction: drop every key row of `removeIds` documents
+    * (takedowns). Signatures are per-doc, so deletion is exact — probes
+    * simply stop seeing the removed docs. Touched-files-only rewrite
+    * under the single-writer lock; an updated doc composes
+    * compactIndex + appendIndex (delete+append). */
+  def compactIndex(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      CompactStore.compactRelation(s"$path/keys", "sh_id",
+        removeIds.select(col(removeIds.columns.head).as("sh_id")), None)
+    }
+
   /** Arriving documents probed against a stored index — batch or
     * STREAMING (pure per-row key derivation + a static-side equi-join,
     * so Structured Streaming plans a stateless stream-static join):

@@ -205,6 +205,20 @@ object DedupQueries extends QueryModule {
         .orderBy("id")
     }),
 
+    // COMPACTED SimHash pairs: the delete proof for the signature-index
+    // family (round-12; completes delete support across every sketch
+    // family). A FULL-corpus (sigs, pairs) artifact takes a takedown of
+    // the isRemoved docs — their sig rows and every pair touching them
+    // rewrite out of the stored relations, touched files only. The
+    // oracle re-derives the pair relation FROM SCRATCH over the
+    // post-takedown corpus: candidacy and Hamming distance are
+    // pairwise, so the surviving pairs must match byte-for-byte.
+    // Pre-built by the bench driver; re-runs are pure artifact reads.
+    "q_simhash_compact" -> ((s, dir) => {
+      val path = ensureSimhashCompact(s, dir)
+      s.read.parquet(s"$path/pairs").orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup pairs, DRIVER-GATED (md5-derived integer hashes —
     // same portability trick as q_minhash_lsh; the xxhash64 SimHash
     // library path in graft.functions.SimHash stays the production
@@ -509,26 +523,61 @@ object DedupQueries extends QueryModule {
     * plus its verified pair list — 8 bytes/doc of signature state, the
     * whole point of the family (at 100 TB the sig relation is the
     * index; the text is never re-read to re-derive it). */
+  /** Write a (sigs, pairs) SimHash artifact for the docs matching
+    * `pred` — shared by the increment base (80% standing corpus) and
+    * the compaction proof's full-corpus artifact. */
+  private def writeSimhashArtifact(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val sigs = graft.functions.Materialize(simhashSigs(s, dir, pred))
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val blocks = graft.functions.Materialize(simhashBlocks(sigs))
+    val dist = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+      .cast("int")
+    blocks.as("a").join(blocks.as("b"),
+        col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        dist.as("dist"))
+      .distinct()
+      .filter(col("dist") <= 3)
+      .write.mode("overwrite").parquet(s"$path/pairs")
+  }
+
   private[graft] def ensureSimhashBase(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_dedup/sim_${JoinQueries.dirTag(dir)}"
     if (!new java.io.File(s"$path/sigs/_SUCCESS").exists() ||
-        !new java.io.File(s"$path/pairs/_SUCCESS").exists()) {
-      val sigs = graft.functions.Materialize(
-        simhashSigs(s, dir, !incIsDelta))
-      sigs.write.mode("overwrite").parquet(s"$path/sigs")
-      val blocks = graft.functions.Materialize(simhashBlocks(sigs))
-      val dist = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
-        .cast("int")
-      blocks.as("a").join(blocks.as("b"),
-          col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          dist.as("dist"))
-        .distinct()
-        .filter(col("dist") <= 3)
-        .write.mode("overwrite").parquet(s"$path/pairs")
+        !new java.io.File(s"$path/pairs/_SUCCESS").exists())
+      writeSimhashArtifact(s, dir, path, !incIsDelta)
+    path
+  }
+
+  /** Build-then-compact artifact for the q_simhash_compact proof: a
+    * FULL-corpus (sigs, pairs) artifact takes a takedown of the
+    * IncrementContract removal docs — their signature rows and every
+    * pair touching them rewrite out (touched files only; candidacy and
+    * Hamming distance are pairwise, so surviving pairs are untouched).
+    * Every step is idempotent; `compacted` marks done. */
+  private[graft] def ensureSimhashCompact(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dedup/simc_${JoinQueries.dirTag(dir)}"
+    if (!new java.io.File(s"$path/compacted").exists()) {
+      if (!new java.io.File(s"$path/sigs/_SUCCESS").exists() ||
+          !new java.io.File(s"$path/pairs/_SUCCESS").exists())
+        writeSimhashArtifact(s, dir, path, lit(true))
+      val rm = t(s, dir, "documents")
+        .filter(graft.IncrementContract.isRemoved(col("doc_id")))
+        .select("doc_id")
+      graft.functions.CompactStore.compactRelation(s"$path/sigs",
+        "doc_id", rm, None)
+      graft.functions.CompactStore.compactRelation(s"$path/pairs",
+        "id_a", rm.select(col("doc_id").as("id_a")), None)
+      graft.functions.CompactStore.compactRelation(s"$path/pairs",
+        "id_b", rm.select(col("doc_id").as("id_b")), None)
+      new java.io.File(s"$path/compacted").createNewFile(): Unit
     }
     path
   }
@@ -1040,8 +1089,17 @@ object DedupQueries extends QueryModule {
   /** From-scratch SimHash pair relation — the shared oracle of
     * q_simhash_dedup (direct build) and q_simhash_persist (incremental
     * maintenance): both must hash-match the full rebuild. */
-  private val simhashDedupOracle: String =
-    s"""WITH ${simhashSigCtes("")},
+  private val simhashDedupOracle: String = simhashDedupSql("")
+
+  /** The compaction proof's oracle: the SAME from-scratch pair
+    * derivation over the post-takedown corpus (candidacy and Hamming
+    * distance are pairwise, so surviving pairs must be byte-identical
+    * to the compacted artifact's). */
+  private val simhashCompactOracle: String =
+    simhashDedupSql(" AND doc_id % 10 <> 0")
+
+  private def simhashDedupSql(extraWhere: String): String =
+    s"""WITH ${simhashSigCtes(extraWhere)},
        |blocks AS (SELECT doc_id, sig, UNNEST([0, 1, 2, 3]) AS band,
        |    UNNEST([(sig >> 0) & 255, (sig >> 8) & 255,
        |            (sig >> 16) & 255, (sig >> 24) & 255]) AS blk
@@ -1151,6 +1209,9 @@ object DedupQueries extends QueryModule {
     // a hash match proves the persisted-base + delta-probe composition
     // reproduces the full pair relation exactly
     "q_simhash_persist" -> simhashDedupOracle,
+
+    // the compaction twin re-derives pairs from the post-takedown corpus
+    "q_simhash_compact" -> simhashCompactOracle,
 
     "q_simhash_eval" ->
       s"""WITH ${simhashSigCtes(" AND doc_id < 1000")},

@@ -116,20 +116,55 @@ object EvalQueries extends QueryModule {
   private[graft] def lshBasePath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_lsh/base_${JoinQueries.dirTag(dir)}"
 
+  /** Write a (keys, pairs) banded-LSH artifact for the audit-block rows
+    * matching `pred` — shared by the increment base and the compaction
+    * proof's full-block artifact. */
+  private def writeLshArtifact(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val keys = graft.functions.Materialize(
+      lshBandKeys(s, lshIvGrid(s, dir).filter(pred)))
+    keys.write.mode("overwrite").parquet(s"$path/keys")
+    val probes = lshProbes(keys)
+    keys.as("k").join(probes.as("p"),
+        col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
+          col("k.id") < col("p.idb"))
+      .select(col("k.id").as("ia"), col("p.idb").as("ib"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/pairs")
+  }
+
   private[graft] def ensureLshBase(s: org.apache.spark.sql.SparkSession,
                                    dir: String): String = {
     val path = lshBasePath(dir)
-    if (!new java.io.File(s"$path/pairs/_SUCCESS").exists()) {
-      val keys = graft.functions.Materialize(
-        lshBandKeys(s, lshIvGrid(s, dir).filter(!lshIsDelta)))
-      keys.write.mode("overwrite").parquet(s"$path/keys")
-      val probes = lshProbes(keys)
-      keys.as("k").join(probes.as("p"),
-          col("k.band") === col("p.band") && col("k.bk") === col("p.pk") &&
-            col("k.id") < col("p.idb"))
-        .select(col("k.id").as("ia"), col("p.idb").as("ib"))
-        .distinct()
-        .write.mode("overwrite").parquet(s"$path/pairs")
+    if (!new java.io.File(s"$path/pairs/_SUCCESS").exists())
+      writeLshArtifact(s, dir, path, !lshIsDelta)
+    path
+  }
+
+  /** Build-then-compact artifact for the q_lsh_compact proof: the FULL
+    * audit block's (keys, pairs) artifact takes a takedown of the
+    * IncrementContract removal ids — their band-key rows and every
+    * candidate pair touching them rewrite out (touched files only;
+    * band-key candidacy is pairwise, so surviving pairs are untouched).
+    * Idempotent at every step; `compacted` marks done. */
+  private[graft] def ensureLshCompact(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_lsh/cmp_${JoinQueries.dirTag(dir)}"
+    if (!new java.io.File(s"$path/compacted").exists()) {
+      if (!new java.io.File(s"$path/pairs/_SUCCESS").exists())
+        writeLshArtifact(s, dir, path, lit(true))
+      val rm = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .filter(graft.IncrementContract.isRemoved(col("vec_id")))
+        .select(col("vec_id").cast("long").as("id"))
+      graft.functions.CompactStore.compactRelation(s"$path/keys",
+        "id", rm, None)
+      graft.functions.CompactStore.compactRelation(s"$path/pairs",
+        "ia", rm.select(col("id").as("ia")), None)
+      graft.functions.CompactStore.compactRelation(s"$path/pairs",
+        "ib", rm.select(col("id").as("ib")), None)
+      new java.io.File(s"$path/compacted").createNewFile(): Unit
     }
     path
   }
@@ -408,6 +443,20 @@ object EvalQueries extends QueryModule {
         .orderBy("ia", "ib")
     }),
 
+    // COMPACTED banded-LSH candidates: the delete proof for the vector
+    // index family (round-12; completes delete support across every
+    // sketch family). The full audit block's (keys, pairs) artifact
+    // takes a takedown of the isRemoved ids — key rows and every pair
+    // touching them rewrite out, touched files only. The oracle
+    // re-derives every surviving id's keys and the full candidate set
+    // FROM SCRATCH over the post-takedown block; band-key candidacy is
+    // pairwise, so the surviving pairs must match exactly. Pre-built by
+    // the bench driver; re-runs are pure artifact reads.
+    "q_lsh_compact" -> ((s, dir) => {
+      val path = ensureLshCompact(s, dir)
+      s.read.parquet(s"$path/pairs").orderBy("ia", "ib")
+    }),
+
     // Calibration/reliability curve: scores bucketed into rank deciles
     // (integer arithmetic on the SAME distributed rank as q_auc), per
     // decile the positive rate and mean score — "do higher cosines mean
@@ -475,6 +524,38 @@ object EvalQueries extends QueryModule {
         .orderBy("true_label", "pred_label")
     })
   )
+
+  /** From-scratch banded-LSH candidate pairs over the audit-block rows
+    * matching `where` — shared by q_lsh_persist (full block) and
+    * q_lsh_compact (post-takedown block): the oracle derives EVERY
+    * surviving id's keys and the complete candidate set, so a hash
+    * match proves the maintained/compacted artifact exactly. */
+  private def lshPairsSql(where: String): String = {
+    val coefHv = sqlHv48(
+      "md5('c' || CAST(j AS VARCHAR) || ':' || CAST(cpos AS VARCHAR))")
+    s"""WITH ex AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(i - 1 AS INT) AS pos,
+       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+       |      AS BIGINT) AS iv
+       |  FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
+       |  WHERE $where),
+       |coef AS (SELECT t.j, u.cpos, ($coefHv) % 2001 - 1000 AS w
+       |  FROM RANGE(0, 40) t(j) CROSS JOIN RANGE(0, 64) u(cpos)),
+       |bits AS (SELECT id, j, SUM(w * iv) > 0 AS b
+       |  FROM ex JOIN coef ON pos = cpos GROUP BY id, j),
+       |keyz AS (SELECT id, j // 10 AS band,
+       |    CAST(SUM(CASE WHEN b THEN (CAST(1 AS BIGINT) << CAST(j % 10 AS INT))
+       |      ELSE 0 END) AS BIGINT) AS bk
+       |  FROM bits GROUP BY id, j // 10),
+       |probes AS (SELECT id AS idb, band,
+       |    CASE WHEN f < 0 THEN bk
+       |      ELSE xor(bk, CAST(1 AS BIGINT) << CAST(f AS INT)) END AS pk
+       |  FROM keyz CROSS JOIN RANGE(-1, 10) r(f))
+       |SELECT DISTINCT k.id AS ia, p.idb AS ib
+       |FROM keyz k JOIN probes p
+       |  ON k.band = p.band AND k.bk = p.pk AND k.id < p.idb
+       |ORDER BY ia, ib""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q_ndcg" ->
@@ -661,32 +742,11 @@ object EvalQueries extends QueryModule {
     // scratch and emits the full candidate-pair relation — a hash match
     // proves the maintained index (stored base keys/pairs + delta-only
     // keying) equals a rebuild
-    "q_lsh_persist" -> {
-      val coefHv = sqlHv48(
-        "md5('c' || CAST(j AS VARCHAR) || ':' || CAST(cpos AS VARCHAR))")
-      s"""WITH ex AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(i - 1 AS INT) AS pos,
-         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
-         |      AS BIGINT) AS iv
-         |  FROM embeddings CROSS JOIN RANGE(1, 65) t(i)
-         |  WHERE vec_id < 1000),
-         |coef AS (SELECT t.j, u.cpos, ($coefHv) % 2001 - 1000 AS w
-         |  FROM RANGE(0, 40) t(j) CROSS JOIN RANGE(0, 64) u(cpos)),
-         |bits AS (SELECT id, j, SUM(w * iv) > 0 AS b
-         |  FROM ex JOIN coef ON pos = cpos GROUP BY id, j),
-         |keyz AS (SELECT id, j // 10 AS band,
-         |    CAST(SUM(CASE WHEN b THEN (CAST(1 AS BIGINT) << CAST(j % 10 AS INT))
-         |      ELSE 0 END) AS BIGINT) AS bk
-         |  FROM bits GROUP BY id, j // 10),
-         |probes AS (SELECT id AS idb, band,
-         |    CASE WHEN f < 0 THEN bk
-         |      ELSE xor(bk, CAST(1 AS BIGINT) << CAST(f AS INT)) END AS pk
-         |  FROM keyz CROSS JOIN RANGE(-1, 10) r(f))
-         |SELECT DISTINCT k.id AS ia, p.idb AS ib
-         |FROM keyz k JOIN probes p
-         |  ON k.band = p.band AND k.bk = p.pk AND k.id < p.idb
-         |ORDER BY ia, ib""".stripMargin
-    },
+    "q_lsh_persist" -> lshPairsSql("vec_id < 1000"),
+
+    // the compaction twin re-derives every surviving id's keys and the
+    // full candidate set from the post-takedown block
+    "q_lsh_compact" -> lshPairsSql("vec_id < 1000 AND vec_id % 10 <> 0"),
 
     "q_reliability" ->
       s"""WITH probe AS (

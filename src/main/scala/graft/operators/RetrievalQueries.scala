@@ -135,17 +135,22 @@ object RetrievalQueries extends QueryModule {
     // scaled to BIGINTs before the per-doc sum so the ranking never
     // depends on float summation order.
     "q_bm25" -> ((s, dir) => {
-      val tok = graft.functions.Materialize(
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= ""))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // served from the write-once TokenStore artifact (round-12): the
+      // stored (doc, w, tf) rows ARE the posting grain this query built
+      // inline — tokenize, the corpus-wide (w, doc) distinct AND the tf
+      // re-count all collapse into scans of the stored relation (df is
+      // a plain row count on the (doc, w)-distinct grain, dl = Σ tf per
+      // doc). The BUCKETED read runs the df aggregate and the w-keyed
+      // qterm join exchange-free (the q_tfidf machinery); the
+      // from-scratch oracle re-proves stored ≡ derived on every sweep.
+      val tk = graft.functions.TokenStore.termFreqBucketed(s, dir)
+        .filter(col("w") =!= "").select("doc_id", "w", "tf")
+      val dl = tk.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val dfw = tok.select("w", "doc_id").distinct()
-        .groupBy("w").agg(count(lit(1)).as("df"))
+      val dfw = tk.groupBy("w").agg(count(lit(1)).as("df"))
       val qterms = dfw.orderBy(col("df").desc, col("w")).limit(3)
-      val tf = tok.join(broadcast(qterms), Seq("w"))
-        .groupBy("doc_id", "w", "df").agg(count(lit(1)).as("tf"))
+      val tf = tk.join(broadcast(qterms), Seq("w"))
+        .select(col("doc_id"), col("w"), col("df"), col("tf"))
       val scored = tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
         .select(col("doc_id"),
           floor((log((col("n_docs") - col("df") + 0.5)

@@ -27,7 +27,8 @@ class IncrementContractSpec extends SparkSpec {
     val builds = IncrementContract.prebuildBases(spark, sf).toMap
     assert(builds.keySet ==
       Set("dedup", "simhash", "lsh", "tokens", "grams", "retrieval",
-        "tokens_compact", "retrieval_compact", "dedup_compact"),
+        "tokens_compact", "retrieval_compact", "dedup_compact",
+        "simhash_compact", "lsh_compact"),
       s"unexpected family set: ${builds.keySet}")
     assert(builds.values.forall(_ >= 0), s"a prebuild failed: $builds")
 

@@ -77,4 +77,45 @@ class IndexPersistSpec extends SparkSpec {
         && h._3 >= 0.999),
       s"planted vector not found: ${hits.toSeq}")
   }
+
+  test("compactIndex: takedown ≡ rebuild-without for all three index families") {
+    // round-12: delete support across every sketch family — removing
+    // ids from a per-doc-row index must equal an index never built
+    // from them (rows are per-id, so the proof is relation equality)
+    val rmPred = IncrementContract.isRemoved(col("doc_id"))
+
+    val docs = table("documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val sDir = Files.createTempDirectory("graft-sim-cmp").toString
+    SimHash.writeIndex(
+      SimHash.buildIndex(docs, "doc_id", "toks", d = 3, nBlocks = 4), sDir)
+    SimHash.compactIndex(sDir, docs.filter(rmPred).select("doc_id"))
+    assertSameRelation(SimHash.readIndex(spark, sDir).keys,
+      SimHash.buildIndex(docs.filter(!rmPred), "doc_id", "toks",
+        d = 3, nBlocks = 4).keys, "simhash compact")
+
+    val vecs = table("embeddings")
+    val vRm = IncrementContract.isRemoved(col("vec_id"))
+    val lDir = Files.createTempDirectory("graft-lsh-cmp").toString
+    CosineLsh.writeIndex(
+      CosineLsh.buildIndex(vecs, "vec_id", "embedding"), lDir)
+    CosineLsh.compactIndex(lDir, vecs.filter(vRm).select("vec_id"))
+    assertSameRelation(CosineLsh.readIndex(spark, lDir).keys,
+      CosineLsh.buildIndex(vecs.filter(!vRm), "vec_id", "embedding").keys,
+      "cosine-lsh compact")
+
+    val texts = table("documents").select("doc_id", "text")
+    val mDir = Files.createTempDirectory("graft-mh-cmp").toString
+    graft.functions.MinHashDedup.writeIndex(
+      graft.functions.MinHashDedup.buildIndex(texts, "doc_id", "text"),
+      mDir)
+    graft.functions.MinHashDedup.compactIndex(mDir,
+      texts.filter(rmPred).select("doc_id"))
+    val compacted = graft.functions.MinHashDedup.readIndex(spark, mDir)
+    val rebuilt = graft.functions.MinHashDedup.buildIndex(
+      texts.filter(!rmPred), "doc_id", "text")
+    assertSameRelation(compacted.keys, rebuilt.keys, "minhash keys")
+    assertSameRelation(compacted.shingles, rebuilt.shingles,
+      "minhash shingles")
+  }
 }
