@@ -92,7 +92,43 @@ object CompactStore {
     // name; everything after it is replayable
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$compactDir/commit"),
-      touched.map(localName).mkString("\n")): Unit
+      touched.map(relativeName(relDir, _)).mkString("\n")): Unit
+    applyCommit(relDir)
+  }
+
+  /** Partition-aware flavor for cell-PARTITIONED relations (IvfIndex
+    * `cells/`, ProductQuantizer `codes/`): the same touched-files
+    * discipline, but survivors are read with the partition column
+    * attached (`basePath`) and staged back PARTITIONED, so every
+    * replacement file lands inside its original cell dir. Deletions
+    * only (per-id rows; an updated vector composes remove + append). */
+  def compactPartitioned(relDir: String, idCol: String, partCol: String,
+                         removeIds: DataFrame): Unit = {
+    val spark = removeIds.sparkSession
+    heal(relDir)
+    require(new java.io.File(s"$relDir/_SUCCESS").exists(),
+      s"compactPartitioned target $relDir is not a built relation")
+    val rm = removeIds.select(col(idCol)).distinct()
+    val rel = spark.read.parquet(relDir)
+    val relCols = rel.columns.toIndexedSeq
+    val touched = rel
+      .withColumn("_f", input_file_name())
+      .join(broadcast(rm), Seq(idCol), "semi")
+      .select("_f").distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val survivors = spark.read.option("basePath", relDir)
+      .parquet(touched.toIndexedSeq: _*)
+      .join(broadcast(rm), Seq(idCol), "left_anti")
+    val compactDir = s"$relDir/_compact"
+    survivors.select(relCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$compactDir/data")
+    require(new java.io.File(s"$compactDir/data/_SUCCESS").exists(),
+      s"staging under $compactDir did not complete")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$compactDir/commit"),
+      touched.map(relativeName(relDir, _)).mkString("\n")): Unit
     applyCommit(relDir)
   }
 
@@ -109,18 +145,28 @@ object CompactStore {
   private def applyCommit(relDir: String): Unit = {
     val compactDir = new java.io.File(s"$relDir/_compact")
     val data = new java.io.File(compactDir, "data")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
     // move staged part files in FIRST (readers lose no rows mid-apply);
     // part names carry a job-unique uuid, so a replayed move whose
-    // target exists means a partially-applied crash already moved it
-    Option(data.listFiles()).getOrElse(Array.empty)
+    // target exists means a partially-applied crash already moved it.
+    // The walk is recursive so a PARTITIONED staging (cell=X/part-*)
+    // lands back inside its partition dir.
+    val dataBase = data.getCanonicalPath
+    walk(data)
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
       .foreach { f =>
-        val target = new java.io.File(relDir, f.getName)
+        val rel = f.getCanonicalPath.substring(dataBase.length + 1)
+        val target = new java.io.File(relDir, rel)
+        Option(target.getParentFile).foreach(_.mkdirs())
         if (!target.exists() && !f.renameTo(target))
           throw new java.io.IOException(s"could not move $f to $target")
       }
-    // then retire the superseded files (idempotent deletes)
+    // then retire the superseded files (idempotent deletes; names may
+    // carry partition subpaths)
     java.nio.file.Files
       .readString(new java.io.File(compactDir, "commit").toPath)
       .split("\n").filter(_.nonEmpty)
@@ -128,7 +174,14 @@ object CompactStore {
     FsUtil.deleteRecursively(compactDir)
   }
 
-  /** Local file name of an `input_file_name()` URI. */
-  private def localName(uri: String): String =
-    uri.substring(uri.lastIndexOf('/') + 1)
+  /** Path of an `input_file_name()` URI relative to the relation dir —
+    * the file name for a flat relation, `cell=X/part-...` for a
+    * partitioned one. */
+  private def relativeName(relDir: String, uri: String): String = {
+    val base = new java.io.File(relDir).getCanonicalPath
+    val p = new java.io.File(new java.net.URI(uri)).getCanonicalPath
+    require(p.startsWith(base + java.io.File.separator),
+      s"file $uri is not under relation dir $relDir")
+    p.substring(base.length + 1)
+  }
 }

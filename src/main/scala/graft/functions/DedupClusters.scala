@@ -401,6 +401,11 @@ object DedupClusters {
     // the stale clusters and clear the marker below, losing them forever
     if (new java.io.File(s"$path/refresh_pending").exists())
       recoverAppended(spark, path): Unit
+    // likewise a crashed COMPACTION: without this, the refresh would
+    // fold its pairs into clusters computed over half-compacted state
+    // (the later recoverCompact still converges — full-trail rebuild —
+    // but readers in between would see removed docs still clustered)
+    recoverCompact(spark, path): Unit
     val old = readPersistedClusters(spark, path)
     // materialized BEFORE any write: the refresh must not lazily re-read
     // `pairs/`/`clusters/` after they start changing underneath it

@@ -206,6 +206,18 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** DELETE compaction (round-12): drop every cell row of `removeIds`
+    * vectors — rows are per-vector, so probes simply stop seeing them;
+    * the centroid model is untouched (assignment of the survivors never
+    * changes, so search ≡ an index the removed vectors never entered).
+    * An updated vector composes removeVectors + appendVectors.
+    * Partition-aware touched-file rewrite under the writer lock. */
+  def removeVectors(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      CompactStore.compactPartitioned(s"$path/cells", "vec_id", "cell",
+        removeIds.select(col(removeIds.columns.head).as("vec_id")))
+    }
+
   /** Search an on-disk index written by [[writeIndex]]: the equi-join on
     * the PARTITION column `cell` lets the planner prune every non-probed
     * cell's files (dynamic partition pruning from the small probe side),

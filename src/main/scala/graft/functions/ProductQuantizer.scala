@@ -347,6 +347,15 @@ object ProductQuantizer {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** DELETE compaction (round-12): drop every code row of `removeIds`
+    * vectors — the IvfIndex.removeVectors contract on the codes
+    * relation (models untouched; survivors' codes never change). */
+  def removeVectors(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      CompactStore.compactPartitioned(s"$path/codes", "vec_id", "cell",
+        removeIds.select(col(removeIds.columns.head).as("vec_id")))
+    }
+
   /** Search an on-disk index written by [[writeIndex]]: probed cells'
     * code files are the ONLY bytes scanned (dynamic partition pruning
     * from the small probe side + 16× fewer bytes per row); raw vectors

@@ -137,6 +137,35 @@ class IvfSpec extends SparkSpec {
       s"planted appended twin not retrieved: $appended")
   }
 
+  test("removeVectors: takedown ≡ an index the removed vectors never entered") {
+    // round-12: delete support for the cell-partitioned family. The
+    // centroid model is untouched, so survivors' assignments never
+    // change — the compacted cells relation must equal a write that
+    // never saw the removed ids, and searches must stop returning them.
+    NativeCosine.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-rm2").toString
+    val e = table("embeddings").select("vec_id", "embedding")
+    val rmPred = IncrementContract.isRemoved(col("vec_id"))
+    IvfIndex.writeIndex(e, "vec_id", "embedding", model, dir)
+    IvfIndex.removeVectors(dir, e.filter(rmPred).select("vec_id"))
+    IvfIndex.writeIndex(e.filter(!rmPred), "vec_id", "embedding", model, dir2)
+    val a = spark.read.parquet(s"$dir/cells")
+    val b = spark.read.parquet(s"$dir2/cells")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted cells diverge from a rebuild without the removed ids")
+    // a probe carrying removed-vector 0's EXACT embedding under a new
+    // id would have retrieved 0 as its top neighbor pre-compaction
+    // (cos 1, own cell); post-compaction it must be gone
+    val probes = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val hits = IvfIndex.topKIndexed(spark, dir, probes,
+      "vec_id", "embedding", model, k = 3, nProbe = 2)
+      .collect().map(_.toSeq)
+    assert(hits.nonEmpty && !hits.exists(_(2) == 0L),
+      s"removed vector still retrieved: ${hits.toSeq}")
+  }
+
   test("search touches only probed cells (candidate count bounded)") {
     NativeCosine.register(spark)
     val e = table("embeddings").select("vec_id", "embedding")

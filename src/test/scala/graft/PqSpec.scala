@@ -186,6 +186,28 @@ class PqSpec extends SparkSpec {
     assert(a == f)
   }
 
+  test("removeVectors: takedown codes ≡ an index never built from them") {
+    // round-12: delete support for the codes relation — models are
+    // untouched, so survivors' codes never change and the compacted
+    // relation must equal a write without the removed ids
+    val ivf = IvfIndex.train(emb, "embedding", k = 8)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pq-rm").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft-pq-rm2").toString
+    val rmPred = IncrementContract.isRemoved(col("vec_id"))
+    ProductQuantizer.writeIndex(emb, "vec_id", "embedding", model, ivf, dirA)
+    ProductQuantizer.removeVectors(dirA,
+      emb.filter(rmPred).select("vec_id"))
+    ProductQuantizer.writeIndex(emb.filter(!rmPred), "vec_id", "embedding",
+      model, ivf, dirF)
+    val a = spark.read.parquet(s"$dirA/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val f = spark.read.parquet(s"$dirF/codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(a == f, "compacted codes diverge from a rebuild without removed ids")
+  }
+
   test("trainDistributed: arithmetic parity with the driver trainer") {
     // a corpus the driver sample covers FULLY, whose values are dyadic
     // (sums exact in double in ANY order) and unit-norm (so PqEncode's
