@@ -144,6 +144,16 @@ object RetrievalIndex {
         Some(repl.doclens))
     }
 
+  /** Pure-takedown flavor of [[compact]] (no updated docs — the
+    * streaming takedown maintainer's per-batch operation). */
+  def compactRemove(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      val rm = removeIds
+        .select(col(removeIds.columns.head).as("doc_id")).distinct()
+      CompactStore.compactRelation(s"$path/postings", "doc_id", rm, None)
+      CompactStore.compactRelation(s"$path/doclens", "doc_id", rm, None)
+    }
+
   /** The in-memory merge of a stored index and an arriving batch — what
     * [[appendDocs]] persists, as a relation (per-doc rows with disjoint
     * ids make the union exact). For scoring an increment WITHOUT

@@ -140,6 +140,15 @@ object TokenStore {
         Some(buildTf(updatedDocs)))
     }
 
+  /** Pure-takedown flavor of [[compact]] (no updated docs — the
+    * streaming takedown maintainer's per-batch operation). */
+  def compactRemove(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      invalidateBucketed(path)
+      CompactStore.compactRelation(s"$path/tf", "doc_id",
+        removeIds.select(col(removeIds.columns.head).as("doc_id")), None)
+    }
+
   /** The stored term-frequency relation of a fixture corpus (builds on
     * first touch; steady state: an exchange-free parquet scan). */
   def termFreq(s: SparkSession, dir: String): DataFrame =

@@ -524,6 +524,36 @@ class StreamingSpec extends SparkSpec {
       s"maintained $maintained vs from-scratch $scratch")
   }
 
+  test("s_takedown: streamed removals compact the store to rebuilt-without") {
+    // the DELETE twin of s_tokens (round-12): a removal feed arrives
+    // over two micro-batches; the maintained store must equal a build
+    // that never saw the removed docs, with zero streaming state. No
+    // ledger: removal is idempotent under replay by its own algebra.
+    val docs = table("documents").select("doc_id", "lang", "source", "text")
+    val dir = Files.createTempDirectory("graft-stakedown").toString
+    graft.functions.TokenStore.buildTf(docs).write.parquet(s"$dir/tf")
+    val rmPred = IncrementContract.isRemoved(col("doc_id"))
+    val rmIds = docs.filter(rmPred).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(rmIds.nonEmpty)
+    val (b1, b2) = rmIds.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[Long]
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val sq = graft.streaming.StreamingTakedown.maintainTokenStore(
+      in.toDF.toDF("doc_id"), dir, cp)
+    try {
+      in.addData(b1.map(_._1)); sq.processAllAvailable()
+      in.addData(b2.map(_._1)); sq.processAllAvailable()
+      assert(Option(sq.lastProgress).forall(_.stateOperators.isEmpty),
+        "takedown maintenance must not register a stateful operator")
+    } finally sq.stop()
+    val maintained = spark.read.parquet(s"$dir/tf")
+    val rebuilt = graft.functions.TokenStore.buildTf(docs.filter(!rmPred))
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "stream-maintained takedown must equal a rebuild without the docs")
+  }
+
   test("s_simhash pairsAgainstIndex: arrivals probe the stored sig index") {
     // the SimHash twin of s_lsh (round-11: the family's persisted index)
     // — planted exact copies are Hamming-0 by construction, so recall is
