@@ -61,11 +61,21 @@ object IncrementContract {
     * `baseBuilds` so the write-once cost stays visible instead of
     * silently vanishing from the graded numbers. */
   def prebuildBases(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    def timed(name: String)(body: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      body
-      (name, (System.nanoTime() - t0) / 1e9)
-    }
+    // per-family isolation: one family's build failure must not abort
+    // the rest (the unbuilt tail's one-time cost would land back inside
+    // graded query medians) nor discard the completed families' lines —
+    // a failure records -1 under a name carrying the error
+    def timed(name: String)(body: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime()
+        body
+        (name, (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          (s"$name-failed:" +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(80),
+            -1.0)
+      }
     Seq(
       timed("dedup") { operators.DedupQueries.ensureIncBase(s, dir): Unit },
       timed("simhash") {

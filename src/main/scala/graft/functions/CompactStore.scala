@@ -63,13 +63,7 @@ object CompactStore {
     // reordered columns breaks positional consumers (and exceptAll
     // comparisons) on the next read — restore it before staging
     val relCols = rel.columns.toIndexedSeq
-    // locate the files that physically hold removed rows — file count is
-    // bounded (one driver row per touched FILE, never per data row)
-    val touched = rel
-      .withColumn("_f", input_file_name())
-      .join(broadcast(rm), Seq(idCol), "semi")
-      .select("_f").distinct()
-      .collect().map(_.getString(0))
+    val touched = touchedFiles(rel, idCol, rm)
     val hasRepl = replacement.isDefined
     if (touched.isEmpty && !hasRepl) return
     val survivors =
@@ -93,7 +87,10 @@ object CompactStore {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$compactDir/commit"),
       touched.map(relativeName(relDir, _)).mkString("\n")): Unit
-    applyCommit(relDir)
+    // apply through heal(): the marker exists now, and heal serializes
+    // on the relation lock — a reader-healer racing this writer's own
+    // apply would otherwise fight over the renames
+    heal(relDir)
   }
 
   /** Partition-aware flavor for cell-PARTITIONED relations (IvfIndex
@@ -111,11 +108,7 @@ object CompactStore {
     val rm = removeIds.select(col(idCol)).distinct()
     val rel = spark.read.parquet(relDir)
     val relCols = rel.columns.toIndexedSeq
-    val touched = rel
-      .withColumn("_f", input_file_name())
-      .join(broadcast(rm), Seq(idCol), "semi")
-      .select("_f").distinct()
-      .collect().map(_.getString(0))
+    val touched = touchedFiles(rel, idCol, rm)
     if (touched.isEmpty) return
     val survivors = spark.read.option("basePath", relDir)
       .parquet(touched.toIndexedSeq: _*)
@@ -129,17 +122,50 @@ object CompactStore {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$compactDir/commit"),
       touched.map(relativeName(relDir, _)).mkString("\n")): Unit
-    applyCommit(relDir)
+    // apply through heal(): the marker exists now, and heal serializes
+    // on the relation lock — a reader-healer racing this writer's own
+    // apply would otherwise fight over the renames
+    heal(relDir)
+  }
+
+  /** Past this many removal ids the touched-file probe switches from an
+    * `isin` literal filter (pushed to parquet row-group statistics — a
+    * takedown batch's locate step then SKIPS the row groups, and in the
+    * common sorted-by-id layout whole files, that cannot hold its ids)
+    * to a broadcast semi-join (no pushdown, full id-column sweep). */
+  private val IsinPushdownLimit = 10000
+
+  /** The files physically holding any `rm` id. Small removal sets ride
+    * the pushed-down literal filter; larger ones the semi-join (the
+    * sizing contract caps them anyway). */
+  private def touchedFiles(rel: DataFrame, idCol: String,
+                           rm: DataFrame): Array[String] = {
+    val sample = rm.limit(IsinPushdownLimit + 1).collect()
+    val keyed = rel.withColumn("_f", input_file_name())
+    val hit =
+      if (sample.length <= IsinPushdownLimit)
+        keyed.filter(col(idCol).isin(sample.toIndexedSeq.map(_.get(0)): _*))
+      else keyed.join(broadcast(rm), Seq(idCol), "semi")
+    hit.select("_f").distinct().collect().map(_.getString(0))
   }
 
   /** Finish (post-commit) or abort (pre-commit) an interrupted
     * compaction — pure file operations, idempotent, run by every caller
-    * before reading or rewriting. */
+    * before reading or rewriting. The common path (no debris) is one
+    * existence check; when debris IS present, healers serialize on the
+    * relation's own writer lock — heal runs on READ paths too, and two
+    * readers racing the same apply would fight over the renames. */
   def heal(relDir: String): Unit = {
-    val compactDir = new java.io.File(s"$relDir/_compact")
-    if (!compactDir.exists()) return
-    if (new java.io.File(compactDir, "commit").isFile) applyCommit(relDir)
-    else FsUtil.deleteRecursively(compactDir) // crashed before the commit
+    if (!new java.io.File(s"$relDir/_compact").exists()) return
+    FsUtil.withWriterLockWait(relDir) {
+      val compactDir = new java.io.File(s"$relDir/_compact")
+      if (compactDir.exists()) {
+        if (new java.io.File(compactDir, "commit").isFile)
+          applyCommit(relDir)
+        else // crashed before the commit
+          FsUtil.deleteRecursively(compactDir)
+      }
+    }
   }
 
   private def applyCommit(relDir: String): Unit = {
@@ -165,12 +191,29 @@ object CompactStore {
         if (!target.exists() && !f.renameTo(target))
           throw new java.io.IOException(s"could not move $f to $target")
       }
-    // then retire the superseded files (idempotent deletes; names may
-    // carry partition subpaths)
-    java.nio.file.Files
+    val retired = java.nio.file.Files
       .readString(new java.io.File(compactDir, "commit").toPath)
       .split("\n").filter(_.nonEmpty)
-      .foreach(n => new java.io.File(relDir, n).delete(): Unit)
+    // TOMBSTONE retired ledger batch files BEFORE deleting them: a
+    // compaction that rewrites `batch-<id>.parquet` (its survivors move
+    // into ordinary part files) would otherwise erase the append
+    // ledger's replay marker — a crashed append stream replaying that
+    // batch id would re-commit the whole batch, doubling surviving rows
+    // and resurrecting removed docs. AppendLedger.appendOnce treats a
+    // tombstoned id as committed. Written before the deletes (a crash
+    // in between replays the delete; a duplicate tombstone line is
+    // harmless — readers use set semantics).
+    val tombs = retired.filter(n =>
+      n.startsWith("batch-") && n.endsWith(".parquet"))
+    if (tombs.nonEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$relDir/_ledger_tombstones"),
+        tombs.mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+    // then retire the superseded files (idempotent deletes; names may
+    // carry partition subpaths)
+    retired.foreach(n => new java.io.File(relDir, n).delete(): Unit)
     FsUtil.deleteRecursively(compactDir)
   }
 

@@ -32,6 +32,7 @@ private[graft] object FsUtil {
     val dir = new java.io.File(artifactRoot)
     dir.mkdirs(): Unit
     val lock = new java.io.File(dir, "_writer.lock")
+    val myPid = s"${ProcessHandle.current().pid()}"
     if (lock.isFile) {
       val holder =
         try java.nio.file.Files.readString(lock.toPath).trim
@@ -43,15 +44,42 @@ private[graft] object FsUtil {
         lock.delete(): Unit
       }
     }
-    if (!lock.createNewFile())
-      throw new IllegalStateException(
-        s"another maintenance writer holds $lock — artifact mutation is " +
-          "single-writer; wait for it (or remove the lock if its owner " +
-          "pid is gone)")
-    try {
-      java.nio.file.Files.writeString(lock.toPath,
-        s"${ProcessHandle.current().pid()}\n"): Unit
-      body
-    } finally lock.delete(): Unit
+    // ACQUIRE = hard-link a pre-written pid file onto the lock path:
+    // link creation is atomic and fails if the target exists, so the
+    // lock can never exist without its holder's pid (no crashed-acquire
+    // debris), and two racing stealers resolve to exactly one winner.
+    val tmp = new java.io.File(dir,
+      s"_writer.lock.tmp.$myPid.${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp.toPath, s"$myPid\n"): Unit
+    try java.nio.file.Files.createLink(lock.toPath, tmp.toPath): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete(): Unit
+        throw new IllegalStateException(
+          s"another maintenance writer holds $lock — artifact mutation " +
+            "is single-writer; wait for it (or remove the lock if its " +
+            "owner pid is gone)")
+    }
+    tmp.delete(): Unit
+    try body
+    finally lock.delete(): Unit
+  }
+
+  /** [[withWriterLock]] with a bounded WAIT instead of an immediate
+    * refusal — for heal-on-read paths where the competing holder is
+    * another healer that will finish momentarily. */
+  def withWriterLockWait[T](artifactRoot: String,
+                            maxWaitMs: Long = 60000)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var last: Option[IllegalStateException] = None
+    while (System.currentTimeMillis() < deadline) {
+      try return withWriterLock(artifactRoot)(body)
+      catch {
+        case e: IllegalStateException =>
+          last = Some(e); Thread.sleep(100)
+      }
+    }
+    throw last.getOrElse(new IllegalStateException(
+      s"timed out waiting for the writer lock on $artifactRoot"))
   }
 }

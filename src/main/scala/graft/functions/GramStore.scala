@@ -249,20 +249,11 @@ object GramStore {
   private def bucketedRead(s: SparkSession, dir: String, rel: String,
                            key: String, ddlSchema: String): DataFrame = {
     val path = ensure(s, dir)
-    val tbl = s"graft_grams_${rel}_${graft.operators.JoinQueries.dirTag(dir)}"
-    if (!new java.io.File(s"$path/${rel}b/_SUCCESS").exists())
+    BucketedTable.readOrBuild(s,
+      s"graft_grams_${rel}_${graft.operators.JoinQueries.dirTag(dir)}",
+      s"$path/${rel}b", Seq(key), ddlSchema) {
       s.read.parquet(s"$path/$rel")
-        .repartition(8, col(key))
-        .write.format("parquet").bucketBy(8, key).sortBy(key)
-        .option("path", s"$path/${rel}b")
-        .mode("overwrite").saveAsTable(tbl)
-    else if (!s.catalog.tableExists(tbl))
-      s.sql(
-        s"""CREATE TABLE $tbl ($ddlSchema)
-           |USING parquet
-           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-           |LOCATION '$path/${rel}b'""".stripMargin)
-    s.table(tbl)
+    }
   }
 
   /** sh3 bucketed+sorted on the shingle string — q_novelty's and

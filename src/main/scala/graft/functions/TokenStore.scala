@@ -200,20 +200,9 @@ object TokenStore {
     * metadata-only and the write-once economics hold across JVMs. */
   def termFreqBucketed(s: SparkSession, dir: String): DataFrame = {
     val path = ensure(s, dir)
-    val tbl = bucketedTbl(dir)
-    if (!new java.io.File(s"$path/tfb/_SUCCESS").exists())
+    BucketedTable.readOrBuild(s, bucketedTbl(dir), s"$path/tfb", Seq("w"),
+      "doc_id BIGINT, lang STRING, source STRING, w STRING, tf BIGINT") {
       s.read.parquet(s"$path/tf")
-        .repartition(8, col("w"))
-        .write.format("parquet").bucketBy(8, "w").sortBy("w")
-        .option("path", s"$path/tfb")
-        .mode("overwrite").saveAsTable(tbl)
-    else if (!s.catalog.tableExists(tbl))
-      s.sql(
-        s"""CREATE TABLE $tbl
-           |(doc_id BIGINT, lang STRING, source STRING, w STRING, tf BIGINT)
-           |USING parquet
-           |CLUSTERED BY (w) SORTED BY (w) INTO 8 BUCKETS
-           |LOCATION '$path/tfb'""".stripMargin)
-    s.table(tbl)
+    }
   }
 }

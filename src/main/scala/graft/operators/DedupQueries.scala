@@ -905,14 +905,10 @@ object DedupQueries extends QueryModule {
   private[graft] def incBandsTable(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = ensureIncBase(s, dir)
-    val tbl = incBandsTbl(dir)
-    if (!s.catalog.tableExists(tbl))
-      s.sql(
-        s"""CREATE TABLE $tbl (doc_id BIGINT, band INT, bk STRING)
-           |USING parquet
-           |CLUSTERED BY (band, bk) SORTED BY (band, bk) INTO 8 BUCKETS
-           |LOCATION '$path/bands'""".stripMargin)
-    s.table(tbl)
+    graft.functions.BucketedTable.register(s, incBandsTbl(dir),
+      s"$path/bands", Seq("band", "bk"),
+      "doc_id BIGINT, band INT, bk STRING")
+    s.table(incBandsTbl(dir))
   }
 
   /** The increment's pair-detection half (q_dedup_persist; also timed

@@ -43,7 +43,14 @@ object AppendLedger {
     * stream start instead of silent skips here. */
   def appendOnce(destDir: String, batchId: Long,
                  batch: DataFrame): Boolean = {
-    val committed = !graft.functions.StagedCommit.commitFile(
+    // a COMPACTED batch file leaves a tombstone instead of the marker
+    // (CompactStore rewrote its survivors into ordinary part files) —
+    // the id is still committed, so a replay must no-op here too
+    val tomb = new java.io.File(s"$destDir/_ledger_tombstones")
+    val tombstoned = tomb.isFile &&
+      java.nio.file.Files.readAllLines(tomb.toPath)
+        .contains(s"batch-$batchId.parquet")
+    val committed = tombstoned || !graft.functions.StagedCommit.commitFile(
       destDir, s"batch-$batchId.parquet", batch)
     if (committed)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -58,9 +65,10 @@ object AppendLedger {
     else None
 
   private def hasCommittedBatches(dest: String): Boolean =
-    Option(new java.io.File(dest).listFiles()).getOrElse(Array.empty)
-      .exists(f => f.getName.startsWith("batch-") &&
-        f.getName.endsWith(".parquet"))
+    new java.io.File(s"$dest/_ledger_tombstones").isFile ||
+      Option(new java.io.File(dest).listFiles()).getOrElse(Array.empty)
+        .exists(f => f.getName.startsWith("batch-") &&
+          f.getName.endsWith(".parquet"))
 
   private def stamp(f: java.io.File, epoch: String): Unit = {
     Option(f.getParentFile).foreach(_.mkdirs())
@@ -116,6 +124,18 @@ object AppendLedger {
               s"store at $dest but found none — the store was wiped or " +
               "rebuilt behind the checkpoint and its committed batches " +
               "are gone; wipe the checkpoint too and rebuild")
+        case (None, None) if hasCommittedBatches(dest) =>
+          // an UNSTAMPED store with ledger history (maintained before
+          // epochs existed, or its stamp was lost): binding ANY fresh
+          // checkpoint restarts ids at 0 against the committed ones —
+          // the same silent-skip data loss the stamped case catches
+          throw new IllegalStateException(
+            s"store $dest holds ledger-committed batches but no epoch " +
+              "stamp, and the checkpoint is fresh — new batch ids would " +
+              "collide with committed ones and silently no-op; restore " +
+              "the original checkpoint+stamp pair, or rebuild the store " +
+              "(to adopt a legacy store deliberately, stamp both sides " +
+              "with one id by hand)")
         case _ => ()
       }
     }

@@ -9,9 +9,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * corpus's removal feed — takedown requests, licensing revocations,
   * contamination discoveries — arrives as a stream just like its
   * documents do). Every micro-batch of doc ids compacts the store
-  * through the touched-files rewrite (CompactStore), so per-batch work
-  * is ∝ the files physically holding the removed rows, never a corpus
-  * re-scan.
+  * through the touched-files rewrite (CompactStore): the REWRITE is ∝
+  * the files physically holding the removed rows, and the locate step
+  * pushes takedown-sized batches down as a literal id filter so
+  * parquet row-group statistics skip non-matching row groups (on an
+  * id-clustered layout, whole files). Batch removal feeds upstream
+  * when arrival rates are high — each micro-batch pays one locate pass.
   *
   * Unlike the APPEND maintainers, deletions need NO exactly-once
   * ledger: removing an already-removed id finds no touched file and

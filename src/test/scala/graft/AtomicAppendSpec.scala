@@ -150,6 +150,50 @@ class AtomicAppendSpec extends SparkSpec {
     assert(e3.getMessage.contains("different ledger epochs"))
   }
 
+  test("compaction tombstones ledger batches: a replayed append still no-ops") {
+    // round-12 review finding: compacting a store rewrites a ledger
+    // batch file's survivors into ordinary part files and DELETES the
+    // batch-<id>.parquet replay marker — without a tombstone, an append
+    // stream crash-replaying that id would re-commit the whole batch
+    // (doubling surviving rows and resurrecting the removed doc)
+    val path = Files.createTempDirectory("graft-tomb").toString + "/tf"
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch7 = docs.filter(col("doc_id") % 5 === 4)
+    TokenStore.buildTf(base).write.parquet(path)
+    assert(AppendLedger.appendOnce(path, 7L, TokenStore.buildTf(batch7)))
+    // take down one doc that lives in batch 7 → its file is rewritten
+    val victim = batch7.select("doc_id").orderBy("doc_id").limit(1)
+    val victimId = victim.collect().head.getLong(0)
+    TokenStore.compactRemove(path.stripSuffix("/tf"), victim)
+    assert(!new java.io.File(s"$path/batch-7.parquet").exists(),
+      "precondition: the compaction rewrote the ledger batch file")
+    // the replayed batch must STILL no-op (tombstone), and the store
+    // must stay exactly rebuilt-without-victim
+    assert(!AppendLedger.appendOnce(path, 7L, TokenStore.buildTf(batch7)),
+      "a compacted batch id must stay committed for replays")
+    assert(sameRelation(spark.read.parquet(path),
+      TokenStore.buildTf(docs.filter(col("doc_id") =!= victimId))),
+      "replay after compaction must not double rows or resurrect the doc")
+  }
+
+  test("bindEpoch refuses a fresh checkpoint on an UNSTAMPED store with history") {
+    // round-12 review finding: a store maintained before epochs existed
+    // (batch files, no stamp) bound to a fresh checkpoint fell through
+    // to the stamp-both arm — new ids restart at 0 and silently no-op
+    val root = Files.createTempDirectory("graft-epoch3").toString
+    val dest = s"$root/store/tf"
+    new java.io.File(dest).mkdirs()
+    TokenStore.buildTf(docs.limit(20)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/stage")
+    val part = Option(new java.io.File(s"$root/stage").listFiles())
+      .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(s"$dest/batch-0.parquet")))
+    val e = intercept[IllegalStateException] {
+      AppendLedger.bindEpoch(s"$root/cp", Seq(dest))
+    }
+    assert(e.getMessage.contains("no epoch"))
+  }
+
   test("bindEpoch: crashed first stamp (dest stamped, no batches) is adopted") {
     val root = Files.createTempDirectory("graft-epoch2").toString
     val cp = s"$root/cp"; val dest = s"$root/store/tf"
