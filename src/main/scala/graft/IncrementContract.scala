@@ -101,6 +101,9 @@ object IncrementContract {
       },
       timed("lsh_compact") {
         operators.EvalQueries.ensureLshCompact(s, dir): Unit
+      },
+      timed("grams_compact") {
+        functions.GramStore.ensureCompacted(s, dir): Unit
       })
   }
 }

@@ -55,6 +55,41 @@ object GramStore {
     s"${System.getProperty("java.io.tmpdir")}/graft_grams/" +
       s"base_${graft.operators.JoinQueries.dirTag(dir)}"
 
+  /** The q_novelty_compact artifact path (the incBasePath convention). */
+  private[graft] def compactBasePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_grams/" +
+      s"cmp_${graft.operators.JoinQueries.dirTag(dir)}"
+
+  /** Build-then-compact artifact for the q_novelty_compact proof: a
+    * FULL-corpus sh3 store compacted under the IncrementContract
+    * takedown/update split (the proof artifact carries only the novelty
+    * grain — the five-grain store's compaction is spec-pinned by
+    * CompactStoreSpec), marked `compacted` once done. Idempotent at
+    * every step; pre-built by the bench driver. */
+  private[graft] def ensureCompacted(s: SparkSession, dir: String): String = {
+    val path = compactBasePath(dir)
+    if (!new java.io.File(s"$path/compacted").exists()) {
+      CompactStore.heal(s"$path/sh3")
+      val docs = graft.Tables.load(s, dir, "documents")
+      if (!new java.io.File(s"$path/sh3/_SUCCESS").exists())
+        buildSh3(docs).write.mode("overwrite").parquet(s"$path/sh3")
+      val updated = docs
+        .filter(graft.IncrementContract.isUpdated(col("doc_id")))
+        .withColumn("text",
+          graft.IncrementContract.updatedText(col("text")))
+      val rm = docs
+        .filter(graft.IncrementContract.isRemoved(col("doc_id")))
+        .select("doc_id")
+        .unionByName(updated.select("doc_id"))
+      FsUtil.withWriterLock(path) {
+        CompactStore.compactRelation(s"$path/sh3", "doc_id", rm,
+          Some(buildSh3(updated)))
+      }
+      new java.io.File(s"$path/compacted").createNewFile(): Unit
+    }
+    path
+  }
+
   /** Build-on-first-touch of the q_novelty_incr increment base: the
     * standing 80% corpus's sh3 shingle rows (the IncrementContract
     * split), write-once at [[incBasePath]]. The bench driver pre-builds

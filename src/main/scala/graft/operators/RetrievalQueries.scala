@@ -129,6 +129,19 @@ object RetrievalQueries extends QueryModule {
           .select("doc_id", "source", "sh")))
     }),
 
+    // COMPACTED novelty: the delete/update proof for the gram-store
+    // family (round-12; with it, EVERY compactable store family carries
+    // an oracle-gated compacted ≡ rebuilt proof). A full-corpus sh3
+    // store takes the shared takedown/update split through the
+    // touched-file rewrite, then novelty reads the compacted rows. The
+    // oracle rebuilds from scratch over the post-compaction corpus.
+    // Pre-built by the bench driver; re-runs are pure reads.
+    "q_novelty_compact" -> ((s, dir) => {
+      val path = graft.functions.GramStore.ensureCompacted(s, dir)
+      noveltyOf(s.read.parquet(s"$path/sh3")
+        .select("doc_id", "source", "sh"))
+    }),
+
     // BM25 top-10 for the corpus's own 3 highest-df terms [Robertson &
     // Zaragoza 2009; Lucene's idf variant] — the sparse-retrieval scorer
     // over the q_inverted_index machinery. Per-term contributions are
@@ -246,6 +259,10 @@ object RetrievalQueries extends QueryModule {
     // full rebuild of the shingle relation
     "q_novelty_incr" -> noveltyOracle,
 
+    // the compaction twin rebuilds from scratch over the
+    // post-compaction corpus
+    "q_novelty_compact" -> noveltyCompactOracle,
+
     "q_bm25" -> bm25Oracle,
 
     // the incremental-index twin rides the SAME from-scratch oracle: a
@@ -276,11 +293,18 @@ object RetrievalQueries extends QueryModule {
   /** From-scratch first-occurrence novelty — the shared oracle of
     * q_novelty (stored-artifact read) and q_novelty_incr (persisted
     * base + arriving batch): both must hash-match the full rebuild. */
-  private lazy val noveltyOracle: String =
-    s"""WITH sh AS (
+  private lazy val noveltyOracle: String = noveltySql("", "documents")
+
+  /** The compaction proof's oracle: the SAME from-scratch novelty over
+    * the post-compaction corpus (IncrementContract.compactedCorpusSql). */
+  private lazy val noveltyCompactOracle: String = noveltySql(
+    s"corpus AS (${graft.IncrementContract.compactedCorpusSql}),", "corpus")
+
+  private def noveltySql(pre: String, src: String): String =
+    s"""WITH $pre sh AS (
        |  SELECT DISTINCT doc_id, source, ARRAY_TO_STRING(t[i:i+2], ' ') AS sh
        |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
-       |        FROM documents),
+       |        FROM $src),
        |    UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
        |  WHERE LEN(t) >= 3),
        |fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),

@@ -28,7 +28,7 @@ class IncrementContractSpec extends SparkSpec {
     assert(builds.keySet ==
       Set("dedup", "simhash", "lsh", "tokens", "grams", "retrieval",
         "tokens_compact", "retrieval_compact", "dedup_compact",
-        "simhash_compact", "lsh_compact"),
+        "simhash_compact", "lsh_compact", "grams_compact"),
       s"unexpected family set: ${builds.keySet}")
     assert(builds.values.forall(_ >= 0), s"a prebuild failed: $builds")
 
