@@ -16,58 +16,81 @@ private[graft] object FsUtil {
     f.delete(): Unit
   }
 
-  /** BEST-EFFORT single-writer guard for artifact maintenance (round-11
-    * verdict task #7: the single-writer contract was documentation-only,
-    * so a mis-wired second maintainer could interleave staged swaps).
-    * `_writer.lock` under the artifact root is created atomically
-    * (File.createNewFile) and holds the owner's pid: a second writer
-    * fails LOUD instead of corrupting the artifact, and a lock whose
-    * owner pid is dead (crashed JVM — checked via /proc, this
-    * deployment's platform) is stolen with a warning rather than
-    * bricking the artifact until manual cleanup. Not reentrant: hold it
+  /** Single-writer guard for artifact maintenance, backed by an OS
+    * advisory file lock (`FileChannel.tryLock` on `_writer.lock` under
+    * the artifact root). The round-12 pid-file protocol detected dead
+    * holders by reading `/proc/<pid>` and stole by delete+recreate —
+    * which had a real exclusion hole (two stealers could both observe
+    * the dead holder, both delete, and both acquire; round-12 ADVICE
+    * finding #2) plus a theoretical pid-reuse misfire. The kernel lock
+    * closes both for free:
+    *
+    *   - acquisition is atomic across processes (the OS arbitrates);
+    *   - a crashed holder's lock releases AUTOMATICALLY with its
+    *     process — no dead-pid detection, no steal path, no pid reuse;
+    *   - a second acquirer in the SAME JVM surfaces as
+    *     OverlappingFileLockException — refused identically.
+    *
+    * The lock FILE persists across acquisitions (deleting it would
+    * reopen the classic unlink race: a late acquirer locks the removed
+    * inode while a fresh one locks its replacement, and both "hold").
+    * Its content is the holder's pid — diagnostics only, truncated on
+    * release, never consulted for exclusion. A contended acquire fails
+    * LOUD instead of corrupting the artifact. Not reentrant: hold it
     * only at the outermost mutator (recovery helpers called inside a
-    * locked mutator stay unlocked). The streaming maintainers skip it —
-    * a Structured Streaming query is single-writer by construction. */
+    * locked mutator stay unlocked; store mutators lock the store ROOT
+    * while CompactStore locks the relation SUBDIR — disjoint paths, so
+    * the nesting is safe). The streaming maintainers' foreachBatch
+    * bodies reach this through the store mutators they call; a
+    * Structured Streaming query is single-writer by construction, so
+    * the lock only guards them against a concurrent BATCH mutator.
+    * Advisory-lock semantics are local-FS / NFSv4; an object-store
+    * deployment swaps in its conditional-put primitive. */
   def withWriterLock[T](artifactRoot: String)(body: => T): T = {
     val dir = new java.io.File(artifactRoot)
     dir.mkdirs(): Unit
     val lock = new java.io.File(dir, "_writer.lock")
-    val myPid = s"${ProcessHandle.current().pid()}"
-    if (lock.isFile) {
+    val ch = java.nio.channels.FileChannel.open(lock.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held =
+      try ch.tryLock()
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException =>
+          null // this JVM already holds it (another thread)
+      }
+    if (held == null) {
       val holder =
         try java.nio.file.Files.readString(lock.toPath).trim
-          .takeWhile(_.isDigit)
         catch { case _: java.io.IOException => "" }
-      if (holder.nonEmpty && !new java.io.File(s"/proc/$holder").exists()) {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"stealing writer lock on $artifactRoot from dead pid $holder")
-        lock.delete(): Unit
-      }
+      ch.close()
+      throw new IllegalStateException(
+        s"another maintenance writer holds $lock" +
+          (if (holder.nonEmpty) s" (pid $holder)" else "") +
+          " — artifact mutation is single-writer; wait for it to finish" +
+          " (a crashed holder's lock releases with its process)")
     }
-    // ACQUIRE = hard-link a pre-written pid file onto the lock path:
-    // link creation is atomic and fails if the target exists, so the
-    // lock can never exist without its holder's pid (no crashed-acquire
-    // debris), and two racing stealers resolve to exactly one winner.
-    val tmp = new java.io.File(dir,
-      s"_writer.lock.tmp.$myPid.${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp.toPath, s"$myPid\n"): Unit
-    try java.nio.file.Files.createLink(lock.toPath, tmp.toPath): Unit
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete(): Unit
-        throw new IllegalStateException(
-          s"another maintenance writer holds $lock — artifact mutation " +
-            "is single-writer; wait for it (or remove the lock if its " +
-            "owner pid is gone)")
+    try {
+      // stamp the holder pid for diagnostics (the refusal message above)
+      ch.truncate(0): Unit
+      ch.write(java.nio.ByteBuffer.wrap(
+        s"${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))): Unit
+      ch.force(false)
+      body
+    } finally {
+      // clear the stamp BEFORE releasing so no released lock file ever
+      // names a pid (a stale stamp would implicate a live-but-unrelated
+      // process in a later refusal message)
+      try { ch.truncate(0): Unit } catch { case _: java.io.IOException => () }
+      held.release()
+      ch.close()
     }
-    tmp.delete(): Unit
-    try body
-    finally lock.delete(): Unit
   }
 
   /** [[withWriterLock]] with a bounded WAIT instead of an immediate
     * refusal — for heal-on-read paths where the competing holder is
-    * another healer that will finish momentarily. */
+    * another healer (or a live compaction writer) that will finish
+    * momentarily. */
   def withWriterLockWait[T](artifactRoot: String,
                             maxWaitMs: Long = 60000)(body: => T): T = {
     val deadline = System.currentTimeMillis() + maxWaitMs

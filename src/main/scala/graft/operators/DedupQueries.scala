@@ -564,7 +564,11 @@ object DedupQueries extends QueryModule {
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_dedup/simc_${JoinQueries.dirTag(dir)}"
-    if (!new java.io.File(s"$path/compacted").exists()) {
+    // root writer lock for consistency with every other artifact
+    // mutator (round-12 ADVICE finding #4); the relation-level
+    // compactions below additionally lock their own subdirs
+    if (!new java.io.File(s"$path/compacted").exists())
+        graft.functions.FsUtil.withWriterLock(path) {
       if (!new java.io.File(s"$path/sigs/_SUCCESS").exists() ||
           !new java.io.File(s"$path/pairs/_SUCCESS").exists())
         writeSimhashArtifact(s, dir, path, lit(true))

@@ -152,7 +152,11 @@ object EvalQueries extends QueryModule {
                                       dir: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_lsh/cmp_${JoinQueries.dirTag(dir)}"
-    if (!new java.io.File(s"$path/compacted").exists()) {
+    // root writer lock for consistency with every other artifact
+    // mutator (round-12 ADVICE finding #4); the relation-level
+    // compactions below additionally lock their own subdirs
+    if (!new java.io.File(s"$path/compacted").exists())
+        graft.functions.FsUtil.withWriterLock(path) {
       if (!new java.io.File(s"$path/pairs/_SUCCESS").exists())
         writeLshArtifact(s, dir, path, lit(true))
       val rm = t(s, dir, "embeddings").filter(col("vec_id") < 1000)

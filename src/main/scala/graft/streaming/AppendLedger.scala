@@ -46,10 +46,8 @@ object AppendLedger {
     // a COMPACTED batch file leaves a tombstone instead of the marker
     // (CompactStore rewrote its survivors into ordinary part files) —
     // the id is still committed, so a replay must no-op here too
-    val tomb = new java.io.File(s"$destDir/_ledger_tombstones")
-    val tombstoned = tomb.isFile &&
-      java.nio.file.Files.readAllLines(tomb.toPath)
-        .contains(s"batch-$batchId.parquet")
+    val tombstoned = graft.functions.CompactStore.readTombstones(destDir)
+      .contains(s"batch-$batchId.parquet")
     val committed = tombstoned || !graft.functions.StagedCommit.commitFile(
       destDir, s"batch-$batchId.parquet", batch)
     if (committed)
@@ -69,6 +67,19 @@ object AppendLedger {
       Option(new java.io.File(dest).listFiles()).getOrElse(Array.empty)
         .exists(f => f.getName.startsWith("batch-") &&
           f.getName.endsWith(".parquet"))
+
+  /** Whether a Structured Streaming checkpoint dir has COMMITTED batch
+    * history of its own (numeric entries under `commits/`, falling back
+    * to `offsets/` for a checkpoint that died between offset-write and
+    * commit). Distinguishes a legitimate pre-epoch checkpoint+store
+    * pair (adoptable) from a genuinely fresh checkpoint against a
+    * populated store (the data-loss scenario — refused). */
+  private def hasHistory(checkpointDir: String): Boolean =
+    Seq("commits", "offsets").exists { sub =>
+      Option(new java.io.File(s"$checkpointDir/$sub").listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))
+    }
 
   private def stamp(f: java.io.File, epoch: String): Unit = {
     Option(f.getParentFile).foreach(_.mkdirs())
@@ -124,18 +135,31 @@ object AppendLedger {
               s"store at $dest but found none — the store was wiped or " +
               "rebuilt behind the checkpoint and its committed batches " +
               "are gone; wipe the checkpoint too and rebuild")
-        case (None, None) if hasCommittedBatches(dest) =>
+        case (None, None)
+            if hasCommittedBatches(dest) && !hasHistory(checkpointDir) =>
           // an UNSTAMPED store with ledger history (maintained before
-          // epochs existed, or its stamp was lost): binding ANY fresh
+          // epochs existed, or its stamp was lost): binding a FRESH
           // checkpoint restarts ids at 0 against the committed ones —
-          // the same silent-skip data loss the stamped case catches
+          // the same silent-skip data loss the stamped case catches.
+          // A checkpoint WITH its own committed-batch history is the
+          // legitimate other reading (a pre-epoch deployment restarting
+          // with its ORIGINAL matching checkpoint — round-12 ADVICE
+          // finding #3): its next batch ids CONTINUE past the committed
+          // ones, so the arm below adopts one epoch into both sides
+          // instead of failing every legacy upgrade.
           throw new IllegalStateException(
             s"store $dest holds ledger-committed batches but no epoch " +
-              "stamp, and the checkpoint is fresh — new batch ids would " +
-              "collide with committed ones and silently no-op; restore " +
-              "the original checkpoint+stamp pair, or rebuild the store " +
-              "(to adopt a legacy store deliberately, stamp both sides " +
-              "with one id by hand)")
+              "stamp, and the checkpoint has no committed history of its " +
+              "own — new batch ids would collide with committed ones and " +
+              "silently no-op; restore the original checkpoint+stamp " +
+              "pair, or rebuild the store (to adopt a legacy store " +
+              "deliberately, stamp both sides with one id by hand)")
+        case (None, None)
+            if hasCommittedBatches(dest) && hasHistory(checkpointDir) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"adopting legacy pre-epoch pair: checkpoint $checkpointDir " +
+              s"has committed history and store $dest holds ledger " +
+              "batches — stamping both with one fresh epoch")
         case _ => ()
       }
     }

@@ -78,26 +78,38 @@ class AtomicAppendSpec extends SparkSpec {
     assert(sameRelation(appended.doclens, rebuilt.doclens))
   }
 
-  test("single-writer lock: second maintainer fails loud, dead locks steal") {
+  test("single-writer lock: second maintainer fails loud, dead locks free") {
     val path = Files.createTempDirectory("graft-lock").toString
     val delta = docs.filter(col("doc_id") % 5 === 4)
     TokenStore.buildTf(docs.filter(col("doc_id") % 5 =!= 4))
       .write.parquet(s"$path/tf")
     val lock = new java.io.File(s"$path/_writer.lock")
-    // a LIVE concurrent writer (this very pid) — the second mutation
-    // must fail loud instead of interleaving staged commits
-    Files.writeString(lock.toPath,
-      s"${ProcessHandle.current().pid()}\n")
+    // a LIVE concurrent writer: HOLD the OS file lock (what a live
+    // withWriterLock holder owns) — the second mutation must fail loud
+    // instead of interleaving staged commits. Round 12's pid-file
+    // protocol had a steal race two observers could both win (ADVICE
+    // finding #2); the kernel lock arbitrates exactly one holder.
+    val ch = java.nio.channels.FileChannel.open(lock.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
     val before = spark.read.parquet(s"$path/tf").count()
     intercept[IllegalStateException] { TokenStore.appendDocs(path, delta) }
     assert(spark.read.parquet(s"$path/tf").count() == before,
       "a refused writer must not have touched the store")
-    assert(lock.exists(), "the holder's lock must survive the refusal")
-    // a DEAD holder (crashed JVM): the lock steals with a warning
+    // a DEAD holder (crashed JVM): the OS released its lock with the
+    // process — the file may linger (even with a stale pid stamp) but
+    // the next acquire succeeds immediately, no steal protocol needed
+    held.release(); ch.close()
     Files.writeString(lock.toPath, "99999999\n")
     TokenStore.appendDocs(path, delta)
-    assert(!lock.exists(), "the lock must release after the mutation")
     assert(spark.read.parquet(s"$path/tf").count() > before)
+    // and the released lock is immediately re-acquirable
+    graft.functions.FsUtil.withWriterLock(path) {
+      assert(Files.readString(lock.toPath).trim ==
+        s"${ProcessHandle.current().pid()}",
+        "the held lock file carries the holder pid for diagnostics")
+    }
   }
 
   test("bindEpoch: first bind stamps, rebind agrees, mixed lifetimes throw") {
@@ -192,6 +204,69 @@ class AtomicAppendSpec extends SparkSpec {
       AppendLedger.bindEpoch(s"$root/cp", Seq(dest))
     }
     assert(e.getMessage.contains("no epoch"))
+  }
+
+  test("bindEpoch adopts a legacy PRE-EPOCH checkpoint+store pair") {
+    // round-12 ADVICE finding #3: a deployment from before epochs
+    // existed restarts with its ORIGINAL matching checkpoint — real
+    // committed history on the checkpoint side, batch files but no
+    // stamp on the store side. That pair is safe (new ids continue past
+    // the committed ones) and must adopt, not throw; only a checkpoint
+    // with NO history of its own is the data-loss scenario.
+    val root = Files.createTempDirectory("graft-epoch4").toString
+    val cp = s"$root/cp"; val dest = s"$root/store/tf"
+    new java.io.File(dest).mkdirs()
+    TokenStore.buildTf(docs.limit(20)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/stage")
+    val part = Option(new java.io.File(s"$root/stage").listFiles())
+      .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(s"$dest/batch-0.parquet")))
+    // the checkpoint's own history: a committed batch marker
+    new java.io.File(s"$cp/commits").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$cp/commits/0"), "v1"): Unit
+    AppendLedger.bindEpoch(cp, Seq(dest)) // must not throw
+    val cpEpoch = Files.readString(
+      java.nio.file.Paths.get(s"$cp/graft-ledger-epoch"))
+    val destEpoch = Files.readString(
+      java.nio.file.Paths.get(s"$dest/_ledger_epoch"))
+    assert(cpEpoch == destEpoch && cpEpoch.nonEmpty,
+      "adoption must stamp both sides with one epoch")
+    // and the adopted pair rebinds cleanly
+    AppendLedger.bindEpoch(cp, Seq(dest))
+  }
+
+  test("tombstone set stays bounded: dedup on rewrite + horizon prune") {
+    // round-12 verdict "what's wrong" #2: _ledger_tombstones grew
+    // append-only forever. Now each compaction rewrites the DEDUPED set
+    // (bounded by distinct compacted batch files), and pruneTombstones
+    // drops ids below the stream's committed horizon entirely.
+    val path = Files.createTempDirectory("graft-tomb2").toString + "/tf"
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val extra = docs.filter(col("doc_id") % 5 === 4)
+    TokenStore.buildTf(base).write.parquet(path)
+    assert(AppendLedger.appendOnce(path, 3L, TokenStore.buildTf(extra)))
+    val victims = extra.select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0))
+    val root = path.stripSuffix("/tf")
+    // three successive single-doc takedowns all rewrite batch-3's file
+    // lineage; the tombstone set must hold ONE line, not three
+    victims.foreach { id =>
+      TokenStore.compactRemove(root,
+        spark.range(id, id + 1).select(col("id").as("doc_id")))
+    }
+    val tombs = graft.functions.CompactStore.readTombstones(path)
+    assert(tombs == Set("batch-3.parquet"),
+      s"repeated compactions must not grow the set: $tombs")
+    // replay of the compacted id still no-ops on the deduped set
+    assert(!AppendLedger.appendOnce(path, 3L, TokenStore.buildTf(extra)))
+    // horizon prune: batch 3 is below a committed horizon of 4 — gone;
+    // a prune at horizon 3 would have kept it
+    graft.functions.CompactStore.pruneTombstones(path, 3L)
+    assert(graft.functions.CompactStore.readTombstones(path) ==
+      Set("batch-3.parquet"), "prune keeps ids at/above the horizon")
+    graft.functions.CompactStore.pruneTombstones(path, 4L)
+    assert(graft.functions.CompactStore.readTombstones(path).isEmpty,
+      "prune drops ids below the committed horizon")
   }
 
   test("bindEpoch: crashed first stamp (dest stamped, no batches) is adopted") {

@@ -147,6 +147,29 @@ class CompactStoreSpec extends SparkSpec {
       TokenStore.buildTf(modifiedCorpus), "second heal")
   }
 
+  test("apply refuses a commit marker whose staged data is gone") {
+    // round-12 ADVICE finding #1's worst arm: a `_compact/commit`
+    // surviving WITHOUT `data/` must never be "applied" by moving zero
+    // files in and deleting every retired file — heal must refuse loud
+    // and leave the store untouched for inspection
+    val path = Files.createTempDirectory("graft-cmp-w3").toString
+    TokenStore.buildTf(docs).write.parquet(s"$path/tf")
+    val before = spark.read.parquet(s"$path/tf").collect().toSet
+    val olds = Option(new java.io.File(s"$path/tf").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getName)
+    new java.io.File(s"$path/tf/_compact").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$path/tf/_compact/commit"),
+      olds.mkString("\n"))
+    intercept[IllegalArgumentException] { CompactStore.heal(s"$path/tf") }
+    olds.foreach(n => assert(new java.io.File(s"$path/tf/$n").exists(),
+      s"refusal must not delete retired file $n"))
+    assert(spark.read.parquet(s"$path/tf").collect().toSet == before,
+      "the store must read exactly as before the refused apply")
+  }
+
   test("DedupClusters.compactRemoved splits, relabels and drops clusters") {
     import graft.functions.DedupClusters
     import spark.implicits._
