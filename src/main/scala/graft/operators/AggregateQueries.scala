@@ -186,18 +186,27 @@ object AggregateQueries extends QueryModule {
     // distribution-sketch builder (equi-depth bounds are what a cost
     // model keeps). The ORDER BY carries the unique (orderkey,
     // linenumber) tiebreak so both engines split ties identically (the
-    // q_rfm discipline); at 100 TB the same histogram comes from
-    // two-phase range partitioning instead of one sorted window.
+    // q_rfm discipline). Round 13: the flag-partitioned window put ~⅓
+    // of FACT-grain lineitem through one task (3 distinct flags);
+    // RangeRank.withGroupedRank range-partitions on (flag, cents,
+    // tiebreak) and ranks per (partition, flag) — every window task
+    // holds a contiguous slice, and NTILE(8) is the integer formula
+    // over (per-flag rank, per-flag count). Hash-identical to the
+    // window NTILE because the per-flag order is total.
     "q_hist_equidepth" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
-      t(s, dir, "lineitem")
+      import graft.functions.RangeRank
+      val rows = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("cents"),
           col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(8).over(w))
+      val ranked = RangeRank.withGroupedRank(
+        RangeRank.withGroupCount(rows, Seq("l_returnflag"), "__nf"),
+        Seq("l_returnflag"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "__rk")
+      ranked
+        .withColumn("bucket",
+          RangeRank.ntileFromRank(col("__rk"), col("__nf"), 8).cast("int"))
         .groupBy("l_returnflag", "bucket")
         .agg(count(lit(1)).as("n"),
           min(col("cents")).as("lo"), max(col("cents")).as("hi"))

@@ -77,32 +77,41 @@ object ProfileQueries extends QueryModule {
     // with a custkey tiebreak so ranks are total, then fused into the
     // 'RFM' segment code. One fact aggregate to the customer grain;
     // the three rank passes run over the AGGREGATED relation. The
-    // global NTILE windows single-partition |customers| rows — at
-    // 100 TB swap in two-phase range ranks (per-partition rank + a
-    // broadcast boundary-offset pass, the ShardExport shape) or score
-    // against approx-quantile boundaries instead of global ranks.
+    // R/F/M quartiles via DISTRIBUTED two-phase range ranks
+    // (functions/RangeRank) + the integer NTILE formula — round 13
+    // retired the three global ntile(4) windows that single-partitioned
+    // the whole customer grain (the round-12 verdict's last
+    // corpus-proportional single-task plans). Each score is one
+    // range-shuffle + per-partition window + broadcast offset join;
+    // NTILE(4) = ntileFromRank(rank, |customers|), hash-identical to
+    // the window NTILE because the (key, custkey) orders are total.
     "q_rfm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val o = t(s, dir, "orders")
       val maxd = o.agg(max(col("o_orderdate").cast("date")).as("maxd"))
-      val cust = o.groupBy(col("o_custkey"))
+      // pin the customer-grain aggregate ONCE: the global count and all
+      // three rank passes read it, and without the cut each would
+      // re-aggregate orders from scratch
+      val cust = graft.functions.Materialize(o.groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate").cast("date")).as("lastd"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
         .crossJoin(broadcast(maxd))
         .select(col("o_custkey"),
           datediff(col("maxd"), col("lastd")).cast("bigint").as("r_days"),
-          col("freq"), col("mon"))
-      cust
-        .withColumn("r_score", ntile(4).over(
-          Window.orderBy(col("r_days").desc, col("o_custkey")))
-          .cast("bigint"))
-        .withColumn("f_score", ntile(4).over(
-          Window.orderBy(col("freq").asc, col("o_custkey")))
-          .cast("bigint"))
-        .withColumn("m_score", ntile(4).over(
-          Window.orderBy(col("mon").asc, col("o_custkey")))
-          .cast("bigint"))
+          col("freq"), col("mon")))
+      import graft.functions.RangeRank
+      val scored = Seq(
+        (Seq(col("r_days").desc, col("o_custkey")), "r_score"),
+        (Seq(col("freq").asc, col("o_custkey")), "f_score"),
+        (Seq(col("mon").asc, col("o_custkey")), "m_score"))
+        .foldLeft(RangeRank.withGroupCount(cust, Nil, "__nc")) {
+          case (acc, (order, score)) =>
+            RangeRank.withGroupedRank(acc, Nil, order, s"__rk_$score")
+              .withColumn(score, RangeRank.ntileFromRank(
+                col(s"__rk_$score"), col("__nc"), 4).cast("bigint"))
+              .drop(s"__rk_$score")
+        }
+      scored
         .select(col("o_custkey"), col("r_days"), col("freq"),
           col("mon").cast("double").as("monetary"),
           col("r_score"), col("f_score"), col("m_score"),

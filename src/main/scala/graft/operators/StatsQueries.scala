@@ -135,22 +135,26 @@ object StatsQueries extends QueryModule {
 
     // 80/20 revenue concentration: smallest customer prefix (revenue
     // desc, custkey tiebreak) whose cumulative revenue clears 80%.
+    // Round 13: the global row_number + running sum + partitionBy(lit(1))
+    // totals all funneled the customer grain through ONE window task;
+    // now RangeRank's two-phase pass gives the rank AND the integer-
+    // exact running sum (per-range prefix sums + broadcast offsets),
+    // totals come from a broadcast global aggregate, and the crossing
+    // row is a TakeOrderedAndProject (sort fused into limit 1).
     "q_pareto_8020" -> ((s, dir) => {
+      import graft.functions.RangeRank
       val crev = t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
           .as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-      val ranked = crev
-        .withColumn("rnk", row_number().over(w))
-        .withColumn("cum", sum(col("cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("t", sum(col("cents")).over(
-          Window.partitionBy(lit(1))))
-        .withColumn("nc", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val totals = crev.agg(sum(col("cents")).as("t"),
+        count(lit(1)).as("nc"))
+      val ranked = RangeRank.withGroupedRank(crev, Nil,
+          Seq(col("cents").desc, col("o_custkey")), "rnk",
+          sumCols = Seq("cents" -> "cum"))
+        .crossJoin(broadcast(totals))
       ranked.filter(col("cum") * 5 >= col("t") * 4)
-        .withColumn("rn2", row_number().over(Window.orderBy("rnk")))
-        .filter(col("rn2") === 1) // the crossing row
+        .orderBy("rnk").limit(1) // the crossing row
         .select(col("nc").as("n_cust"), col("rnk").as("n80"),
           pround4(col("rnk").cast("double") / col("nc")).as("cust_share"),
           pround4(col("cum").cast("double") / col("t")).as("rev_share"))

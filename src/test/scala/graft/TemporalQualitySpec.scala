@@ -506,8 +506,8 @@ class TemporalQualitySpec extends SparkSpec {
         "o_orderdate", "o_orderpriority")
       .write.parquet(s"$d/orders.parquet")
     val r = run("q_pareto_8020", d).head()
-    assert((r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)) ==
-      ((4L, 1, 0.25, 0.8)))
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((4L, 1L, 0.25, 0.8)))
   }
 
   test("bucket lookup: equality on the bucket key prunes to 1 of 8 buckets") {
