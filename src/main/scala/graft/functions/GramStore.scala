@@ -266,6 +266,20 @@ object GramStore {
       }
     }
 
+  /** Removal-only [[compact]] (takedowns with no replacement rows):
+    * drop every stored row of `removeIds` documents across all five
+    * grains — the streaming takedown maintainer's entry point (ids in
+    * the first column; idempotent, so at-least-once replay is safe). */
+  def compactRemove(path: String, removeIds: DataFrame): Unit =
+    FsUtil.withWriterLock(path) {
+      invalidateBucketed(path)
+      val rm = removeIds
+        .select(col(removeIds.columns.head).as("doc_id")).distinct()
+      relationNames.foreach { name =>
+        CompactStore.compactRelation(s"$path/$name", "doc_id", rm, None)
+      }
+    }
+
   /** The stored sh3 relation of a fixture corpus (builds on first touch;
     * steady state: an exchange-free parquet scan). */
   def shingles3(s: SparkSession, dir: String): DataFrame =

@@ -554,6 +554,109 @@ class StreamingSpec extends SparkSpec {
       "stream-maintained takedown must equal a rebuild without the docs")
   }
 
+  /** Drive a removal feed through `start` in two micro-batches and
+    * assert zero streaming state — the shared harness of the round-13
+    * family legs (verdict task #2: takedown streaming for ALL six
+    * persisted-artifact families, not just TokenStore/RetrievalIndex). */
+  private def feedRemovals(ids: Seq[Long])(
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    assert(ids.nonEmpty)
+    val (b1, b2) = ids.zipWithIndex.partition(_._2 % 2 == 0)
+    val in = MemoryStream[Long]
+    val sq = start(in.toDF.toDF("doc_id"))
+    try {
+      in.addData(b1.map(_._1)); sq.processAllAvailable()
+      in.addData(b2.map(_._1)); sq.processAllAvailable()
+      assert(Option(sq.lastProgress).forall(_.stateOperators.isEmpty),
+        "takedown maintenance must not register a stateful operator")
+    } finally sq.stop()
+  }
+
+  test("s_takedown_grams: streamed removals compact all five grains") {
+    val docs = table("documents").select("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("graft-stk-grams").toString
+    graft.functions.GramStore.buildSh3(docs).write.parquet(s"$dir/sh3")
+    graft.functions.GramStore.buildSh3h(docs).write.parquet(s"$dir/sh3h")
+    graft.functions.GramStore.buildSpan8(docs).write.parquet(s"$dir/span8")
+    graft.functions.GramStore.buildGram5(docs).write.parquet(s"$dir/gram5")
+    graft.functions.GramStore.buildGram2(docs).write.parquet(s"$dir/gram2")
+    val rmPred = IncrementContract.isRemoved(col("doc_id"))
+    val rmIds = docs.filter(rmPred).select("doc_id").as[Long].collect().toSeq
+    val cp = Files.createTempDirectory("graft-cp").toString
+    feedRemovals(rmIds)(
+      graft.streaming.StreamingTakedown.maintainGramStore(_, dir, cp))
+    val survivors = docs.filter(!rmPred)
+    Seq(
+      "sh3" -> graft.functions.GramStore.buildSh3(survivors),
+      "sh3h" -> graft.functions.GramStore.buildSh3h(survivors),
+      "span8" -> graft.functions.GramStore.buildSpan8(survivors),
+      "gram5" -> graft.functions.GramStore.buildGram5(survivors),
+      "gram2" -> graft.functions.GramStore.buildGram2(survivors)
+    ).foreach { case (name, rebuilt) =>
+      val maintained = spark.read.parquet(s"$dir/$name")
+      assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+        s"$name: stream-maintained takedown must equal rebuild-without")
+    }
+  }
+
+  test("s_takedown_clusters: streamed removals split/relabel/drop clusters") {
+    // the CompactStoreSpec fixture, delivered as a stream: removing 2
+    // drops chain 1-2-3 entirely (1 and 3 lose all pairs); removing 10
+    // relabels {11,12}; pair 20-21 is untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val dir = Files.createTempDirectory("graft-stk-cc").toString
+    graft.functions.DedupClusters.writePersisted(pairs, dir, "id_a", "id_b")
+    val cp = Files.createTempDirectory("graft-cp").toString
+    feedRemovals(Seq(2L, 10L))(
+      graft.streaming.StreamingTakedown.maintainDedupClusters(_, dir, cp))
+    val out = graft.functions.DedupClusters.readPersistedClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((11L, 11L), (12L, 11L), (20L, 20L), (21L, 20L)),
+      s"got $out")
+  }
+
+  test("s_takedown_simhash: streamed removals compact the sig index") {
+    val docs = table("documents").select("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dir = Files.createTempDirectory("graft-stk-sim").toString
+    graft.functions.SimHash.writeIndex(
+      graft.functions.SimHash.buildIndex(docs, "doc_id", "toks",
+        d = 3, nBlocks = 4), dir)
+    val rmPred = IncrementContract.isRemoved(col("doc_id"))
+    val rmIds = docs.filter(rmPred).select("doc_id").as[Long].collect().toSeq
+    val cp = Files.createTempDirectory("graft-cp").toString
+    feedRemovals(rmIds)(
+      graft.streaming.StreamingTakedown.maintainSimHashIndex(_, dir, cp))
+    val maintained = graft.functions.SimHash.readIndex(spark, dir).keys
+    val rebuilt = graft.functions.SimHash.buildIndex(
+      docs.filter(!rmPred), "doc_id", "toks", d = 3, nBlocks = 4).keys
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "stream-maintained sig index must equal rebuild-without")
+  }
+
+  test("s_takedown_lsh: streamed removals compact the vector index") {
+    val vecs = table("embeddings")
+    val dir = Files.createTempDirectory("graft-stk-lsh").toString
+    graft.functions.CosineLsh.writeIndex(
+      graft.functions.CosineLsh.buildIndex(vecs, "vec_id", "embedding"),
+      dir)
+    val rmPred = col("vec_id") % 5 === 4
+    val rmIds = vecs.filter(rmPred).select(col("vec_id").cast("long"))
+      .as[Long].collect().toSeq
+    val cp = Files.createTempDirectory("graft-cp").toString
+    feedRemovals(rmIds)(
+      graft.streaming.StreamingTakedown.maintainCosineLshIndex(_, dir, cp))
+    val maintained = graft.functions.CosineLsh.readIndex(spark, dir).keys
+    val rebuilt = graft.functions.CosineLsh.buildIndex(
+      vecs.filter(!rmPred), "vec_id", "embedding").keys
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "stream-maintained LSH index must equal rebuild-without")
+  }
+
   test("s_simhash pairsAgainstIndex: arrivals probe the stored sig index") {
     // the SimHash twin of s_lsh (round-11: the family's persisted index)
     // — planted exact copies are Hamming-0 by construction, so recall is
