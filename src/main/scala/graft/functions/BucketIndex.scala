@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Native codegen range-bucket lookup for RangeRank: binary search of a
+  * DOUBLE key against a per-group sorted splits table referenced as a
+  * constant (never inlined in the generated source).
+  *
+  * Why an expression and not a `when`-chain or an array HOF: a P-1-term
+  * CASE WHEN chain per group inflates the generated method past the
+  * JIT's huge-method limit, so the whole projection runs as interpreted
+  * bytecode (measured 2.3 s for 600k rows × 93 branches — 10× the scan
+  * it decorates); `size(filter(...))` runs an interpreted lambda per
+  * row. This compiles to a ~15-line binary search the JIT inlines, and
+  * because the splits live in the references array, the generated
+  * SOURCE is identical across queries — one Janino compile serves every
+  * boundary set.
+  *
+  * Semantics: with ascending `splits(g)` = s, returns
+  *   asc  → |{i : s(i) < v}|   (count of split points strictly below v)
+  *   desc → |{i : s(i) > v}|   (count strictly above — the bucket id is
+  *                              then increasing in DESC sort order)
+  * A NULL key returns `nullBucket` (0 for NULLS FIRST, P-1 for NULLS
+  * LAST — same-bucket ordering is the downstream window's job). The
+  * group index must be a non-null INT in [0, splits.length); RangeRank
+  * reserves the last slot (empty splits) for groups the boundary sample
+  * missed, which collapses exactly those groups to one bucket.
+  *
+  * Monotonicity contract: the key is the caller's sort key CAST TO
+  * DOUBLE. For every numeric key type that cast is monotone
+  * (non-strictly — ties may collapse), so bucket ids are non-decreasing
+  * in the sort order and every bucket holds a contiguous key range,
+  * which is all the two-phase rank needs.
+  */
+case class BucketIndex(groupIdx: Expression, value: Expression,
+                       splits: Array[Array[Double]], asc: Boolean,
+                       nullBucket: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = groupIdx
+  override def right: Expression = value
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (groupIdx.dataType == IntegerType && value.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (INT, DOUBLE), " +
+        s"got ${groupIdx.dataType.sql} and ${value.dataType.sql}")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  /** Count of split points strictly before v in sort order. */
+  def bucketOf(g: Int, v: Double): Int = {
+    val s = splits(g)
+    var lo = 0; var hi = s.length
+    if (asc) {
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (s(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo // |{i : s(i) < v}|
+    } else {
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (s(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      s.length - lo // |{i : s(i) > v}|
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = value.eval(input)
+    if (v == null) nullBucket
+    else bucketOf(groupIdx.eval(input).asInstanceOf[Int],
+      v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("splits", splits, "double[][]")
+    val g = groupIdx.genCode(ctx)
+    val v = value.genCode(ctx)
+    val s = ctx.freshName("s")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val search =
+      if (asc)
+        s"""while ($lo < $hi) {
+           |  int $mid = ($lo + $hi) >>> 1;
+           |  if ($s[$mid] < ${v.value}) $lo = $mid + 1; else $hi = $mid;
+           |}
+           |${ev.value} = $lo;""".stripMargin
+      else
+        s"""while ($lo < $hi) {
+           |  int $mid = ($lo + $hi) >>> 1;
+           |  if ($s[$mid] <= ${v.value}) $lo = $mid + 1; else $hi = $mid;
+           |}
+           |${ev.value} = $s.length - $lo;""".stripMargin
+    ev.copy(
+      code = code"""
+        ${g.code}
+        ${v.code}
+        int ${ev.value} = $nullBucket;
+        if (!${v.isNull}) {
+          double[] $s = $tab[${g.value}];
+          int $lo = 0; int $hi = $s.length;
+          $search
+        }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(groupIdx = newLeft, value = newRight)
+}

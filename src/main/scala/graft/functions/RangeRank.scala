@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
 /** Two-phase distributed global rank — the 100 TB form of
   * `row_number() OVER (ORDER BY ...)` that a single-partition WindowExec
@@ -10,111 +12,213 @@ import org.apache.spark.sql.functions._
   * engine's scaladocs have pointed at since round 6 as "two-phase range
   * ranks"):
   *
-  *   1. range-repartition on the sort key (Spark's RangePartitioner —
-  *      deterministically seeded sampling picks the boundaries, every
-  *      partition holds a contiguous key range);
-  *   2. rank WITHIN each partition (WindowExec partitioned by the
-  *      materialized partition id — parallel, no single-partition move);
-  *   3. add each partition's start offset (the running sum of partition
-  *      counts — a numPartitions-row relation, broadcast back).
+  *   1. bucket every row by BINARY SEARCH against P-1 equi-depth split
+  *      points of the primary sort key (collected once, embedded as
+  *      literals — see below for why not RangePartitioner);
+  *   2. rank WITHIN each bucket (WindowExec partitioned by the bucket id
+  *      — parallel, no single-partition move);
+  *   3. add each bucket's start offset (the running sum of bucket
+  *      counts — a ≤ P×|groups|-row relation, broadcast back).
   *
   * The result is exactly `row_number` over the TOTAL order of
-  * `sortCols` — partition boundaries cannot change it, only where the
-  * work happens — so callers (q_auc) hash-match oracles that use a plain
+  * `sortCols` — bucket boundaries cannot change it, only where the work
+  * happens — so callers (q_auc) hash-match oracles that use a plain
   * window. Ranks are only well-defined if `sortCols` is a total order:
   * pass a unique tiebreak column last.
   *
-  * Round 13 generalizes the same machinery two ways (round-12 verdict
-  * task #1 — the last corpus-proportional single-task window plans in
-  * the registry were q_rfm / q_hist_equidepth / q_pareto_8020, which
-  * carried "swap in two-phase ranks at 100 TB" comments while this file
-  * sat beside them):
+  * Round 13 (optimization round) replaced the original
+  * `repartitionByRange` + `spark_partition_id()` + localCheckpoint
+  * implementation: RangePartitioner SAMPLES its boundaries per physical
+  * execution, so the partition-id column had to be pinned with an eager
+  * localCheckpoint to keep the offsets pass and the rank pass agreeing —
+  * at fact grain that checkpoint materialized the whole relation to
+  * executor storage (the guide's §5 "don't cache base tables" smell) and
+  * at entity grain its fixed job cost dominated (q_rfm: 3 rank passes =
+  * 3 sampling jobs + 3 checkpoints + 3 broadcasts ≈ 8× the retired
+  * single-window plan at sf0.1). The boundaries are now computed ONCE
+  * with `percentile_approx` (one aggregate pass), collected (≤ P-1 rows
+  * per group — driver-bounded by construction) and embedded as literals:
+  * the bucket id becomes a pure, deterministic row function, safe under
+  * any recomputation, so NO lineage cut is needed and the relation is
+  * never materialized. Boundary QUALITY only affects balance, never
+  * correctness: equi-depth split points are exactly what a
+  * RangePartitioner approximates anyway. A single hot key still floods
+  * one bucket — the same property the range shuffle had.
   *
+  * Generalizations kept from the build rounds:
   *   - GROUPED ranks ([[withGroupedRank]]): rank within each group of a
   *     low-cardinality partition key whose groups are each too BIG for
   *     one window task (q_hist_equidepth's 3 return flags over fact
-  *     grain). Range-partitioning on (group ++ sort) keeps every
-  *     partition a contiguous slice OF one or more groups, and the
-  *     offset pass runs per (partition, group) — still bounded by
-  *     numPartitions × |groups|.
-  *   - RUNNING SUMS (`sumCols`): a per-range prefix sum plus the same
+  *     grain). Boundaries are computed per group; the offset pass runs
+  *     per (bucket, group) — still bounded by P × |groups|.
+  *   - RUNNING SUMS (`sumCols`): a per-bucket prefix sum plus the same
   *     broadcast offset join gives `SUM(v) OVER (ORDER BY ... ROWS
   *     UNBOUNDED PRECEDING)` exactly (q_pareto_8020's cumulative
   *     revenue), with integer-exact totals when `v` is integral.
+  *   - `countName`: each group's total row count (the NTILE denominator)
+  *     read off the offsets relation for free — no separate
+  *     count-aggregate pass or extra broadcast join.
+  *   - `pin`: eagerly materialize the INPUT once when it is expensive to
+  *     recompute (q_auc's cosine-scored candidates) — the boundary,
+  *     count and rank passes each read it. Leave false when the input is
+  *     a cheap scan or already checkpointed: re-deriving narrow rows
+  *     twice beats storing the relation (guide §5).
   *
   * [[ntileFromRank]] then derives NTILE(k) as a pure integer formula
   * over (rank, group row count) — no third phase needed.
+  *
+  * Contract: the PRIMARY sort key must be a type `percentile_approx`
+  * sketches (numeric / date / timestamp — every engine call site ranks
+  * on scaled-integer scores or cents), and `groupCols`, when present,
+  * must be low-cardinality (the per-group boundary collect is
+  * |groups| × (P-1) values on the driver).
   */
 object RangeRank {
 
   /** `df` plus `rankName` = 1-based global rank by `sortCols`.
     * `partitions` defaults to the session's shuffle partitions. */
   def withRank(df: DataFrame, sortCols: Seq[Column], rankName: String,
-               partitions: Int = 0): DataFrame =
-    withGroupedRank(df, Nil, sortCols, rankName, Seq.empty, partitions)
+               partitions: Int = 0, pin: Boolean = false): DataFrame =
+    withGroupedRank(df, Nil, sortCols, rankName, Seq.empty, partitions,
+      pin = pin)
 
   /** The generalized two-phase pass. `groupCols` (possibly empty =
     * global) name the PARTITION BY key; `sortCols` the total order
     * within each group (include a unique tiebreak). Each `(valueCol,
     * cumName)` in `sumCols` adds the INCLUSIVE running sum of
-    * `valueCol` over that order. Output = input columns + `rankName`
-    * (+ each `cumName`). */
+    * `valueCol` over that order. `countName`, when non-null, adds each
+    * group's total row count. Output = input columns + `rankName`
+    * (+ each `cumName`, + `countName`). */
   def withGroupedRank(df: DataFrame, groupCols: Seq[String],
                       sortCols: Seq[Column], rankName: String,
                       sumCols: Seq[(String, String)] = Seq.empty,
-                      partitions: Int = 0): DataFrame = {
-    val reserved = Seq("__rr_pid", "__rr_rn", "__rr_off", "__rr_n") ++
+                      partitions: Int = 0,
+                      countName: String = null,
+                      pin: Boolean = false): DataFrame = {
+    val reserved = Seq("__rr_bkt", "__rr_rn", "__rr_off", "__rr_n",
+      "__rr_bnds") ++ groupCols.map(c => s"__rr_g_$c") ++
       sumCols.map { case (_, cum) => s"__rr_soff_$cum" } ++
       sumCols.map { case (_, cum) => s"__rr_run_$cum" }
-    (rankName +: (reserved ++ sumCols.map(_._2))).foreach { c =>
+    (rankName +: (Option(countName).toSeq ++ reserved ++
+      sumCols.map(_._2))).foreach { c =>
       require(!df.columns.contains(c), s"column $c exists in input")
     }
-    // partitions = 0 (the default) leaves the range shuffle's width to
-    // AQE: a small entity-grain relation coalesces to a handful of
-    // tasks (fixture-scale constants stay near the single-window
-    // plan's), while a corpus-grain relation spreads by the advisory
-    // partition size — the knob a 100 TB run would want anyway.
-    // Coalescing merges ADJACENT range partitions, so partition ids
-    // stay ordered by the sort key and the offset arithmetic is
-    // unaffected; the materialization below pins whatever width AQE
-    // chose.
-    val rangeExprs = groupCols.map(col) ++ sortCols
-    val ranged = (if (partitions > 0)
-        df.repartitionByRange(partitions, rangeExprs: _*)
-      else df.repartitionByRange(rangeExprs: _*))
-      .withColumn("__rr_pid", spark_partition_id())
-    // materialize ONCE: the partition-id column must agree between the
-    // offsets relation and the ranked relation (recomputation could
-    // re-sample boundaries; one lineage cut removes the hazard)
-    val pinned = Materialize(ranged)
-    // per-(partition, group) totals → running offsets per group. The
-    // offsets window is (numPartitions × |groups|)-sized — bounded by
-    // config and the group key's cardinality, not by data volume.
-    val perPart = pinned.groupBy("__rr_pid", groupCols: _*)
+    val spark = df.sparkSession
+    val input = if (pin) Materialize(df) else df
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // primary sort key + direction + null placement (the bucket id only
+    // needs the FIRST sort column: equal primary keys always land in one
+    // bucket, and the in-bucket window orders by the full sortCols)
+    val (keyCol, asc, nullsFirst) =
+      org.apache.spark.sql.graftbridge.PlanBridge.sortOrderOf(sortCols.head)
+    val keyType = input.select(keyCol.as("__rr_k")).schema.head.dataType
+
+    // P-1 equi-depth split points of the DOUBLE-cast key, per group,
+    // from ONE aggregate pass over a DETERMINISTIC 1-in-64 row sample
+    // (hash of the full sort key, so replays draw the same rows),
+    // collected to the driver — deterministic under recomputation by
+    // construction (they become constants). Sampling matters:
+    // percentile_approx is a per-row TypedImperativeAggregate (no
+    // codegen), so sketching every fact row cost more than the rank
+    // pass it was placing. Boundary QUALITY only affects balance, never
+    // correctness (the double cast is monotone for every numeric key —
+    // ties can only collapse, keeping buckets contiguous), and 64 × P
+    // samples per split point is plenty; if the sample misses a group
+    // entirely (tiny inputs), that group lands in one bucket — exactly
+    // the single-window plan such inputs want.
+    val sortKeyCols = sortCols.map(c =>
+      org.apache.spark.sql.graftbridge.PlanBridge.sortOrderOf(c)._1)
+    val keyD = keyCol.cast("double")
+    val sampled = input.filter(
+      pmod(xxhash64(sortKeyCols: _*), lit(64)) === 0)
+    val probs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
+    val bndAgg = percentile_approx(keyD, probs, lit(10000))
+      .as("__rr_bnds")
+    def collectBnds(row: org.apache.spark.sql.Row, at: Int): Array[Double] =
+      if (row.isNullAt(at)) Array.empty[Double]
+      else row.getSeq[Any](at).collect { case d: Double => d }
+        .distinct.sorted.toArray
+    // The bucket id = count of split points strictly before the key in
+    // sort order — a native binary-search expression (BucketIndex; a
+    // when-chain over P-1 literals per group blows the JIT's method
+    // limit and an array HOF runs interpreted — both measured ~10× the
+    // scan they decorate). Monotone in the sort order, so every bucket
+    // holds a contiguous key range and offsets reconstruct the total
+    // order. NULL keys take the end bucket their null ordering
+    // dictates; same-bucket ordering is the window's job.
+    def bucketCol(gIdx: Column, splits: Array[Array[Double]]): Column =
+      org.apache.spark.sql.graftbridge.PlanBridge.column(BucketIndex(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(
+          gIdx.cast("int")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(keyD),
+        splits, asc, if (nullsFirst) 0 else p - 1))
+
+    val bucketed =
+      if (p < 2) input.withColumn("__rr_bkt", lit(0))
+      else if (groupCols.isEmpty) {
+        val arr = collectBnds(sampled.agg(bndAgg).collect()(0), 0)
+        input.withColumn("__rr_bkt", bucketCol(lit(0), Array(arr)))
+      } else {
+        // per-group splits, selected by a |groups|-branch group-index
+        // chain (null-safe equality); the collect is |groups| rows —
+        // bounded by the low-cardinality groupCols contract, the same
+        // bound the offsets broadcast relies on. The LAST splits slot is
+        // empty: the fallback for groups the sample missed.
+        val bndRows = sampled.groupBy(groupCols.map(col): _*).agg(bndAgg)
+          .collect()
+        val splits = bndRows.map(collectBnds(_, groupCols.size)) :+
+          Array.empty[Double]
+        def litOf(v: Any, dt: org.apache.spark.sql.types.DataType): Column =
+          org.apache.spark.sql.graftbridge.PlanBridge.column(
+            Literal.create(v, dt))
+        val gIdx = bndRows.zipWithIndex
+          .foldLeft(lit(bndRows.length): Column) { case (acc, (row, i)) =>
+            val cond = groupCols.zipWithIndex.map { case (c, j) =>
+              col(c) <=> litOf(row.get(j), input.schema(c).dataType)
+            }.reduce(_ && _)
+            when(cond, lit(i)).otherwise(acc)
+          }
+        input.withColumn("__rr_bkt", bucketCol(gIdx, splits))
+      }
+
+    // per-(bucket, group) totals → running offsets per group (and the
+    // group total for countName). Bounded by P × |groups| rows — never
+    // data volume. The bucket id is deterministic, so this second pass
+    // over the input needs no pinning to agree with the rank pass.
+    val perPart = bucketed.groupBy("__rr_bkt", groupCols: _*)
       .agg(count(lit(1)).as("__rr_n"),
         sumCols.map { case (v, cum) =>
           sum(col(v)).as(s"__rr_psum_$cum") }: _*)
     val offW = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy("__rr_pid")
+      .orderBy("__rr_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sumCols.foldLeft(
+    val grpW = Window.partitionBy(groupCols.map(col): _*)
+    val withOff = sumCols.foldLeft(
       perPart.withColumn("__rr_off",
         coalesce(sum(col("__rr_n")).over(offW), lit(0L)))) {
       case (acc, (_, cum)) => acc.withColumn(s"__rr_soff_$cum",
         coalesce(sum(col(s"__rr_psum_$cum")).over(offW), lit(0L)))
-    }.select(col("__rr_pid") +: (groupCols.map(col) :+ col("__rr_off")) ++:
-      sumCols.map { case (_, cum) => col(s"__rr_soff_$cum") }: _*)
-    // per-(partition, group) window: parallel, never single-partition
-    val inW = Window.partitionBy(("__rr_pid" +: groupCols).map(col): _*)
+    }
+    val offsets = (if (countName == null) withOff
+      else withOff.withColumn(countName, sum(col("__rr_n")).over(grpW)))
+      .select(col("__rr_bkt") +:
+        (groupCols.map(col) :+ col("__rr_off")) ++:
+        Option(countName).map(col).toSeq ++:
+        sumCols.map { case (_, cum) => col(s"__rr_soff_$cum") }: _*)
+
+    // per-(bucket, group) window: parallel, never single-partition
+    val inW = Window.partitionBy(("__rr_bkt" +: groupCols).map(col): _*)
       .orderBy(sortCols: _*)
     val withLocal = sumCols.foldLeft(
-      pinned.withColumn("__rr_rn", row_number().over(inW))) {
+      bucketed.withColumn("__rr_rn", row_number().over(inW))) {
       case (acc, (v, cum)) => acc.withColumn(s"__rr_run_$cum",
         sum(col(v)).over(
           inW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }
     val joined = withLocal
-      .join(broadcast(offsets), "__rr_pid" +: groupCols)
+      .join(broadcast(offsets), "__rr_bkt" +: groupCols)
       .withColumn(rankName, col("__rr_off") + col("__rr_rn"))
     sumCols.foldLeft(joined) { case (acc, (_, cum)) =>
       acc.withColumn(cum, col(s"__rr_soff_$cum") + col(s"__rr_run_$cum"))
@@ -124,7 +228,9 @@ object RangeRank {
   /** `df` plus each group's total row count as `countName` — the NTILE
     * denominator, computed as a grouped aggregate + broadcast join
     * (never a whole-partition window). `groupCols` empty = the global
-    * count on every row. */
+    * count on every row. Prefer `withGroupedRank(countName = ...)` when
+    * a rank pass runs anyway — it reads the count off the offsets
+    * relation for free. */
   def withGroupCount(df: DataFrame, groupCols: Seq[String],
                      countName: String): DataFrame = {
     require(!df.columns.contains(countName), s"column $countName exists")

@@ -200,10 +200,9 @@ object AggregateQueries extends QueryModule {
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("cents"),
           col("l_orderkey"), col("l_linenumber"))
-      val ranked = RangeRank.withGroupedRank(
-        RangeRank.withGroupCount(rows, Seq("l_returnflag"), "__nf"),
-        Seq("l_returnflag"),
-        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "__rk")
+      val ranked = RangeRank.withGroupedRank(rows, Seq("l_returnflag"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "__rk",
+        countName = "__nf")
       ranked
         .withColumn("bucket",
           RangeRank.ntileFromRank(col("__rk"), col("__nf"), 8).cast("int"))

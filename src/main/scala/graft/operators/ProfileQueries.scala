@@ -100,13 +100,21 @@ object ProfileQueries extends QueryModule {
           datediff(col("maxd"), col("lastd")).cast("bigint").as("r_days"),
           col("freq"), col("mon")))
       import graft.functions.RangeRank
+      // the first rank pass also emits the global count (__nc, the
+      // NTILE denominator) off its offsets relation — no separate
+      // count-aggregate pass; the later passes reuse the column
       val scored = Seq(
         (Seq(col("r_days").desc, col("o_custkey")), "r_score"),
         (Seq(col("freq").asc, col("o_custkey")), "f_score"),
         (Seq(col("mon").asc, col("o_custkey")), "m_score"))
-        .foldLeft(RangeRank.withGroupCount(cust, Nil, "__nc")) {
-          case (acc, (order, score)) =>
-            RangeRank.withGroupedRank(acc, Nil, order, s"__rk_$score")
+        .zipWithIndex.foldLeft(cust) {
+          case (acc, ((order, score), i)) =>
+            // pin each pass's input from the second on: a pass reads its
+            // input three times (boundary sample, counts, rank window),
+            // and without the cut those reads re-execute every earlier
+            // pass's whole pipeline
+            RangeRank.withGroupedRank(acc, Nil, order, s"__rk_$score",
+                countName = if (i == 0) "__nc" else null, pin = i > 0)
               .withColumn(score, RangeRank.ntileFromRank(
                 col(s"__rk_$score"), col("__nc"), 4).cast("bigint"))
               .drop(s"__rk_$score")

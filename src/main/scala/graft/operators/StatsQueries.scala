@@ -143,10 +143,14 @@ object StatsQueries extends QueryModule {
     // row is a TakeOrderedAndProject (sort fused into limit 1).
     "q_pareto_8020" -> ((s, dir) => {
       import graft.functions.RangeRank
-      val crev = t(s, dir, "orders")
+      // pin the customer-revenue aggregate once: the boundary, totals,
+      // offsets and rank passes all read it (re-running the orders
+      // aggregation per pass would cost more than the 1-row-per-customer
+      // checkpoint)
+      val crev = graft.functions.Materialize(t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
-          .as("cents"))
+          .as("cents")))
       val totals = crev.agg(sum(col("cents")).as("t"),
         count(lit(1)).as("nc"))
       val ranked = RangeRank.withGroupedRank(crev, Nil,

@@ -24,6 +24,20 @@ object PlanBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Decompose a possibly-sort-ordered Column into (key, ascending,
+    * nullsFirst). Spark 4 Columns carry sort order as an
+    * `internal.SortOrder` ColumnNode (NOT a catalyst SortOrder — that
+    * only appears after analysis), so generic rank machinery
+    * (graft.functions.RangeRank) that needs the bare key plus the
+    * direction must unwrap the node here, inside the sql namespace. */
+  def sortOrderOf(c: Column): (Column, Boolean, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (new Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending,
+        so.nullOrdering == org.apache.spark.sql.internal.SortOrder.NullsFirst)
+    case _ => (c, true, true)
+  }
+
   /** Register a session-scoped SQL table-valued function (the
     * `SELECT * FROM f(...)` surface). Same visibility story as ofRows:
     * `sessionState` is private[sql]; the registry API itself is the one

@@ -19,7 +19,7 @@ class RangeRankSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir)
 
   /** Every WindowExec in the executed plan must be scale-safe: either
-    * its PARTITION BY references RangeRank's `__rr_pid` (per-range,
+    * its PARTITION BY references RangeRank's `__rr_bkt` (per-bucket,
     * parallel by construction), or it consumes an aggregate's output
     * (bounded rows — RangeRank's numPartitions-sized offsets pass).
     * This is STRONGER than PlanDoctor's global-window rule, which
@@ -41,9 +41,9 @@ class RangeRankSpec extends SparkSpec {
       s"$name: expected the per-range windows in the executed plan")
     windows.foreach { w =>
       val pidKeyed = w.partitionSpec.exists(
-        _.references.exists(_.name.startsWith("__rr_pid")))
+        _.references.exists(_.name.startsWith("__rr_bkt")))
       assert(pidKeyed || hasAggBelow(w.child),
-        s"$name has a corpus-grain window NOT keyed on __rr_pid: " +
+        s"$name has a corpus-grain window NOT keyed on __rr_bkt: " +
           s"partitionSpec=${w.partitionSpec.mkString(",")}")
     }
     val risks = graft.plans.PlanDoctor.diagnoseExecuted(df)
@@ -55,7 +55,7 @@ class RangeRankSpec extends SparkSpec {
     assertWindowsScaleSafe("q_rfm", run("q_rfm", sf))
   }
 
-  test("q_hist_equidepth executed plan: windows keyed on __rr_pid") {
+  test("q_hist_equidepth executed plan: windows keyed on __rr_bkt") {
     assertWindowsScaleSafe("q_hist_equidepth", run("q_hist_equidepth", sf))
   }
 
@@ -85,6 +85,26 @@ class RangeRankSpec extends SparkSpec {
       .collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(two == one,
       "grouped two-phase rank+prefix-sum must equal the window twins")
+  }
+
+  test("countName + desc order match the window twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = Seq.tabulate(3000) { i =>
+      (if (i % 5 == 0) "x" else "y", rnd.nextInt(40).toLong, i.toLong)
+    }.toDF("g", "k", "id")
+    val two = graft.functions.RangeRank
+      .withGroupedRank(df, Seq("g"), Seq(col("k").desc, col("id")), "r",
+        countName = "n", partitions = 5)
+      .select("id", "r", "n").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val w = Window.partitionBy("g").orderBy(col("k").desc, col("id"))
+    val one = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .select("id", "r", "n").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(two == one, "desc rank + group count must equal the window twins")
   }
 
   test("ntileFromRank matches window NTILE across n/k boundary cases") {
