@@ -114,9 +114,8 @@ object GramStore {
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("source"), explode_outer(expr(
-        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
-        .as("sh"))
+      .select(col("doc_id"), col("source"), explode_outer(
+        WordGrams.grams(col("toks"), 3, distinct = false)).as("sh"))
       .distinct()
       .select(col("doc_id"), col("source"), col("sh"),
         conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
@@ -144,10 +143,8 @@ object GramStore {
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode_outer(array_distinct(expr(
-        """transform(sequence(1, size(t) - 4),
-          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
-        .as("g"))
+      .select(col("doc_id"), explode_outer(
+        WordGrams.grams(col("t"), 5, distinct = true)).as("g"))
 
   /** Per-doc BIGRAM COUNTS (doc_id, w1, w2, c) — the bigram-family
     * grain (round-11 extension: q_repetition / q_ngrams /
@@ -163,13 +160,16 @@ object GramStore {
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
+      // explode the POSITION sequence and project the pair components
+      // in the same codegen stage (the q_char_trigrams discipline; the
+      // struct-transform lambda ran interpreted per position).
       // explode_OUTER: see buildSh3 — the size guard excludes empty
-      // pair arrays, so the row sets are identical and no inferred
-      // filter re-inlines the pair transform
-      .select(col("doc_id"), explode_outer(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> struct(t[i-1] AS w1, t[i] AS w2))""".stripMargin)).as("p"))
-      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // position arrays, so the row sets are identical and no inferred
+      // filter re-inlines the build
+      .select(col("doc_id"), col("t"),
+        explode_outer(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .groupBy(col("doc_id"), element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
       .agg(count(lit(1)).as("c"))
 
   /** ALL (doc_id, span_h) 8-token span hashes — q_span_dedup's span
@@ -180,10 +180,13 @@ object GramStore {
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode_outer(expr(
-        """transform(sequence(1, size(toks) - 7),
-          |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 15), 16, 10) AS BIGINT))"""
-          .stripMargin)).as("span_h"))
+      // native gram build + md5 projected in the SAME codegen stage
+      // (the interpreted lambda ran slice+join+md5 per position)
+      .select(col("doc_id"), explode_outer(
+        WordGrams.grams(col("toks"), 8, distinct = false)).as("span"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("span").cast("binary")), 1, 15), 16, 10)
+          .cast("bigint").as("span_h"))
 
   /** Build-on-first-touch for a fixture dir (the persistedClusters
     * discipline: immutable fixture dirs, content-keyed tag). */

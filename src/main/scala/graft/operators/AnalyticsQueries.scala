@@ -414,6 +414,11 @@ object AnalyticsQueries extends QueryModule {
     // broadcast). Ratios are single IEEE divisions of integers under
     // the portable round — bit-identical cross-engine.
     "q_market_basket" -> ((s, dir) => {
+      // r13 A/B: materializing this distinct relation for its four
+      // consumers measured 1.15× the CPU of re-derivation — the two
+      // broadcast sides already reuse the distinct's exchange
+      // (ReusedExchange in the executed plan), so the localCheckpoint
+      // write+read only added cost; left as-is deliberately
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

@@ -78,10 +78,8 @@ object DedupQueries extends QueryModule {
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("lang"),
           element_at(col("toks"), 1).as("ft"),
-          array_distinct(expr(
-            """transform(sequence(1, size(toks) - 1),
-              |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
-              .stripMargin)).as("grams"))
+          graft.functions.WordGrams.grams(col("toks"), 2, distinct = true)
+            .as("grams"))
         .select(col("doc_id"), size(col("grams")).as("n"),
           // explode_OUTER: see simhashSigs — no inferred-filter re-run of
           // the gram build; size(toks) >= 2 ⇒ at least one gram
@@ -406,10 +404,9 @@ object DedupQueries extends QueryModule {
         .repartition(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), expr(
-          """transform(sequence(1, size(t) - 2),
-            |  i -> array_join(slice(t, i, 3), ' '))"""
-            .stripMargin).as("grams"))
+        .select(col("doc_id"),
+          graft.functions.WordGrams.grams(col("t"), 3, distinct = false)
+            .as("grams"))
       graft.functions.SimilarityJoin
         .jaccardSelfJoin(grams, "doc_id", "grams", 0.5)
         .select(col("a_id"), col("b_id"), pround4(col("jac")).as("jac"))
@@ -475,10 +472,9 @@ object DedupQueries extends QueryModule {
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
-        .as("grams"))
+      .select(col("doc_id"),
+        graft.functions.WordGrams.grams(col("t"), 2, distinct = true)
+          .as("grams"))
     // explode_OUTER, deliberately: plain explode triggers
     // InferFiltersFromGenerate, which pushes `size(grams) > 0 AND
     // isnotnull(grams)` below the projection — inlining the ENTIRE gram
@@ -719,10 +715,9 @@ object DedupQueries extends QueryModule {
     tokRel
       .select(col("doc_id"), col("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> array_join(slice(t, i, 2), ' '))""".stripMargin))
-        .as("grams"))
+      .select(col("doc_id"),
+        graft.functions.WordGrams.grams(col("t"), 2, distinct = true)
+          .as("grams"))
       .transform(graft.functions.Materialize(_))
 
   /** md5-minhash banded keys (doc_id, band, bk) of a gram relation.

@@ -224,7 +224,7 @@ object EvalQueries extends QueryModule {
             .cast("long").as("sc"),
           when(col("label") === col("plabel"), 1L).otherwise(0L).as("pos"))
       graft.functions.RangeRank
-        .withRank(cand, Seq(col("sc"), col("vec_id")), "r")
+        .withRank(cand, Seq(col("sc"), col("vec_id")), "r", pin = true)
         .agg(sum(col("pos")).as("n_pos"),
           sum(lit(1L) - col("pos")).as("n_neg"),
           sum(col("pos") * col("r")).as("sr"))
@@ -255,8 +255,8 @@ object EvalQueries extends QueryModule {
           // explode_OUTER: avoids the inferred-filter re-evaluation of
           // the shingle transform (DedupQueries.simhashSigs); the size
           // guard makes empty shingle arrays impossible
-          .select(col("doc_id"), explode_outer(expr(
-            "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+          .select(col("doc_id"), explode_outer(
+            graft.functions.WordGrams.grams(col("toks"), 3, distinct = false))
             .as("sh"))
           .distinct())
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
@@ -476,7 +476,7 @@ object EvalQueries extends QueryModule {
             .cast("long").as("sc"),
           when(col("label") === col("plabel"), 1L).otherwise(0L).as("pos"))
       val ranked = graft.functions.RangeRank
-        .withRank(cand, Seq(col("sc"), col("vec_id")), "r")
+        .withRank(cand, Seq(col("sc"), col("vec_id")), "r", pin = true)
       // count from the PINNED ranked relation — aggregating `cand` here
       // would re-run the whole cosine-scoring corpus pass a second time
       val tot = ranked.agg(count(lit(1)).as("n"))

@@ -247,9 +247,8 @@ object PipelineQueries extends QueryModule {
     toks
       .select(col("doc_id"), col("t"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode_outer(array_distinct(expr(
-        """transform(sequence(1, size(t) - 4),
-          |  i -> array_join(slice(t, i, 5), ' '))""".stripMargin)))
+      .select(col("doc_id"), explode_outer(
+        graft.functions.WordGrams.grams(col("t"), 5, distinct = true))
         .as("g"))
 
   private def trainEvalGrams(s: org.apache.spark.sql.SparkSession,

@@ -673,6 +673,44 @@ class FunctionsLibSpec extends SparkSpec {
     approx.groupBy(_._1).foreach { case (_, s) => assert(s.size <= 3) }
   }
 
+  test("WordGrams: native builder == HOF twin (distinct and not, k=2,3,5,8)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("a", "b", "cc", "", "dd d", "eee")
+    val rows = Seq("", "a", "a b", "a a a a a a a a a",
+      "a b a b a b a b") ++
+      (1 to 150).map(_ => Seq.fill(rnd.nextInt(14))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = rows.toDF("text").select(split(col("text"), " ").as("t"))
+    for (k <- Seq(2, 3, 5, 8); d <- Seq(true, false)) {
+      val hof = expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), i -> array_join(slice(t, i, $k), ' '))")
+      val twin = if (d) array_distinct(hof) else hof
+      val bad = df
+        .filter(size(col("t")) >= k)
+        .select(WordGrams.grams(col("t"), k, d).as("a"), twin.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(bad == 0, s"WordGrams(k=$k, distinct=$d) must equal the HOF twin")
+    }
+  }
+
+  test("LangId: native scorer == HOF mirror on edge cases and random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "la", "de", "und", "zzz", "el", "le", "est",
+      "mit", "que", "", "is", "das", "nicht", "y")
+    val rows = Seq(null, "", " ", "THE  AND of", "la la la", "de de",
+      "und und und", "xyzzy") ++
+      (1 to 200).map(_ => Seq.fill(rnd.nextInt(30))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = rows.toDF("text")
+    val got = df.select(
+        LangId.detect(col("text")).as("a"),
+        LangId.detectHof(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(got == 0, "native LangId scorer must equal the HOF mirror")
+  }
+
   test("LangId detects marker-heavy texts and falls back to und") {
     val df = Seq(
       ("en", "the cat and the dog is in the house"),
