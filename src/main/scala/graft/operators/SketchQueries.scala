@@ -72,8 +72,11 @@ object SketchQueries extends QueryModule {
     df.repartition(col("doc_id")) // spread before the HOF shingle build
       .select(col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+      // native gram build (WordGrams), explode_OUTER so no inferred
+      // size-filter re-runs it below the projection; the size guard
+      // already excludes empty gram arrays
+      .select(col("source"), explode_outer(
+        graft.functions.WordGrams.grams(col("toks"), 3, distinct = false))
         .as("sh"))
       .distinct()
 
@@ -174,6 +177,11 @@ object SketchQueries extends QueryModule {
         .filter(col("rn") <= QK)
         .groupBy("l_returnflag")
         .agg(pround4(expr("percentile(cents, 0.5D)")).as("est_p50"))
+      // r13 A/B: the percentile FREQUENCY form over a (flag, cents, cnt)
+      // pre-aggregation measured 1.1x this plan's CPU — cents are
+      // near-unique at these SFs, so the codegen pre-agg reduces
+      // nothing and only adds its exchange; revisit only for
+      // heavy-duplicate domains
       base.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           pround4(expr("percentile(cents, 0.5D)")).as("exact_p50"))
