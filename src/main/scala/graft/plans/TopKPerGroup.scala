@@ -312,6 +312,14 @@ case class TopKPerGroupExec(
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
 
+  /** doConsume only touches the packed `row` (insert()), never the input
+    * variables — declare that (the SortExec contract), or consume() both
+    * pre-evaluates the child's output vars AND embeds the same evaluation
+    * in the UnsafeRow it packs, and the duplicated locals fail Janino
+    * ("Redefinition of local variable"), silently degrading every stage
+    * that fuses this operator with a projection to interpreted execution. */
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
   private var bufferVar: String = _
 
   override protected def doProduce(ctx: CodegenContext): String = {

@@ -76,6 +76,54 @@ class TopKPlanSpec extends SparkSpec {
     } finally TopKPerGroup.uninstall(spark)
   }
 
+  test("whole-stage codegen compiles when a projection fuses into the heap phase") {
+    // Regression: without usedInputs = empty, consume() emitted the fused
+    // Project's evaluation twice (pre-evaluated vars + the packed-row copy)
+    // and Janino rejected the duplicate locals, so the whole stage — scan
+    // included — fell back to interpreted execution. fallback=false turns
+    // that silent degrade into a test failure.
+    TopKPerGroup.install(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // the q_quantile_sketch shape: derived columns (salt + hash) feed a
+      // salted local pass, whose output feeds the global pass in the same
+      // stage — both failing compositions from the round-14 audit
+      def twoPhase: DataFrame = {
+        val base = table("orders").select(
+          col("o_orderpriority"),
+          expr("conv(substring(md5(cast(cast(o_orderkey as string) as binary)), 1, 12), 16, 10)")
+            .cast("long").as("hv"),
+          col("o_orderkey"))
+        val salt = pmod(xxhash64(col("o_orderkey")), lit(4))
+        val wLocal = Window.partitionBy(col("o_orderpriority"), salt)
+          .orderBy(col("hv").asc, col("o_orderkey").asc)
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("hv").asc, col("o_orderkey").asc)
+        base
+          .withColumn("rnl", row_number().over(wLocal)).filter(col("rnl") <= 5)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("o_orderpriority", "rn", "o_orderkey")
+          .orderBy("o_orderpriority", "rn")
+      }
+      val heapForm = twoPhase
+      val got = heapForm.collect().map(_.toSeq).toSeq
+      val plan = heapForm.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup "), s"heap exec not planned:\n$plan")
+      TopKPerGroup.uninstall(spark)
+      val windowForm = twoPhase // fresh plan: rewrite uninstalled ⇒ native Window
+      val expected = windowForm.collect().map(_.toSeq).toSeq
+      assert(!windowForm.queryExecution.executedPlan.toString.contains("TopKPerGroup "))
+      assert(got == expected)
+    } finally {
+      TopKPerGroup.uninstall(spark)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("rewrite fires: two heap phases straddle one exchange, no sorts below") {
     TopKPerGroup.install(spark)
     try {
