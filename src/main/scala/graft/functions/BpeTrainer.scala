@@ -1,7 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Iterative BPE merge trainer (round-6 verdict item #6) — the
   * tokenizer-training primitive the LLM-pipeline brief implies,
@@ -15,22 +21,95 @@ import org.apache.spark.sql.functions._
   *      deterministic) via a 1-row TakeOrdered — the collected row is the
   *      round's merge rule, the bounded-driver-action exception
   *      (N rounds × 1 row total);
-  *   3. apply the merge corpus-wide as a literal-quoted regex replace —
-  *      leading space consumed, trailing space matched by a LOOKAHEAD so
-  *      it survives as the next occurrence's delimiter: exactly BPE's
-  *      greedy left-to-right scan ("a b a b" → "a_b a_b" in ONE pass;
-  *      a consuming trailing space would skip every second consecutive
-  *      occurrence — the round-7 advice bug). `Pattern.quote` keeps
-  *      regex-special tokens literal. DuckDB's RE2 has no lookahead, so
-  *      the oracle twin replays the SAME greedy scan as a list_reduce
-  *      over the token list — different mechanism, identical semantics.
+  *   3. apply the merge corpus-wide. The trainer keeps the corpus SPLIT
+  *      ONCE as a standing token-array column and merges it natively
+  *      ([[BpeMergePair]]: greedy left-to-right non-overlapping scan,
+  *      "a b a b" → "a_b a_b" in ONE pass, "a a a" → "a_a a") — the r14
+  *      representation change that retired the per-round re-split, which
+  *      r13 measured as the family's dominant CPU. The string-level twin
+  *      [[applyMerge]] (literal-quoted regex whose trailing delimiter is
+  *      a LOOKAHEAD, so consecutive occurrences all merge in one pass —
+  *      the round-7 advice bug class) remains the single-merge /
+  *      tokenize-inference form; PropertySpec pins regex ≡ native scan ≡
+  *      the reference model on space-normalized corpora, the engine's
+  *      corpus contract. DuckDB's RE2 has no lookahead, so the oracle
+  *      twin replays the SAME greedy scan as a list_reduce over the
+  *      token list — different mechanism, identical semantics.
   *
   * Per-round budget: one pair-count shuffle + one embarrassingly-parallel
-  * regex map. Lineage is cut every `checkpointEvery` rounds (each round
-  * stacks a regexp_replace projection; at hundreds of merges the plan
-  * would otherwise grow unboundedly and re-run all prior merges on every
+  * array-merge map. Lineage is cut every `checkpointEvery` rounds (each
+  * round stacks a merge projection; at hundreds of merges the plan would
+  * otherwise grow unboundedly and re-run all prior merges on every
   * action). Stops early when no pair reaches `minCount`.
   */
+/** One BPE merge applied natively to a token ARRAY: the greedy
+  * left-to-right non-overlapping scan (match (w1,w2) → emit "w1_w2", skip
+  * two; else emit one) that [[BpeTrainer.applyMerge]]'s lookahead regex
+  * performs on the joined text — PropertySpec pins the two mechanisms to
+  * the same reference scan. Token-array form exists so the trainer can
+  * keep the corpus SPLIT ONCE across rounds (the r13-measured dominant
+  * cost was the per-round re-split, not the merge); the pair tokens live
+  * in the references array (constant generated source, one Janino compile
+  * for every merge round). */
+case class BpeMergePair(child: Expression, pair: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${dt.sql}")
+  }
+
+  // pair = concat(w1, ' ', w2) of two space-free tokens, so the single
+  // space is unambiguous; limit -1 keeps an empty w2
+  @transient private lazy val w1: UTF8String = {
+    val parts = pair.split(" ", -1)
+    require(parts.length == 2, s"pair must be two tokens, got '$pair'")
+    UTF8String.fromString(parts(0))
+  }
+  @transient private lazy val w2: UTF8String =
+    UTF8String.fromString(pair.split(" ", -1)(1))
+  @transient private lazy val mergedTok: UTF8String =
+    UTF8String.fromString(pair.replace(' ', '_'))
+
+  /** Called from eval and generated code. */
+  def merge(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0; var m = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (i + 1 < n && w1.equals(t) &&
+          w2.equals(tokens.getUTF8String(i + 1))) {
+        out(m) = mergedTok; i += 2
+      } else { out(m) = t; i += 1 }
+      m += 1
+    }
+    new GenericArrayData(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    merge(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergePair", this)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.merge($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeMergePair {
+  def merge(tokens: Column, pair: String): Column =
+    org.apache.spark.sql.graftbridge.PlanBridge.column(BpeMergePair(
+      org.apache.spark.sql.graftbridge.PlanBridge.expression(tokens), pair))
+}
+
 object BpeTrainer {
 
   /** One learned merge rule: round (1-based), the winning pair, and its
@@ -40,8 +119,12 @@ object BpeTrainer {
   /** Adjacent-pair relation of the current corpus: one row per occurrence
     * (NOT per-doc distinct — BPE counts occurrences). */
   private def pairCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(split(col(textCol), " ").as("t"))
+    tokenPairCounts(docs.select(split(col(textCol), " ").as("t")))
+
+  /** The same pair count straight off a token-array column (the trainer's
+    * split-once representation skips the per-round re-split). */
+  private def tokenPairCounts(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("t")) >= 2)
       // explode the POSITION sequence (integers) and build the pair
       // string with a plain projection in the same codegen stage — the
@@ -82,27 +165,40 @@ object BpeTrainer {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // spread a single-task input once up front: every round's pair count
     // and merge rewrite inherit the parallelism (a 1-row-group parquet
-    // corpus otherwise trains on ONE thread for all rounds)
+    // corpus otherwise trains on ONE thread for all rounds).
+    // SPLIT ONCE: the standing corpus is a token-array column; each round
+    // counts pairs straight off the arrays and merges them natively
+    // ([[BpeMergePair]]), never re-splitting the text — the r13-measured
+    // per-round wall was the re-split, not the merge. array_join at the
+    // end restores textCol byte-identically (tokens are space-free, the
+    // engine's space-normalized corpus contract; ≡ the regex path on such
+    // corpora — spec-pinned against applyMerge and trainDelta).
+    val toksCol = "__bpe_toks"
     var cur = Materialize.spread(docs)
+      .withColumn(toksCol, split(col(textCol), " "))
     val steps = Seq.newBuilder[MergeStep]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       val t0 = System.nanoTime()
-      val best = pairCounts(cur, textCol)
+      val best = tokenPairCounts(cur.select(col(toksCol).as("t")))
         .orderBy(col("c").desc, col("p").asc).limit(1).collect()
       if (best.isEmpty || best(0).getLong(1) < minCount) exhausted = true
       else {
         val pair = best(0).getString(0)
         val step = MergeStep(r, pair, best(0).getLong(1))
         steps += step
-        cur = cur.withColumn(textCol, applyMerge(col(textCol), pair))
+        cur = cur.withColumn(toksCol, BpeMergePair.merge(col(toksCol), pair))
         if (r % checkpointEvery == 0) cur = Materialize(cur)
         onRound(step, (System.nanoTime() - t0) / 1e9)
       }
       r += 1
     }
-    (cur, steps.result())
+    val learned = steps.result()
+    val merged =
+      if (learned.isEmpty) cur.drop(toksCol)
+      else cur.withColumn(textCol, array_join(col(toksCol), " ")).drop(toksCol)
+    (merged, learned)
   }
 
   /** Padded-substring predicate: does the doc contain the pair as

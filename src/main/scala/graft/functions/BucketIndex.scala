@@ -26,7 +26,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   *   desc → |{i : s(i) > v}|   (count strictly above — the bucket id is
   *                              then increasing in DESC sort order)
   * A NULL key returns `nullBucket` (0 for NULLS FIRST, P-1 for NULLS
-  * LAST — same-bucket ordering is the downstream window's job). The
+  * LAST — same-bucket ordering is the downstream window's job). A NaN
+  * key is mapped to +Infinity before the search: Spark sorts NaN as the
+  * GREATEST double, but raw `<`/`<=` comparisons are false for NaN and
+  * would drop it into the wrong end bucket; as +Infinity it shares the
+  * top-of-order bucket with any +Infinity keys (a harmless tie collapse
+  * — the in-bucket window re-orders by the true column, where Spark's
+  * own comparator places NaN after Infinity). The
   * group index must be a non-null INT in [0, splits.length); RangeRank
   * reserves the last slot (empty splits) for groups the boundary sample
   * missed, which collapses exactly those groups to one bucket.
@@ -56,7 +62,8 @@ case class BucketIndex(groupIdx: Expression, value: Expression,
   override def nullable: Boolean = false
 
   /** Count of split points strictly before v in sort order. */
-  def bucketOf(g: Int, v: Double): Int = {
+  def bucketOf(g: Int, v0: Double): Int = {
+    val v = if (java.lang.Double.isNaN(v0)) Double.PositiveInfinity else v0
     val s = splits(g)
     var lo = 0; var hi = s.length
     if (asc) {
@@ -87,6 +94,7 @@ case class BucketIndex(groupIdx: Expression, value: Expression,
     val g = groupIdx.genCode(ctx)
     val v = value.genCode(ctx)
     val s = ctx.freshName("s")
+    val vv = ctx.freshName("vv")
     val lo = ctx.freshName("lo")
     val hi = ctx.freshName("hi")
     val mid = ctx.freshName("mid")
@@ -94,13 +102,13 @@ case class BucketIndex(groupIdx: Expression, value: Expression,
       if (asc)
         s"""while ($lo < $hi) {
            |  int $mid = ($lo + $hi) >>> 1;
-           |  if ($s[$mid] < ${v.value}) $lo = $mid + 1; else $hi = $mid;
+           |  if ($s[$mid] < $vv) $lo = $mid + 1; else $hi = $mid;
            |}
            |${ev.value} = $lo;""".stripMargin
       else
         s"""while ($lo < $hi) {
            |  int $mid = ($lo + $hi) >>> 1;
-           |  if ($s[$mid] <= ${v.value}) $lo = $mid + 1; else $hi = $mid;
+           |  if ($s[$mid] <= $vv) $lo = $mid + 1; else $hi = $mid;
            |}
            |${ev.value} = $s.length - $lo;""".stripMargin
     ev.copy(
@@ -109,6 +117,8 @@ case class BucketIndex(groupIdx: Expression, value: Expression,
         ${v.code}
         int ${ev.value} = $nullBucket;
         if (!${v.isNull}) {
+          double $vv = java.lang.Double.isNaN(${v.value})
+            ? Double.POSITIVE_INFINITY : ${v.value};
           double[] $s = $tab[${g.value}];
           int $lo = 0; int $hi = $s.length;
           $search

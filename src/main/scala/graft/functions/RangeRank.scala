@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.ArrayType
 
 /** Two-phase distributed global rank — the 100 TB form of
   * `row_number() OVER (ORDER BY ...)` that a single-partition WindowExec
@@ -88,7 +87,16 @@ object RangeRank {
     * cumName)` in `sumCols` adds the INCLUSIVE running sum of
     * `valueCol` over that order. `countName`, when non-null, adds each
     * group's total row count. Output = input columns + `rankName`
-    * (+ each `cumName`, + `countName`). */
+    * (+ each `cumName`, + `countName`).
+    *
+    * INPUT-DETERMINISM CONTRACT: with `pin = false` the offsets pass and
+    * the rank pass each recompute `df` — the bucket ids themselves are
+    * deterministic (boundaries are collected literals), but if `df`
+    * draws different ROWS per execution (sample/limit/rand lineage) the
+    * two passes disagree and ranks silently duplicate or skip. Pass a
+    * deterministic input, or set `pin = true` to materialize it once
+    * (also the right call when the input is merely expensive — q_auc's
+    * cosine-scored candidates). */
   def withGroupedRank(df: DataFrame, groupCols: Seq[String],
                       sortCols: Seq[Column], rankName: String,
                       sumCols: Seq[(String, String)] = Seq.empty,
@@ -113,7 +121,6 @@ object RangeRank {
     // bucket, and the in-bucket window orders by the full sortCols)
     val (keyCol, asc, nullsFirst) =
       org.apache.spark.sql.graftbridge.PlanBridge.sortOrderOf(sortCols.head)
-    val keyType = input.select(keyCol.as("__rr_k")).schema.head.dataType
 
     // P-1 equi-depth split points of the DOUBLE-cast key, per group,
     // from ONE aggregate pass over a DETERMINISTIC 1-in-64 row sample
@@ -139,6 +146,9 @@ object RangeRank {
     def collectBnds(row: org.apache.spark.sql.Row, at: Int): Array[Double] =
       if (row.isNullAt(at)) Array.empty[Double]
       else row.getSeq[Any](at).collect { case d: Double => d }
+        // NaN split points carry no boundary information (BucketIndex
+        // maps NaN KEYS to +Infinity to match Spark's NaN-greatest sort)
+        .filter(d => !java.lang.Double.isNaN(d))
         .distinct.sorted.toArray
     // The bucket id = count of split points strictly before the key in
     // sort order — a native binary-search expression (BucketIndex; a

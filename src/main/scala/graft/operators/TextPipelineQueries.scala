@@ -53,10 +53,15 @@ object TextPipelineQueries extends QueryModule {
         .repartition(col("doc_id"))
         .select(split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(t) - 1),
-            |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
-            .stripMargin)).as("p"))
+        // positional explode + in-stage concat (the BpeTrainer/
+        // q_char_trigrams discipline): the transform-lambda flavor ran
+        // one INTERPRETED concat lambda per position (r13 A/B: 1.16×
+        // CPU); size ≥ 2 keeps the position sequence non-empty, so the
+        // exploded row multiset is identical
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1)).as("p"))
         .groupBy("p").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("p")).limit(1).collect()
       // no pair anywhere (empty corpus / all single-token docs): the

@@ -3,12 +3,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Dev A/B harness: alternate a conf toggle across reps of one query in
-  * ONE JVM so VM load hits both variants equally.
-  * Usage: runMain graft.AbProbe <query> <confKey> <sfDir> [reps] */
+  * ONE JVM so VM load hits both variants equally. Test-sources-only (it
+  * must not ship in the production artifact); run it with BOTH
+  * target/scala-2.13/classes and target/scala-2.13/test-classes (plus
+  * the Spark jars) on the classpath:
+  *   java -cp "<classes>:<test-classes>:<spark jars>" graft.AbProbe
+  *     <query> <confKey> <sfDir> [reps] */
 object AbProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0); val key = args(1)
-    val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    require(args.length >= 3,
+      "usage: AbProbe <query> <confKey> <sfDir> [reps]")
+    val name = args(0); val key = args(1); val dir = args(2)
     val reps = if (args.length > 3) args(3).toInt else 4
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,7 +28,13 @@ object AbProbe {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
     })
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // session warm-up; a failure here only degrades measurement quality,
+    // but say so instead of swallowing it
+    try SparkEntry.entry(spark).count() catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[ab] warmup failed: ${e.getClass.getName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(160)}")
+    }
     val fn = SparkEntry.queries(name)
     val on = collection.mutable.ArrayBuffer.empty[Double]
     val off = collection.mutable.ArrayBuffer.empty[Double]

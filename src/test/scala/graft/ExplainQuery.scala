@@ -4,7 +4,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Dev utility: dump `.explain("formatted")` of registry queries to files.
-  * Usage: runMain graft.ExplainQuery <outDir> <suffix> <sfDir> <query ...>
+  * Test-sources-only (must not ship in the production artifact); run with
+  * BOTH target/scala-2.13/classes and target/scala-2.13/test-classes
+  * (plus the Spark jars) on the classpath:
+  *   java -cp "<classes>:<test-classes>:<spark jars>" graft.ExplainQuery
+  *     <outDir> <suffix> <sfDir> <query ...>
   * Writes <outDir>/<query>_<suffix>.txt per query. The plan is the
   * EXECUTED adaptive plan (the df is run first via toRdd.count, so AQE's
   * final join strategies / coalesced exchanges are what lands in the file

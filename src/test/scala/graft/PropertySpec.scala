@@ -298,6 +298,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpe native array merge == regex merge on random tiny-alphabet corpora") {
+    // BpeMergePair (the trainer's split-once token-array merge) must walk
+    // the same greedy non-overlapping scan as applyMerge's lookahead regex
+    // on space-normalized corpora — same dense consecutive/overlapping
+    // shapes as the regex-vs-scan leg above, both eval and codegen paths
+    val alpha = Vector("a", "b", "c")
+    val cases = Seq.fill(150) {
+      val toks = Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(3)))
+      (toks, alpha(rnd.nextInt(3)), alpha(rnd.nextInt(3)))
+    }
+    for (((w1, w2), grp) <- cases.groupBy(c => (c._2, c._3))) {
+      val df = grp.map(_._1.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val both = df.select(col("id"),
+          array_join(graft.functions.BpeMergePair.merge(
+            split(col("text"), " "), s"$w1 $w2"), " ").as("nat"),
+          graft.functions.BpeTrainer.applyMerge(col("text"), s"$w1 $w2").as("rex"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"pair ($w1,$w2) id ${r.getLong(0)}: native '${r.getString(1)}' " +
+            s"vs regex '${r.getString(2)}'")
+      }
+    }
+  }
+
   test("bpe delta recount == full recount on random tiny-alphabet corpora") {
     // tiny alphabet -> dense consecutive/overlapping pair occurrences,
     // the hardest case for the delta algebra (counts - before + after)

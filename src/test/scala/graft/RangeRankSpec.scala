@@ -107,6 +107,30 @@ class RangeRankSpec extends SparkSpec {
     assert(two == one, "desc rank + group count must equal the window twins")
   }
 
+  test("NaN double keys rank like Spark's NaN-greatest sort order") {
+    import spark.implicits._
+    // NaN sorts GREATER than every double (incl. Infinity) in Spark; the
+    // r13 BucketIndex binary search compared raw doubles, which would
+    // have dropped NaN into bucket 0 under asc (every `<` is false) and
+    // the LAST bucket under desc — both opposite to the sort order. The
+    // fix maps a NaN key to +Infinity before the search (same bucket as
+    // Infinity keys; the in-bucket window then orders them exactly).
+    val vals = Seq(Double.NaN, 1.0, Double.PositiveInfinity, -3.5,
+      Double.NaN, 0.0, Double.NegativeInfinity, 2.5, 97.0, -1.25)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "k")
+    for (desc <- Seq(false, true)) {
+      val sort = if (desc) Seq(col("k").desc, col("id")) else Seq(col("k"), col("id"))
+      val two = graft.functions.RangeRank
+        .withRank(df, sort, "r", partitions = 4)
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      val one = df.withColumn("r",
+          row_number().over(Window.orderBy(sort: _*)).cast("long"))
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      assert(two == one, s"NaN ranks diverge from the window (desc=$desc)")
+    }
+  }
+
   test("ntileFromRank matches window NTILE across n/k boundary cases") {
     import spark.implicits._
     // n = 1..25 over k in {4, 8}: covers n < k, n = k, n % k = 0, and
