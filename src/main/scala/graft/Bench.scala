@@ -174,6 +174,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Wire the grouped-top-k rewrite up front — GraftSession.attach (the
+    // library's declared entry) always installs it, but this bare bench
+    // session previously only gained it mid-sweep when q_topk_window ran,
+    // so which queries got the heap plan depended on execution order
+    // (r14: the operator's fused-stage codegen bug is fixed, and the
+    // rewrite carries a conf kill switch, spark.graft.topk.rewrite).
+    plans.TopKPerGroup.install(spark)
     // Warmup: the first job pays session setup (codegen compiler, parquet
     // footers, scheduler spin-up) — run the flagship once untimed so the
     // first measured query isn't charged ~5s of one-time cost.

@@ -20,6 +20,7 @@ object TimeQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    plans.TopKPerGroup.install(spark) // match Bench/Verify session wiring
     val fn = SparkEntry.queries(name)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val times = (1 to reps).map { i =>

@@ -21,6 +21,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session wiring as Bench: the top-k rewrite is installed up
+    // front (not mid-run by whichever query happens to run first), so
+    // the correctness gate exercises exactly the plans the bench times
+    plans.TopKPerGroup.install(spark)
     new java.io.File(outDir).mkdirs()
     // fixture-presence gate: the 7 extended-surface TPC-H queries (and
     // their oracle entries below) join the sweep only when the sfDir
