@@ -29,6 +29,7 @@ object ExplainQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    plans.TopKPerGroup.install(spark) // match Bench/Verify session wiring
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       try {
